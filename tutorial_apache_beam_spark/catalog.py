@@ -1,0 +1,66 @@
+"""Fixture-table catalog: schema-checked parquet loading.
+
+The driver fixtures (`/root/testdata/sf*/`) are a TPC-H-ish star schema plus
+an `events` stream table and LLM-extension tables (`documents`,
+`embeddings`). This module is the single place the engine touches paths, so
+every query sees identical, type-normalized inputs.
+
+Scale note: `spark.read.parquet` gives vectorized columnar scans with
+predicate pushdown and column pruning for free; at 100 TB the same loader
+works unchanged — partition pruning comes from directory layout, and
+`spark.sql.files.maxPartitionBytes` controls split sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types.
+
+    `events.ts` is written as parquet INT64 TIMESTAMP(NANOS); with
+    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long of
+    epoch-nanos. The fixture values are µs-granularity, so integer-dividing
+    by 1000 and stamping µs is lossless (`ts div 1000` stays in 64-bit
+    integer arithmetic — a double division would lose precision above 2^53).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables present under `sf_dir`."""
+    return {
+        name: load_table(spark, sf_dir, name)
+        for name in TABLES
+        if os.path.exists(f"{sf_dir}/{name}.parquet")
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register every fixture table as a temp view (for spark.sql)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

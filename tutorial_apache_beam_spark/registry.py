@@ -1,0 +1,64 @@
+"""Query registry — the driver-facing catalog of implemented operators.
+
+Every operator from SURVEY.md §2 (and the LLM-extension scope) gets:
+- a `queries()` entry: (spark, sf_dir) -> DataFrame, and
+- an `oracle_sql()` entry: equivalent ANSI SQL for DuckDB on the same
+  parquet fixtures (omitted only for genuinely non-SQL-expressible ops,
+  which the driver then checks rows-only).
+
+Column-name and value parity rules used throughout:
+- every computed column is aliased identically on both sides;
+- double-typed aggregates are rounded (ROUND(x, 2)) on both sides so
+  floating-point summation order can't flip the value hash;
+- timestamps compare as UTC-naive (session TZ pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imported for their registration side effects.
+    from tutorial_apache_beam_spark.queries import (  # noqa: F401
+        demo,
+        relational,
+    )
+
+    _LOADED = True

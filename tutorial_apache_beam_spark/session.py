@@ -1,0 +1,66 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local mode is the test harness; the same config set is what we would ship on
+a 1000-executor cluster (AQE, skew-join handling, partition-size-targeted
+coalescing, pushdown-friendly parquet options). Nothing here is
+local-specific except the master URL and shuffle-partition count, both
+overridable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At cluster scale, shuffle partitions should target ~128-200 MB per task
+# post-AQE; locally we match the core count so tiny SF data doesn't get
+# over-parallelized. AQE coalescing makes the static number a ceiling, not a
+# tuning knob, so a large static value + AQE is the scale-safe choice.
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tutorial_apache_beam_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults chosen for correctness-vs-DuckDB comparability (UTC session
+    timezone, ANSI off for permissive casts) and for scale (AQE on with
+    partition coalescing + skew-join splitting; Arrow for the Pandas-UDF
+    escape hatch; nanosecond parquet timestamps read as longs so the
+    catalog can convert them losslessly).
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # AQE: runtime re-planning — coalesce small post-shuffle partitions,
+        # split skewed ones, convert to broadcast joins when a side turns out
+        # small. This is the core of "survives a 100x scale-up".
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for every Python<->JVM crossing (pandas_udf,
+        # applyInPandas, toPandas) — the only acceptable Python path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic oracle comparison: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Fixture `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark
+        # refuses by default; read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
