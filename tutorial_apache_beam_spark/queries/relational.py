@@ -100,3 +100,211 @@ def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed at least one order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1996)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no 1996 orders.
+
+    (Restricted to one year so the result is non-empty at every fixture SF —
+    an empty result would make the oracle comparison vacuous.)
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                         AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2)  AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers (count = 0)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "asof_join_purchase_last_click",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           round(c.value, 2) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT value FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.ts DESC LIMIT 1
+    ) c ON TRUE
+    """,
+)
+def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the latest prior click's value.
+
+    Engine implementation is the union+window plan in
+    `operators.relational.asof_join` (single shuffle, no range cross-join);
+    the oracle is the equivalent LATERAL top-1 lookup. (user_id, ts) pairs
+    are unique in the fixture, so the result is deterministic.
+    """
+    from tutorial_apache_beam_spark.operators.relational import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value"), 2).alias("last_click_value"),
+    )
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(900.0 + 2.0 * i AS DOUBLE) AS lo,
+             CAST(900.0 + 2.0 * (i + 1) AS DOUBLE) AS hi
+      FROM (SELECT unnest(range(0, 10)) AS i)
+    )
+    SELECT b.lo   AS band_lo,
+           count(*) AS n_parts,
+           round(avg(p.p_retailprice), 2) AS avg_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY 1
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bucketed equi-join (no cross product).
+
+    Buckets make the range predicate an equi-join on bucket id
+    (`operators.relational.range_join_bucketed`), which scales linearly
+    instead of |parts| x |bands|.
+    """
+    from tutorial_apache_beam_spark.operators.relational import range_join_bucketed
+
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(0, 10).select(
+        (900.0 + 2.0 * F.col("id")).alias("lo"),
+        (900.0 + 2.0 * (F.col("id") + 1)).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        part, bands, left_point="p_retailprice", right_lo="lo", right_hi="hi",
+        bucket_width=2.0,
+    )
+    return joined.groupBy(F.col("lo").alias("band_lo")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+@register(
+    "global_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    from tutorial_apache_beam_spark.operators.relational import top_k
+
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k(
+        orders.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        ),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        25,
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (windowed top-k, one shuffle on the key)."""
+    from tutorial_apache_beam_spark.operators.relational import top_k_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

@@ -57,8 +57,10 @@ def _load_all() -> None:
         return
     # Imported for their registration side effects.
     from tutorial_apache_beam_spark.queries import (  # noqa: F401
+        analytic,
         demo,
         relational,
+        scalar,
     )
 
     _LOADED = True
