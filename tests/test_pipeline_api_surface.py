@@ -1,0 +1,86 @@
+"""Coverage for the remaining Beam-API transforms on batch inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.plans.pipeline import (
+    Count,
+    Distinct,
+    Filter,
+    FixedWindows,
+    Flatten,
+    MapElements,
+    Mean,
+    ParDo,
+    Pipeline,
+    Sum,
+    WindowInto,
+    WithTimestamps,
+)
+from tests.conftest import SF_DIR
+
+
+def test_pardo_mapinpandas_matches_declarative(spark):
+    """ParDo (Arrow-batched imperative path) == MapElements (codegen path)."""
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events")
+
+    def dofn(batch):
+        out = batch[["event_id", "value"]].copy()
+        out["value_sq"] = out["value"] * out["value"]
+        return out
+
+    imperative = (
+        p.create(events)
+        .apply("Square", ParDo(dofn, "event_id BIGINT, value DOUBLE, value_sq DOUBLE"))
+        .df
+    )
+    declarative = events.select(
+        "event_id", "value", (F.col("value") * F.col("value")).alias("value_sq")
+    )
+    assert sorted(map(tuple, imperative.collect())) == sorted(
+        map(tuple, declarative.collect())
+    )
+
+
+def test_flatten_distinct_filter(spark):
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events")
+    clicks = p.create(events).apply(
+        "Clicks", Filter(F.col("event_type") == "click")
+    )
+    views = p.create(events).apply("Views", Filter(F.col("event_type") == "view"))
+    both = clicks.apply("Union", Flatten(views))
+    assert both.df.count() == clicks.df.count() + views.df.count()
+    types = (
+        both.apply("Types", MapElements(lambda df: df.select("event_type")))
+        .apply("Distinct", Distinct())
+        .df.collect()
+    )
+    assert {r.event_type for r in types} == {"click", "view"}
+
+
+def test_sum_mean_per_key_windowed(spark):
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events")
+    base = (
+        p.create(events)
+        .apply("Ts", WithTimestamps("ts"))
+        .apply("Win", WindowInto(FixedWindows("1 hour")))
+    )
+    sums = base.apply("Sum", Sum.per_key("value", "user_id")).df
+    means = base.apply("Mean", Mean.per_key("value", "user_id")).df
+    counts = base.apply("Count", Count.per_key("user_id")).df
+    # sum / count == mean on every (window, user)
+    j = (
+        sums.join(means, ["window_start", "window_end", "user_id"])
+        .join(counts, ["window_start", "window_end", "user_id"])
+        .select(
+            (F.col("sum") / F.col("count") - F.col("mean")).alias("diff")
+        )
+        .agg(F.max(F.abs("diff")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert j < 1e-9

@@ -1,0 +1,467 @@
+"""Beam-equivalent pipeline API compiling to Spark DataFrame plans.
+
+The reference builds pipelines as `Pipeline.create(options)` followed by
+chained `.apply(name, transform)` calls (Demo1.java:79-100,
+Demo2.java:115-177). This module mirrors that construction surface so the
+two demo programs can be written nearly verbatim — but every transform just
+extends a lazy DataFrame logical plan; Catalyst/Tungsten own optimization
+and execution (SURVEY §2.5 P1-P4).
+
+Semantics mapping (SURVEY §2.3):
+- `WithTimestamps(col).with_allowed_skew(d)` — in Spark the event-time
+  column IS the timestamp; skew folds into the watermark delay (W1).
+- `WindowInto(FixedWindows(...)).with_allowed_lateness(d)` — tumbling
+  window bucketing; on a streaming input, skew + lateness compose into one
+  `withWatermark` delay (W2, W4 — Beam separates them, Spark sums them).
+- `Count.perKey()` after a WindowInto — `groupBy(window(ts, ...), key)`
+  (W6), the incremental state-store aggregation in streaming.
+- Triggers/panes (W3/W5) map to output modes at the sink: "append" =
+  emit once when the watermark passes the window (AfterWatermark);
+  "update" = re-emit changed accumulated counts per micro-batch
+  (≈ late firings, accumulating panes). Per-pane *deltas*
+  (discardingFiredPanes) are intentionally not reproduced — the sink rows
+  are accumulated values, the faithful analytics equivalent (SURVEY W5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Window functions (Beam WindowFn equivalents)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FixedWindows:
+    """Tumbling windows (Beam FixedWindows; reference Demo2.java:151-152)."""
+
+    duration: str
+
+    def bucket(self, ts: Column) -> Column:
+        return F.window(ts, self.duration)
+
+
+@dataclass(frozen=True)
+class SlidingWindows:
+    """Hopping windows (Beam SlidingWindows)."""
+
+    size: str
+    period: str
+
+    def bucket(self, ts: Column) -> Column:
+        return F.window(ts, self.size, self.period)
+
+
+@dataclass(frozen=True)
+class Sessions:
+    """Gap-merged session windows (Beam Sessions)."""
+
+    gap: str
+
+    def bucket(self, ts: Column) -> Column:
+        return F.session_window(ts, self.gap)
+
+
+WindowFn = FixedWindows | SlidingWindows | Sessions
+
+
+# ---------------------------------------------------------------------------
+# PCollection: a DataFrame + event-time/windowing context
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class WindowingSpec:
+    window_fn: WindowFn | None = None
+    ts_col: str | None = None
+    allowed_skew: str | None = None
+    allowed_lateness: str | None = None
+
+    def watermark_delay_seconds(self) -> int:
+        """Beam keeps skew and lateness separate; Spark has one watermark
+        delay — the faithful composition is their sum (SURVEY §7.4.2)."""
+        total = 0
+        for d in (self.allowed_skew, self.allowed_lateness):
+            if d:
+                total += _duration_to_seconds(d)
+        return total
+
+
+def _duration_to_seconds(d: str) -> int:
+    qty, _, unit = d.strip().partition(" ")
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit.lower()]
+    return int(qty) * mult
+
+
+class PCollection:
+    """An immutable stream/table of rows flowing through the pipeline —
+    Beam's PCollection<T>, realized as a DataFrame plus windowing context."""
+
+    def __init__(
+        self, df: DataFrame, pipeline: "Pipeline", spec: WindowingSpec | None = None
+    ):
+        self.df = df
+        self.pipeline = pipeline
+        self.spec = spec or WindowingSpec()
+
+    def apply(self, name: str, transform: "PTransform | None" = None) -> "PCollection":
+        """`pcoll.apply("Name", transform)` — the reference's chaining form
+        (Demo2.java:115-175). Name is kept for plan readability only."""
+        if transform is None:
+            raise ValueError("apply() requires a transform")
+        out = transform.expand(self)
+        if isinstance(out.df, DataFrame) and name:
+            out.df = out.df.alias(_sanitize(name))
+        return out
+
+    def _with(self, df: DataFrame, spec: WindowingSpec | None = None) -> "PCollection":
+        return PCollection(df, self.pipeline, spec or self.spec)
+
+
+def _sanitize(name: str) -> str:
+    return "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+class PipelineResult:
+    """Handle over started streaming queries (Beam PipelineResult analog).
+
+    For batch pipelines the plan already executed at the sink `apply`;
+    `wait_until_finish` is a no-op then.
+    """
+
+    def __init__(self, queries: list[Any]):
+        self.queries = queries
+
+    def wait_until_finish(self) -> None:
+        for q in self.queries:
+            q.awaitTermination()
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+
+
+class Pipeline:
+    """Pipeline.create equivalent: owns the SparkSession and root sources."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._streaming_queries: list[Any] = []
+
+    # -- root sources -------------------------------------------------------
+
+    def create(self, df: DataFrame) -> PCollection:
+        """Root PCollection from an existing DataFrame (batch or stream)."""
+        return PCollection(df, self)
+
+    def read_parquet(self, path: str) -> PCollection:
+        return PCollection(self.spark.read.parquet(path), self)
+
+    def read_message_stream(self, path: str) -> PCollection:
+        """Unbounded raw-message source: one payload per line in a watched
+        directory, surfaced as a single `value STRING` column — the same
+        shape a Kafka/Pub-Sub-Lite source delivers (payload bytes + metadata,
+        SURVEY S1). Swap for `.readStream.format("kafka")` in production;
+        downstream parse stages are unchanged."""
+        df = self.spark.readStream.text(path)
+        return PCollection(df, self)
+
+    def read_parquet_stream(self, path: str, schema) -> PCollection:
+        df = self.spark.readStream.schema(schema).parquet(path)
+        return PCollection(df, self)
+
+    def run(self) -> PipelineResult:
+        return PipelineResult(list(self._streaming_queries))
+
+
+# ---------------------------------------------------------------------------
+# PTransforms
+# ---------------------------------------------------------------------------
+
+
+class PTransform:
+    """Composite transform (Beam PTransform.expand — Demo1.java:54-71)."""
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        raise NotImplementedError
+
+
+class Create(PTransform):
+    """Wrap a fixed DataFrame into the pipeline (Beam Create analog)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(self.df)
+
+
+class MapElements(PTransform):
+    """Declarative element-wise transform: fn(DataFrame) -> DataFrame built
+    from Column expressions (the fast path — stays in codegen).
+
+    This is the engine's preferred ParDo form: the reference's
+    MessageTransform drop-malformed parse (Demo1.java:52-72) is
+    `MapElements(parse_click_messages)`.
+    """
+
+    def __init__(self, fn: Callable[[DataFrame], DataFrame]):
+        self.fn = fn
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(self.fn(pcoll.df))
+
+
+class Filter(PTransform):
+    def __init__(self, predicate: Column):
+        self.predicate = predicate
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(pcoll.df.filter(self.predicate))
+
+
+class ParDo(PTransform):
+    """Imperative per-batch DoFn via mapInPandas (the Beam-DoFn escape
+    hatch; Arrow-vectorized, never row-at-a-time).
+
+    `dofn` receives a pandas DataFrame batch and yields/returns transformed
+    batches; `output_schema` is the DDL of the result. Use only when the
+    logic genuinely can't be expressed as Column expressions — a Python
+    stage breaks whole-stage codegen and costs a JVM<->Python hop.
+    """
+
+    def __init__(self, dofn: Callable, output_schema: str):
+        self.dofn = dofn
+        self.output_schema = output_schema
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        dofn = self.dofn
+
+        def _map(batches: Iterator) -> Iterator:
+            for batch in batches:
+                out = dofn(batch)
+                if out is None:
+                    continue
+                if hasattr(out, "__iter__") and not hasattr(out, "columns"):
+                    yield from out
+                else:
+                    yield out
+
+        return pcoll._with(pcoll.df.mapInPandas(_map, self.output_schema))
+
+
+class WithTimestamps(PTransform):
+    """Designate the event-time column (Beam WithTimestamps.of —
+    Demo2.java:136-139). Skew tolerance folds into the watermark."""
+
+    def __init__(self, ts_col: str, allowed_skew: str | None = None):
+        self.ts_col = ts_col
+        self.allowed_skew = allowed_skew
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        spec = WindowingSpec(
+            window_fn=pcoll.spec.window_fn,
+            ts_col=self.ts_col,
+            allowed_skew=self.allowed_skew,
+            allowed_lateness=pcoll.spec.allowed_lateness,
+        )
+        return pcoll._with(pcoll.df, spec)
+
+
+class WindowInto(PTransform):
+    """Assign event-time windows (Beam Window.into — Demo2.java:149-157).
+
+    On a streaming DataFrame this applies `withWatermark(ts, skew+lateness)`
+    immediately; the window bucketing itself happens at the next keyed
+    aggregation (Spark groups by a window expression rather than re-keying
+    elements).
+    """
+
+    def __init__(self, window_fn: WindowFn, allowed_lateness: str | None = None):
+        self.window_fn = window_fn
+        self.allowed_lateness = allowed_lateness
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        if pcoll.spec.ts_col is None:
+            raise ValueError("WindowInto requires WithTimestamps first")
+        spec = WindowingSpec(
+            window_fn=self.window_fn,
+            ts_col=pcoll.spec.ts_col,
+            allowed_skew=pcoll.spec.allowed_skew,
+            allowed_lateness=self.allowed_lateness,
+        )
+        df = pcoll.df
+        if df.isStreaming:
+            delay = spec.watermark_delay_seconds()
+            df = df.withWatermark(spec.ts_col, f"{max(delay, 0)} seconds")
+        return pcoll._with(df, spec)
+
+
+class _PerKeyAgg(PTransform):
+    """Shared machinery for Count/Sum/Mean.perKey over optional windows."""
+
+    def __init__(self, key_cols: list[str]):
+        self.key_cols = key_cols
+
+    def agg_exprs(self) -> list[Column]:
+        raise NotImplementedError
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        spec = pcoll.spec
+        if spec.window_fn is not None:
+            bucket = spec.window_fn.bucket(F.col(spec.ts_col))
+            grouped = pcoll.df.groupBy(bucket, *self.key_cols)
+            out = grouped.agg(*self.agg_exprs())
+            struct_col = (
+                "session_window" if isinstance(spec.window_fn, Sessions) else "window"
+            )
+            out = out.select(
+                F.col(f"{struct_col}.start").alias("window_start"),
+                F.col(f"{struct_col}.end").alias("window_end"),
+                *self.key_cols,
+                *[c for c in out.columns if c not in (struct_col, *self.key_cols)],
+            )
+        else:
+            out = pcoll.df.groupBy(*self.key_cols).agg(*self.agg_exprs())
+        return pcoll._with(out)
+
+
+class Count:
+    """Count.perKey() (reference Demo2.java:158-160)."""
+
+    @staticmethod
+    def per_key(*key_cols: str) -> PTransform:
+        class _Count(_PerKeyAgg):
+            def agg_exprs(self) -> list[Column]:
+                return [F.count(F.lit(1)).alias("count")]
+
+        return _Count(list(key_cols))
+
+
+class Sum:
+    @staticmethod
+    def per_key(value_col: str, *key_cols: str) -> PTransform:
+        class _Sum(_PerKeyAgg):
+            def agg_exprs(self) -> list[Column]:
+                return [F.sum(value_col).alias("sum")]
+
+        return _Sum(list(key_cols))
+
+
+class Mean:
+    @staticmethod
+    def per_key(value_col: str, *key_cols: str) -> PTransform:
+        class _Mean(_PerKeyAgg):
+            def agg_exprs(self) -> list[Column]:
+                return [F.avg(value_col).alias("mean")]
+
+        return _Mean(list(key_cols))
+
+
+class Flatten(PTransform):
+    """Union of PCollections (Beam Flatten)."""
+
+    def __init__(self, *others: PCollection):
+        self.others = others
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        for o in self.others:
+            df = df.unionByName(o.df)
+        return pcoll._with(df)
+
+
+class Distinct(PTransform):
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(pcoll.df.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+class WriteParquet(PTransform):
+    """Append sink (reference BigQuery WRITE_APPEND analog — SURVEY K1/K2).
+
+    Batch: immediate append write. Streaming: checkpointed exactly-once
+    file sink (idempotent by checkpoint, replacing the reference's
+    per-insert retry policy). `partition_by` reproduces the reference's
+    day-partitioned target tables.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        checkpoint: str | None = None,
+        partition_by: list[str] | None = None,
+        output_mode: str = "append",
+        available_now: bool = False,
+    ):
+        self.path = path
+        self.checkpoint = checkpoint
+        self.partition_by = partition_by
+        self.output_mode = output_mode
+        self.available_now = available_now
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        if df.isStreaming:
+            writer = (
+                df.writeStream.outputMode(self.output_mode)
+                .format("parquet")
+                .option("path", self.path)
+                .option("checkpointLocation", self.checkpoint)
+            )
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            if self.available_now:
+                writer = writer.trigger(availableNow=True)
+            query = writer.start()
+            pcoll.pipeline._streaming_queries.append(query)
+        else:
+            writer = df.write.mode("append")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self.path)
+        return pcoll
+
+
+class WriteMemory(PTransform):
+    """Named in-memory sink for deterministic streaming tests (the engine's
+    DirectRunner-observability analog). `complete` mode re-emits full
+    aggregation state per trigger; `append` emits watermark-closed rows."""
+
+    def __init__(self, name: str, output_mode: str = "append", available_now: bool = True):
+        self.name = name
+        self.output_mode = output_mode
+        self.available_now = available_now
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        writer = (
+            pcoll.df.writeStream.outputMode(self.output_mode)
+            .format("memory")
+            .queryName(self.name)
+        )
+        if self.available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        pcoll.pipeline._streaming_queries.append(query)
+        return pcoll

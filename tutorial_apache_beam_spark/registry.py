@@ -61,6 +61,7 @@ def _load_all() -> None:
         demo,
         relational,
         scalar,
+        streaming,
     )
 
     _LOADED = True
