@@ -1,0 +1,74 @@
+"""LLM-operator behavior tests beyond the oracle gate: ANN quality and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.operators.multimodal import (
+    decode_metadata,
+    media_table,
+    sample_frames,
+)
+from tutorial_apache_beam_spark.operators.similarity import cosine_topk, srp_ann_topk
+
+
+def test_srp_ann_scores_match_exact_and_recall_positive(spark):
+    """Every (probe, neighbor) the ANN returns must carry the same cosine
+    as the exact computation, and bucket recall must be non-trivial."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, probes, k=5).withColumnRenamed("cos", "cos_exact")
+    ann = srp_ann_topk(emb, probes, k=5)
+    joined = ann.join(exact, ["probe_id", "vec_id"], "inner")
+    n_ann = ann.count()
+    n_matching = joined.filter(
+        F.abs(F.col("cos") - F.col("cos_exact")) < 1e-9
+    ).count()
+    # Scores for overlapping pairs are identical.
+    assert n_matching == joined.count()
+    # LSH recall: at least one true top-5 neighbor found per average probe.
+    assert joined.count() >= probes.count()
+    assert n_ann > 0
+
+
+def test_multimodal_decode_is_deterministic_and_typed(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = media_table(docs)
+    out1 = decode_metadata(media)
+    assert dict(out1.dtypes) == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "n_bytes": "bigint",
+        "width": "int",
+        "height": "int",
+        "duration_ms": "int",
+    }
+    rows1 = sorted(map(tuple, out1.collect()))
+    rows2 = sorted(map(tuple, decode_metadata(media_table(docs)).collect()))
+    assert rows1 == rows2  # deterministic stub decode
+    assert all(r[3] >= 64 and r[4] >= 64 for r in rows1)  # plausible dims
+    imgs = [r for r in rows1 if r[1] == "image"]
+    assert imgs and all(r[5] == 0 for r in imgs)  # images have no duration
+
+
+def test_frame_sampling_expands_video_rows_only(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = media_table(docs)
+    frames = sample_frames(media, every_ms=10000)
+    meta = decode_metadata(media)
+    n_videos = meta.filter(F.col("media_type") == "video").count()
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx")
+    )
+    assert per_doc.count() == n_videos  # only video rows expand
+    # frame_idx is dense 0..n-1
+    assert per_doc.filter(F.col("n") != F.col("mx") + 1).count() == 0
+    # expected counts from the stub duration
+    expected = meta.filter(F.col("media_type") == "video").select(
+        "doc_id", (F.floor(F.col("duration_ms") / 10000) + 1).alias("n_exp")
+    )
+    bad = per_doc.join(expected, "doc_id").filter(F.col("n") != F.col("n_exp"))
+    assert bad.count() == 0

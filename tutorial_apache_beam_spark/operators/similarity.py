@@ -1,0 +1,185 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+- `cosine_topk`          — exact brute force: broadcast the (small) probe
+                           set against the corpus; per-probe top-k. The
+                           correctness baseline at any scale where
+                           |probes|·|corpus| work is acceptable.
+- `embedding_neardup_pairs` — all-pairs cosine ≥ threshold (exact; fixture
+                           scale). The 100 TB path is the LSH variant.
+- `srp_ann_topk`         — sign-random-projection LSH: bucket vectors by
+                           projection signs, search within buckets only.
+                           Approximate (recall < 1), but the candidate join
+                           is an equi-join on bucket id — no cross join.
+
+All vector math is `F.zip_with`/`F.aggregate` built-ins (JVM, codegen) —
+no Python in the row path. Hyperplanes for SRP are deterministic frozen
+literals so runs are reproducible across sessions and engines.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.functions.vectors import as_double, cosine
+
+# Frozen ±1 hyperplane matrices for SRP-LSH: HYPERPLANE_TABLES[t][p][d] for
+# hash table t, plane p, dimension d. Seeded once; never regenerate (bucket
+# ids must be stable across runs). Multiple independent tables are the
+# standard recall lever: a true neighbor is missed only if it lands in a
+# different bucket in EVERY table.
+_rng = random.Random(20240101)
+N_TABLES = 3
+N_PLANES = 4
+DIM = 64
+HYPERPLANE_TABLES: list[list[list[int]]] = [
+    [[_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)]
+    for _ in range(N_TABLES)
+]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (excluding self).
+
+    Output: (probe_id, vec_id, cos) — ties broken by neighbor id.
+    Plan shape: broadcast-nested-loop of the tiny probe set against a
+    single scan of the corpus, then one shuffle keyed by probe for the
+    window top-k. Corpus is scanned once regardless of probe count.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pv")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            F.round(cosine(F.col("pv"), F.col("cv")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — fixture/oracle
+    scale; use `srp_ann_topk` buckets as the candidate filter at 100 TB)."""
+    a = df.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _bucket_expr(vec_col: str, table: int) -> F.Column:
+    """SRP bucket id in hash table `table`: bit p set iff
+    dot(v, hyperplane_p) > 0."""
+    terms = []
+    for p, plane in enumerate(HYPERPLANE_TABLES[table]):
+        plane_arr = F.array(*[F.lit(float(s)) for s in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_arr, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        terms.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def _bucket_rows(df: DataFrame, id_cols: list[F.Column], vec_col: str) -> DataFrame:
+    """Explode each vector into one row per hash table with its bucket key
+    (table, bucket) — the multi-table LSH index."""
+    return df.select(
+        *id_cols,
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _bucket_expr(vec_col, t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        *[c for c in df.columns if c != vec_col],
+        F.col(vec_col),
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the probe's SRP bucket in any of
+    N_TABLES independent hash tables.
+
+    The candidate join is an equi-join on (table, bucket) — shuffle volume
+    is N_TABLES·(|corpus| + |probes|), independent of the pair space. More
+    tables / fewer planes per table trade cost for recall.
+    """
+    c = _bucket_rows(
+        corpus.select(F.col(id_col), F.col(vec_col)), [F.col(id_col)], vec_col
+    )
+    p = _bucket_rows(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")),
+        [F.col("probe_id")],
+        "pv",
+    )
+    scored = (
+        c.join(F.broadcast(p), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, F.col(vec_col), F.col("pv"))
+        .distinct()  # a pair may collide in several tables — score once
+        .select(
+            "probe_id",
+            id_col,
+            F.round(cosine(as_double(F.col("pv")), as_double(F.col(vec_col))), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

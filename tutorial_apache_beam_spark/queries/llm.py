@@ -1,0 +1,404 @@
+"""LLM-data-pipeline queries: dedup, text analysis, fingerprints.
+
+Every sketch-based oracle is generated from the same frozen constants as
+the Spark implementation (functions.hashing / functions.text), so MinHash,
+SimHash and fingerprints are bit-identical across engines — the DuckDB
+check covers the full algorithm, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_COEFFS,
+    portable_hash64,
+    portable_hash64_sql,
+    simhash32_sql,
+)
+from tutorial_apache_beam_spark.functions.text import (
+    STOPWORDS,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+    tokens_sql,
+    word_shingles_sql,
+)
+from tutorial_apache_beam_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from tutorial_apache_beam_spark.registry import register
+
+# Shared oracle CTEs: tokenized + shingled documents (3-word shingles).
+_TOK = tokens_sql("text")
+_SHINGLES_CTE = f"""
+    tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct({word_shingles_sql('toks', 3)}) AS shingles
+           FROM tok)
+"""
+
+
+@register(
+    "exact_dedup_documents",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, text
+    FROM corpus
+    GROUP BY text
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeping the min doc_id per text.
+
+    The fixture has no exact duplicates, so the corpus is doubled with
+    offset ids first — every text must collapse back to its original id.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup(corpus)
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    freq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+    inv2 AS (SELECT i.doc_id, i.shingle
+             FROM inv i JOIN freq f USING (shingle) WHERE f.df <= 100),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv2 a JOIN inv2 b USING (shingle)
+             WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                   4) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b)
+    WHERE jaccard >= 0.2
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.2 (inverted-index
+    candidates, stop-shingle cap df ≤ 100)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+
+
+def _minhash_sql_cols() -> str:
+    cols = []
+    for i in range(12):
+        a, b = MINHASH_COEFFS[i]
+        cols.append(
+            f"list_min(list_transform(hashes, "
+            f"x -> ({a} * (x % {MERSENNE_P}) + {b}) % {MERSENNE_P})) AS mh{i}"
+        )
+    return ",\n           ".join(cols)
+
+
+def _band_struct_sql() -> str:
+    bands = []
+    for bi in range(4):
+        cols = ", ".join(f"mh{bi * 3 + j}" for j in range(3))
+        bands.append(f"({bi}, md5(concat_ws(',', {cols})))")
+    return ", ".join(bands)
+
+
+@register(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    hashed AS (SELECT doc_id,
+                      list_transform(shingles,
+                                     s -> {portable_hash64_sql('s')}) AS hashes
+               FROM nonempty),
+    sig AS (SELECT doc_id,
+           {_minhash_sql_cols()}
+            FROM hashed),
+    band_rows AS (
+      SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+      FROM sig, unnest([{_band_struct_sql()}]::STRUCT(band INT, bucket VARCHAR)[]) AS t(bb)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM band_rows a JOIN band_rows b
+               ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                   4) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b)
+    WHERE jaccard >= 0.2
+    """,
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands × 3) candidates, exact-Jaccard ≥ 0.2 verify.
+
+    The oracle reproduces the full pipeline — portable shingle hashes,
+    universal-hash minima, band buckets — from the same frozen constants.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    hashed AS (SELECT doc_id,
+                      list_transform(toks, s -> {portable_hash64_sql('s')}) AS hx
+               FROM tok)
+    SELECT doc_id, {simhash32_sql('hx')} AS simhash
+    FROM hashed
+    """,
+)
+def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash (bit-majority of token hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    hashed AS (SELECT doc_id,
+                      list_transform(toks, s -> {portable_hash64_sql('s')}) AS hx
+               FROM tok),
+    fp AS (SELECT doc_id, {simhash32_sql('hx')} AS simhash FROM hashed)
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (hamming ≤ 3) via banded equi-join.
+
+    The engine uses the 4-chunk pigeonhole join (complete for hamming ≤ 3);
+    the oracle brute-forces all pairs — equal results prove the banding
+    loses nothing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+_SW_RATIO_COLS_SQL = ",\n           ".join(
+    f"round({stopword_count_sql('toks', lang)}::DOUBLE / len(toks), 4) AS sw_{lang}"
+    for lang in STOPWORDS
+)
+
+
+@register(
+    "text_stats_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+    SELECT doc_id,
+           length(text)                                         AS n_chars,
+           len(toks)                                            AS n_tokens,
+           len(list_distinct(toks))                             AS n_types,
+           len(regexp_extract_all(text,
+               '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))                 AS n_bpe_tokens,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+           round(CASE WHEN len(toks) = 0 THEN 0
+                 ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 4)
+                                                                AS type_token_ratio,
+           round(least(len(toks) / 100.0, 1.0) * 0.5
+                 + CASE WHEN len(toks) = 0 THEN 0
+                   ELSE ({stopword_count_sql('toks', 'en')}::DOUBLE / len(toks))
+                   END * 0.5, 4)                                AS quality_score
+    FROM tok
+    """,
+)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, type/token ratio, BPE-ish token count, punctuation
+    count, and a composite quality score — all codegen built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t)
+    n_types = F.size(F.array_distinct(t))
+    sw_en = stopword_count(t, "en")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), 0
+            )
+        ).alias("n_bpe_tokens"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).alias("n_punct"),
+        F.round(
+            F.when(n_tokens == 0, 0.0).otherwise(
+                n_types.cast("double") / n_tokens
+            ),
+            4,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
+            + F.when(n_tokens == 0, 0.0).otherwise(
+                sw_en.cast("double") / n_tokens
+            )
+            * 0.5,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+_LANGS = list(STOPWORDS)  # tie order: en, es, de, fr
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+    scored AS (SELECT doc_id, lang,
+           {_SW_RATIO_COLS_SQL}
+               FROM tok WHERE len(toks) > 0)
+    SELECT doc_id,
+           lang AS labeled_lang,
+           CASE
+             WHEN sw_en >= sw_es AND sw_en >= sw_de AND sw_en >= sw_fr THEN 'en'
+             WHEN sw_es >= sw_de AND sw_es >= sw_fr THEN 'es'
+             WHEN sw_de >= sw_fr THEN 'de'
+             ELSE 'fr'
+           END AS detected_lang
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID with a fixed tie order (en>es>de>fr).
+
+    (The fixture text is synthetic, so `detected_lang` doesn't track the
+    `lang` label — the operator contract is the deterministic scoring.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = docs.select("doc_id", F.col("lang").alias("labeled_lang"), t.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    for lang in _LANGS:
+        base = base.withColumn(
+            f"sw_{lang}",
+            F.round(
+                stopword_count(F.col("toks"), lang).cast("double") / F.size("toks"), 4
+            ),
+        )
+    detected = (
+        F.when(
+            (F.col("sw_en") >= F.col("sw_es"))
+            & (F.col("sw_en") >= F.col("sw_de"))
+            & (F.col("sw_en") >= F.col("sw_fr")),
+            "en",
+        )
+        .when((F.col("sw_es") >= F.col("sw_de")) & (F.col("sw_es") >= F.col("sw_fr")), "es")
+        .when(F.col("sw_de") >= F.col("sw_fr"), "de")
+        .otherwise("fr")
+    )
+    return base.select("doc_id", "labeled_lang", detected.alias("detected_lang"))
+
+
+@register(
+    "document_fingerprints",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT t.doc_id,
+           {portable_hash64_sql("array_to_string(list_sort(list_distinct(t.toks)), ' ')")}
+             AS content_fp,
+           coalesce(list_min(list_transform(s.shingles,
+                     x -> {portable_hash64_sql('x')})), -1) AS min_shingle_fp
+    FROM tok t JOIN sh s ON t.doc_id = s.doc_id
+    """,
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (hash of sorted vocabulary)
+    plus a min-shingle rolling fingerprint — both portable-hash built."""
+    from tutorial_apache_beam_spark.operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    content = toks.select(
+        "doc_id",
+        portable_hash64(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("content_fp"),
+    )
+    sh = with_shingles(docs).select(
+        "doc_id",
+        F.coalesce(
+            F.array_min(F.transform("shingles", portable_hash64)), F.lit(-1)
+        ).alias("min_shingle_fp"),
+    )
+    return content.join(sh, "doc_id")
+
+
+@register(
+    "multimodal_decode_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS media_type,
+             text,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+      FROM documents)
+    SELECT doc_id,
+           media_type,
+           octet_length(encode(text))                    AS n_bytes,
+           CAST(64 + h % 512 AS INT)                     AS width,
+           CAST(64 + (h // 512) % 512 AS INT)            AS height,
+           CAST(CASE WHEN media_type = 'image' THEN 0
+                ELSE 1000 + (h // (512 * 512)) % 60000
+                END AS INT)                              AS duration_ms
+    FROM m
+    """,
+)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → typed metadata through the Arrow mapInPandas
+    decode plumbing (deterministic stub codec — see operators.multimodal).
+
+    The oracle recomputes the stub's md5-derived metadata in SQL, so the
+    whole Python/Arrow path is value-checked, not just row-counted.
+    """
+    from tutorial_apache_beam_spark.operators.multimodal import (
+        decode_metadata,
+        media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_metadata(media_table(docs))
+
+
+@register("multimodal_frame_samples")
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video media: a row-expanding mapInPandas stage
+    (rows-only check; frame hashes cover byte-level determinism in pytest)."""
+    from tutorial_apache_beam_spark.operators.multimodal import (
+        media_table,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(media_table(docs))

@@ -59,8 +59,10 @@ def _load_all() -> None:
     from tutorial_apache_beam_spark.queries import (  # noqa: F401
         analytic,
         demo,
+        llm,
         relational,
         scalar,
+        similarity,
         streaming,
     )
 

@@ -34,6 +34,17 @@ def get_spark(
     escape hatch; nanosecond parquet timestamps read as longs so the
     catalog can convert them losslessly).
     """
+    # Python workers (mapInPandas / pandas_udf) un-pickle closures that
+    # reference this package; make sure they can import it no matter where
+    # the driver process was launched from. Must happen before the JVM
+    # starts — workers inherit PYTHONPATH from it.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     cpus = DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
