@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the plans must be the ones we'd want at 100 TB.
+
+Wall-clock at small SF can't distinguish a good plan from a bad one —
+these tests read `.explain("formatted")` output instead:
+- filters reach the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema excludes unused columns),
+- small dimensions broadcast instead of shuffling,
+- aggregations are two-phase (map-side partial before the exchange).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tutorial_apache_beam_spark import registry
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = registry.queries()["q1_pricing_summary"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    # Unused columns must not be read from parquet.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in read_schema, f"{unused} read but never used"
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = registry.queries()["star_join_revenue_by_nation"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # The two fact-side columns actually aggregated must be all that's read
+    # from lineitem beyond the join key.
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li_schema = [l for l in read_schemas if "l_orderkey" in l][0]
+    assert "l_quantity" not in li_schema  # pruned: not used by this query
+
+
+def test_demo2_aggregation_is_two_phase(spark):
+    df = registry.queries()["demo2_tumbling_counts"](spark, SF_DIR)
+    plan = plan_of(df)
+    # Two HashAggregate nodes (partial + final) around one exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    df = registry.queries()["semi_join_customers_with_orders"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    # Orders scan must prune to the join key only.
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    orders_schema = [l for l in read_schemas if "o_custkey" in l][0]
+    assert "o_totalprice" not in orders_schema

@@ -20,11 +20,12 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tutorial_apache_beam_spark.functions.hashing import (
-    minhash_signature,
+    MERSENNE_P,
+    MINHASH_COEFFS,
     portable_hash64,
     simhash32,
 )
@@ -53,17 +54,102 @@ def with_shingles(
     )
 
 
-def _verified_pairs(
-    candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Join candidate (a, b) id pairs back to shingle sets and keep pairs
-    with exact Jaccard ≥ threshold. Output: (id_a, id_b, jaccard)."""
-    sa = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    """(id, distinct 60-bit shingle hashes) per document.
+
+    All downstream near-dup machinery — inverted index, LSH, Jaccard
+    verify — runs on the hashes, never the strings: an 8-byte long per
+    shingle instead of a ~20-byte string makes the cached index and every
+    shuffle several times smaller. 60-bit hashes make collisions
+    negligible, and the DuckDB oracle hashes identically, so
+    Jaccard-on-hashes matches exactly.
+
+    Implementation is deliberately row-wise, not array-HOF: tokens are
+    posexploded to rows, the n-gram string is assembled with window
+    `lead`s and hashed per row, then collected per doc. Every step is
+    whole-stage-codegen'd; the equivalent `transform/slice/array_join`
+    higher-order expressions run interpreted and measured ~30 µs per
+    shingle — 10-30x slower. The window and the groupBy share the same
+    hash partitioning on the id, so Catalyst plans ONE shuffle of the
+    token rows, which also distributes work evenly across a cluster
+    regardless of document-length skew.
+
+    Documents with fewer than n tokens yield no rows (no shingles).
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
-    sb = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    shingle_rows = (
+        toks.select(
+            F.col(id_col),
+            *[lead.alias(f"t{i}") for i, lead in enumerate(leads)],
+        )
+        # concat_ws skips NULLs, so tail positions must be dropped explicitly.
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            portable_hash64(
+                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
+            ).alias("h"),
+        )
     )
+    return shingle_rows.groupBy(id_col).agg(F.collect_set("h").alias("hashes"))
+
+
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, h) — one row per distinct shingle hash per document (the
+    row-wise form behind `with_hashed_shingles`; see its docstring for why
+    rows beat array HOFs)."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            F.col(id_col),
+            *[lead.alias(f"t{i}") for i, lead in enumerate(leads)],
+        )
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            portable_hash64(
+                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
+            ).alias("h"),
+        )
+        .distinct()
+    )
+
+
+def _verified_pairs(
+    candidates: DataFrame, shingle_rows: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Join candidate (a, b) id pairs back to hashed shingle sets and keep
+    pairs with exact Jaccard ≥ threshold. Output: (id_a, id_b, jaccard).
+
+    The shingle sets are assembled (collect_set) only for documents that
+    occur in a candidate pair — at scale the candidate set is a vanishing
+    fraction of the corpus, so the verify stage's memory footprint follows
+    the candidates, not the corpus.
+    """
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        shingle_rows.join(F.broadcast(ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("hashes"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("hashes").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("sh_b"))
     return (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
@@ -89,28 +175,34 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 100,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, candidates from an
-    inverted shingle index (docs sharing ≥1 non-hot shingle)."""
-    shingled = with_shingles(df, text_col, id_col, n)
-    inv = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    )
+    inverted shingle index (docs sharing ≥1 non-hot shingle).
+
+    The shingle rows are persisted: the hot-shingle count, the candidate
+    self-join, and the verify set assembly all re-read them — without
+    materialization Spark re-executes the tokenize+shingle+hash scan per
+    use, which at 100 TB multiplies the most expensive stage.
+    """
+    inv = _shingle_rows(df, text_col, id_col, n).persist()
     # Drop stop-shingles: a shingle in f docs contributes O(f^2) pairs.
     hot = (
-        inv.groupBy("shingle")
+        inv.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_doc_freq)
-        .select("shingle")
+        .select("h")
     )
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a = inv.select(F.col("shingle"), F.col(id_col).alias("id_a"))
-    b = inv.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    pruned = inv.join(F.broadcast(hot), "h", "left_anti")
+    a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
     candidates = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # Persisted: read three times by the verify stage (candidate-id
+        # broadcast plus both sides of the set join).
+        .persist()
     )
-    return _verified_pairs(candidates, shingled, id_col, threshold)
+    return _verified_pairs(candidates, inv, id_col, threshold)
 
 
 def minhash_lsh_pairs(
@@ -131,14 +223,19 @@ def minhash_lsh_pairs(
     versus n² for naive pairing; the verify join touches only candidates.
     """
     r = k // bands
-    shingled = with_shingles(df, text_col, id_col, n).filter(
-        F.size("shingles") > 0
+    # Materialize the shingle-hash rows once: the signature aggregation,
+    # the band self-join, and the verify set assembly all re-read them.
+    rows = _shingle_rows(df, text_col, id_col, n).persist()
+    # Signature as k plain min-aggregates over the rows — codegen'd hash
+    # aggregation with map-side partial minima (the array-HOF form runs
+    # interpreted and pays the md5 scan per permutation).
+    hmod = F.col("h") % MERSENNE_P
+    sig = rows.groupBy(id_col).agg(
+        *[
+            F.min((a * hmod + b) % MERSENNE_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+        ]
     )
-    hashed = shingled.select(
-        F.col(id_col),
-        F.transform("shingles", portable_hash64).alias("hashes"),
-    )
-    sig = hashed.select(F.col(id_col), *minhash_signature(F.col("hashes"), k))
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -164,8 +261,9 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
-    return _verified_pairs(candidates, shingled, id_col, threshold)
+    return _verified_pairs(candidates, rows, id_col, threshold)
 
 
 def simhash_fingerprints(
@@ -192,7 +290,9 @@ def simhash_near_pairs(
     least one of 4 byte-chunks, so an equi-join per chunk finds every such
     pair without a cross join. Output: (id_a, id_b, hamming).
     """
-    fp = simhash_fingerprints(df, text_col, id_col)
+    # Materialize fingerprints before the chunk self-join (else the
+    # 32-bit-vote expression tree executes once per join side).
+    fp = simhash_fingerprints(df, text_col, id_col).persist()
     chunks = fp.select(
         F.col(id_col),
         F.col("simhash"),

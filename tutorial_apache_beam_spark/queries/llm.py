@@ -36,13 +36,19 @@ from tutorial_apache_beam_spark.operators.dedup import (
 )
 from tutorial_apache_beam_spark.registry import register
 
-# Shared oracle CTEs: tokenized + shingled documents (3-word shingles).
+# Shared oracle CTEs: tokenized + shingled + hashed documents (3-word
+# shingles; 60-bit portable hashes — the engine runs its near-dup machinery
+# on the hashes, so the oracle does too).
 _TOK = tokens_sql("text")
 _SHINGLES_CTE = f"""
     tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
     sh AS (SELECT doc_id,
                   list_distinct({word_shingles_sql('toks', 3)}) AS shingles
-           FROM tok)
+           FROM tok),
+    hsh AS (SELECT doc_id,
+                   list_transform(shingles,
+                                  s -> {portable_hash64_sql('s')}) AS hashes
+            FROM sh)
 """
 
 
@@ -76,21 +82,21 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_near_dups",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-    freq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
-    inv2 AS (SELECT i.doc_id, i.shingle
-             FROM inv i JOIN freq f USING (shingle) WHERE f.df <= 100),
+    inv AS (SELECT doc_id, unnest(hashes) AS h FROM hsh),
+    freq AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+    inv2 AS (SELECT i.doc_id, i.h
+             FROM inv i JOIN freq f USING (h) WHERE f.df <= 100),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM inv2 a JOIN inv2 b USING (shingle)
+             FROM inv2 a JOIN inv2 b USING (h)
              WHERE a.doc_id < b.doc_id)
     SELECT id_a, id_b, jaccard FROM (
       SELECT id_a, id_b,
-             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             round(len(list_intersect(sa.hashes, sb.hashes))::DOUBLE
+                   / len(list_distinct(list_concat(sa.hashes, sb.hashes))),
                    4) AS jaccard
       FROM cand
-      JOIN sh sa ON sa.doc_id = cand.id_a
-      JOIN sh sb ON sb.doc_id = cand.id_b)
+      JOIN hsh sa ON sa.doc_id = cand.id_a
+      JOIN hsh sb ON sb.doc_id = cand.id_b)
     WHERE jaccard >= 0.2
     """,
 )
@@ -124,11 +130,7 @@ def _band_struct_sql() -> str:
     "minhash_lsh_near_dups",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    nonempty AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-    hashed AS (SELECT doc_id,
-                      list_transform(shingles,
-                                     s -> {portable_hash64_sql('s')}) AS hashes
-               FROM nonempty),
+    hashed AS (SELECT doc_id, hashes FROM hsh WHERE len(hashes) > 0),
     sig AS (SELECT doc_id,
            {_minhash_sql_cols()}
             FROM hashed),
@@ -141,12 +143,12 @@ def _band_struct_sql() -> str:
              WHERE a.doc_id < b.doc_id)
     SELECT id_a, id_b, jaccard FROM (
       SELECT id_a, id_b,
-             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+             round(len(list_intersect(sa.hashes, sb.hashes))::DOUBLE
+                   / len(list_distinct(list_concat(sa.hashes, sb.hashes))),
                    4) AS jaccard
       FROM cand
-      JOIN sh sa ON sa.doc_id = cand.id_a
-      JOIN sh sb ON sb.doc_id = cand.id_b)
+      JOIN hsh sa ON sa.doc_id = cand.id_a
+      JOIN hsh sb ON sb.doc_id = cand.id_b)
     WHERE jaccard >= 0.2
     """,
 )
