@@ -84,3 +84,65 @@ def test_sum_mean_per_key_windowed(spark):
         .collect()[0]["m"]
     )
     assert j < 1e-9
+
+
+def test_flatmap_groupbykey_combine(spark):
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        CombinePerKey,
+        FlatMap,
+        GroupByKey,
+    )
+
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    # FlatMap: one row per character class of the event_type string.
+    tokens = p.create(events).apply(
+        "Tokens",
+        FlatMap(
+            lambda df: F.split(F.col("event_type"), ""),
+            alias="ch",
+            keep=["event_id", "event_type"],
+        ),
+    )
+    n_chars = tokens.df.count()
+    total_len = events.select(F.sum(F.length("event_type"))).collect()[0][0]
+    assert n_chars == total_len
+
+    gbk = p.create(events).apply(
+        "GBK", GroupByKey("event_id", "event_type", sort_values=True)
+    )
+    rows = {r.event_type: r["values"] for r in gbk.df.collect()}
+    assert all(list(v) == sorted(v) for v in rows.values())
+
+    cpk = p.create(events).apply("Sum", CombinePerKey("value", "sum", "event_type"))
+    expected = {
+        r.event_type: r.s
+        for r in events.groupBy("event_type").agg(F.sum("value").alias("s")).collect()
+    }
+    got = {r.event_type: r["sum"] for r in cpk.df.collect()}
+    assert set(got) == set(expected)
+    assert all(abs(got[k] - expected[k]) < 1e-9 for k in got)
+
+
+def test_withkeys_keys_values_partition(spark):
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Keys,
+        Partition,
+        Values,
+        WithKeys,
+    )
+
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    keyed = p.create(events).apply(
+        "Key", WithKeys(F.col("user_id") % 2, key_name="parity")
+    )
+    assert "parity" in keyed.df.columns
+    keys = keyed.apply("Keys", Keys("parity"))
+    assert set(keys.df.columns) == {"parity"}
+    vals = keyed.apply("Values", Values("parity"))
+    assert "parity" not in vals.df.columns
+
+    parts = Partition(3, F.col("user_id")).split(p.create(events))
+    assert len(parts) == 3
+    assert sum(pc.df.count() for pc in parts) == 100

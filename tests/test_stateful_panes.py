@@ -1,0 +1,82 @@
+"""Beam discarding-panes parity: deltas per firing, panes sum to totals."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.streaming.stateful import discarding_pane_counts
+
+BASE_EPOCH = 1704067230  # 2024-01-01 00:00:30 UTC
+RAW_SCHEMA = "event_time BIGINT, user_id BIGINT"
+
+
+def _write(src_dir, name, rows):
+    (src_dir / name).write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+
+
+def _run(spark, src, ckpt, sink):
+    """availableNow run into a parquet sink (memory sinks can't recover
+    from a checkpoint across restarts); returns the full sink contents."""
+    stream = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .json(str(src))
+        .select(F.timestamp_seconds("event_time").alias("ts"), "user_id")
+    )
+    out = discarding_pane_counts(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(sink))
+
+
+def test_discarding_panes_emit_deltas_and_sum_to_total(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    sink = tmp_path / "sink"
+
+    # Firing 1: 3 events for user 7 in window [00:00, 00:01).
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH + i, "user_id": 7} for i in range(3)
+    ])
+    rows1 = [r.asDict() for r in _run(spark, src, ckpt, sink).collect()]
+    assert len(rows1) == 1
+    assert rows1[0]["pane_count"] == 3 and rows1[0]["pane_index"] == 0
+
+    # Firing 2: 2 MORE events in the same window (late but window still
+    # open) → a second pane with only the delta, pane_index 1.
+    _write(src, "b1.json", [
+        {"event_time": BASE_EPOCH + 10 + i, "user_id": 7} for i in range(2)
+    ])
+    all_rows = [r.asDict() for r in _run(spark, src, ckpt, sink).collect()]
+    rows2 = [r for r in all_rows if r["pane_index"] == 1]
+    assert len(all_rows) == 2 and len(rows2) == 1
+    assert rows2[0]["pane_count"] == 2
+
+    # Beam invariant: discarding panes sum to the accumulating total.
+    assert sum(r["pane_count"] for r in all_rows) == 5
+
+
+def test_single_run_panes_equal_totals(spark, tmp_path):
+    """With all data in one firing, pane counts == accumulated counts."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH + u * 3 + i, "user_id": 100 + u}
+        for u in range(3)
+        for i in range(u + 1)
+    ])
+    out = _run(spark, src, tmp_path / "ckpt", tmp_path / "sink")
+    got = {r.user_id: (r.pane_count, r.pane_index) for r in out.collect()}
+    assert got == {100: (1, 0), 101: (2, 0), 102: (3, 0)}

@@ -7,39 +7,53 @@ DataFrame plans — Catalyst does all optimization.
 """
 
 from tutorial_apache_beam_spark.plans.pipeline import (
+    CombinePerKey,
     Count,
     Create,
     Distinct,
     Filter,
     FixedWindows,
+    FlatMap,
     Flatten,
+    GroupByKey,
+    Keys,
     MapElements,
     Mean,
     ParDo,
+    Partition,
     PCollection,
     Pipeline,
     Sessions,
     SlidingWindows,
     Sum,
+    Values,
     WindowInto,
+    WithKeys,
     WithTimestamps,
 )
 
 __all__ = [
+    "CombinePerKey",
     "Count",
     "Create",
     "Distinct",
     "Filter",
     "FixedWindows",
+    "FlatMap",
     "Flatten",
+    "GroupByKey",
+    "Keys",
     "MapElements",
     "Mean",
     "ParDo",
+    "Partition",
     "PCollection",
     "Pipeline",
     "Sessions",
     "SlidingWindows",
     "Sum",
+    "Values",
     "WindowInto",
+    "WithKeys",
     "WithTimestamps",
 ]

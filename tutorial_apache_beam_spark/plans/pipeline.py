@@ -18,9 +18,10 @@ Semantics mapping (SURVEY §2.3):
 - Triggers/panes (W3/W5) map to output modes at the sink: "append" =
   emit once when the watermark passes the window (AfterWatermark);
   "update" = re-emit changed accumulated counts per micro-batch
-  (≈ late firings, accumulating panes). Per-pane *deltas*
-  (discardingFiredPanes) are intentionally not reproduced — the sink rows
-  are accumulated values, the faithful analytics equivalent (SURVEY W5).
+  (≈ late firings, accumulating panes). Bit-exact per-pane *deltas*
+  (discardingFiredPanes) are the one behavior output modes can't express;
+  they live in `streaming.stateful.discarding_pane_counts`
+  (applyInPandasWithState, SURVEY W5/§4.2).
 """
 
 from __future__ import annotations
@@ -465,3 +466,149 @@ class WriteMemory(PTransform):
         query = writer.start()
         pcoll.pipeline._streaming_queries.append(query)
         return pcoll
+
+
+class FlatMap(PTransform):
+    """Element-wise 0..n output transform (Beam FlatMap).
+
+    `fn` builds an array Column from the input row; the array is exploded
+    into output rows (codegen'd — the imperative escape hatch is ParDo).
+    `outer=True` keeps rows whose array is empty/null as a single null row
+    (Beam's FlatMap has no such mode; it mirrors explode_outer).
+    """
+
+    def __init__(self, fn: Callable[[DataFrame], Column], alias: str = "value",
+                 keep: list[str] | None = None, outer: bool = False):
+        self.fn = fn
+        self.alias = alias
+        self.keep = keep
+        self.outer = outer
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        arr = self.fn(pcoll.df)
+        exploder = F.explode_outer if self.outer else F.explode
+        keep = self.keep if self.keep is not None else pcoll.df.columns
+        out = pcoll.df.select(*keep, exploder(arr).alias(self.alias))
+        return pcoll._with(out)
+
+
+class WithKeys(PTransform):
+    """Attach a key column (Beam WithKeys): KV<key, row>."""
+
+    def __init__(self, key_expr: Column, key_name: str = "key"):
+        self.key_expr = key_expr
+        self.key_name = key_name
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(pcoll.df.withColumn(self.key_name, self.key_expr))
+
+
+class Keys(PTransform):
+    """Project to the key columns only (Beam Keys)."""
+
+    def __init__(self, *key_cols: str):
+        self.key_cols = list(key_cols)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(pcoll.df.select(*self.key_cols))
+
+
+class Values(PTransform):
+    """Drop the key columns (Beam Values)."""
+
+    def __init__(self, *key_cols: str):
+        self.key_cols = list(key_cols)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        keep = [c for c in pcoll.df.columns if c not in self.key_cols]
+        return pcoll._with(pcoll.df.select(*keep))
+
+
+class GroupByKey(PTransform):
+    """Beam GroupByKey: KV<K, V> → KV<K, Iterable<V>>.
+
+    Materializes per-key value lists via collect_list — the literal Beam
+    semantic. At scale prefer CombinePerKey (partial aggregation before the
+    shuffle); GroupByKey ships every value to the reducer, exactly like
+    Beam's GBK. Windowing context applies as in Count.perKey.
+    """
+
+    def __init__(self, value_col: str, *key_cols: str, sort_values: bool = False):
+        self.value_col = value_col
+        self.key_cols = list(key_cols)
+        self.sort_values = sort_values
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        agg = F.collect_list(self.value_col)
+        if self.sort_values:
+            agg = F.array_sort(agg)
+        spec = pcoll.spec
+        if spec.window_fn is not None:
+            bucket = spec.window_fn.bucket(F.col(spec.ts_col))
+            out = pcoll.df.groupBy(bucket, *self.key_cols).agg(
+                agg.alias("values")
+            )
+            struct_col = (
+                "session_window" if isinstance(spec.window_fn, Sessions) else "window"
+            )
+            out = out.select(
+                F.col(f"{struct_col}.start").alias("window_start"),
+                F.col(f"{struct_col}.end").alias("window_end"),
+                *self.key_cols,
+                "values",
+            )
+        else:
+            out = pcoll.df.groupBy(*self.key_cols).agg(agg.alias("values"))
+        return pcoll._with(out)
+
+
+class CombinePerKey(_PerKeyAgg):
+    """Beam Combine.perKey with an associative built-in combiner.
+
+    Unlike GroupByKey, the combine runs map-side first (partial
+    aggregation) so the shuffle carries one accumulator per key per
+    partition — the scalable default for key-wise reduction.
+    """
+
+    _COMBINERS = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "mean": F.avg,
+        "count": lambda c: F.count(F.lit(1)),
+    }
+
+    def __init__(self, value_col: str, combiner: str, *key_cols: str):
+        super().__init__(list(key_cols))
+        if combiner not in self._COMBINERS:
+            raise ValueError(
+                f"unknown combiner {combiner!r}; use one of {sorted(self._COMBINERS)}"
+            )
+        self.value_col = value_col
+        self.combiner = combiner
+
+    def agg_exprs(self) -> list[Column]:
+        return [self._COMBINERS[self.combiner](self.value_col).alias(self.combiner)]
+
+
+class Partition(PTransform):
+    """Beam Partition: split one PCollection into n by a partition fn.
+
+    Returns no single output — call `.split(pcoll)` to get the list of
+    PCollections. Each branch is a filter over the same parent plan
+    (evaluated per branch; persist the parent first if it is expensive).
+    """
+
+    def __init__(self, n: int, partition_expr: Column):
+        self.n = n
+        self.partition_expr = partition_expr
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        raise TypeError("Partition produces multiple outputs; use .split(pcoll)")
+
+    def split(self, pcoll: PCollection) -> list[PCollection]:
+        tagged = pcoll.df.withColumn("_part", self.partition_expr % self.n)
+        return [
+            pcoll._with(tagged.filter(F.col("_part") == i).drop("_part"))
+            for i in range(self.n)
+        ]

@@ -345,3 +345,99 @@ def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_revenue", 2).alias("revenue"),
         F.round(F.col("_revenue") / F.sum("_revenue").over(w), 4).alias("share"),
     )
+
+
+@register(
+    "stats_aggregates_per_type",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4)               AS sd_samp,
+           round(stddev_pop(value), 4)                AS sd_pop,
+           round(var_samp(value), 4)                  AS var_samp,
+           round(var_pop(value), 4)                   AS var_pop,
+           round(corr(value, user_id), 4)             AS corr_vu,
+           round(covar_samp(value, user_id), 4)       AS covar_s,
+           round(covar_pop(value, user_id), 4)        AS covar_p,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4)  AS p50,
+           round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95,
+           round(CAST(median(value) AS DOUBLE), 4)    AS med,
+           round(min(value), 4)                       AS vmin,
+           round(max(value), 4)                       AS vmax
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stats_aggregates_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance (sample+population),
+    correlation, covariance, exact percentiles, median."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+        F.round(F.var_samp("value"), 4).alias("var_samp"),
+        F.round(F.var_pop("value"), 4).alias("var_pop"),
+        F.round(F.corr("value", "user_id"), 4).alias("corr_vu"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_s"),
+        F.round(F.covar_pop("value", "user_id"), 4).alias("covar_p"),
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        F.round(F.median("value"), 4).alias("med"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+@register(
+    "collection_functions_per_user",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type))               AS types_seen,
+           len(list_distinct(list(event_type)))               AS n_types,
+           list_contains(list(event_type), 'purchase')        AS has_purchase,
+           arg_min(event_id, ts)                              AS first_event_id,
+           arg_max(event_id, ts)                              AS last_event_id,
+           round(list_aggregate(list(value), 'sum'), 2)       AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def collection_functions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate surface: collect_set/sort, membership,
+    min_by/max_by (argmin/argmax on event time), list aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.array_contains(F.collect_list("event_type"), "purchase").alias(
+            "has_purchase"
+        ),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "map_functions_on_props",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                                   AS prop_keys,
+           CAST(json_extract(props, '$.k') AS INT)            AS k_value,
+           CAST(json_extract(props, '$.k') AS INT) IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def map_functions_on_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → MapType surface: parse props into a map, inspect keys and
+    values (the schema-on-read escape hatch for ragged JSON)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        F.from_json("props", "MAP<STRING, INT>").alias("m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.map_keys("m").alias("prop_keys"),
+        F.col("m")["k"].alias("k_value"),
+        F.col("m")["k"].isNotNull().alias("has_k"),
+    )

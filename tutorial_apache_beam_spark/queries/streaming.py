@@ -96,3 +96,138 @@ def streaming_demo1_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_click_messages(wire)
     return run_stream_to_memory(parsed, spark, output_mode="append")
+
+
+@register(
+    "streaming_discarding_panes",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           user_id,
+           count(*)                             AS pane_count,
+           CAST(0 AS INT)                       AS pane_index
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam discardingFiredPanes (Demo2.java:157) as a custom
+    applyInPandasWithState operator (SURVEY W5 — the one semantic Spark's
+    output modes don't express).
+
+    A single availableNow drain fires every (window, key) exactly once, so
+    pane deltas equal totals and pane_index is 0 — which the SQL oracle
+    states directly. Multi-firing delta behavior is covered by
+    tests/test_stateful_panes.py.
+    """
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_counts,
+    )
+
+    sdf = stream_events(spark, sf_dir)
+    out = discarding_pane_counts(
+        sdf, ts_col="ts", key_col="user_id", window_duration="1 minute"
+    )
+    return run_stream_to_memory(out, spark, output_mode="append")
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           round(e.value, 2) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension enrichment (stateless, broadcast at scale:
+    the static side re-reads per micro-batch, no state store involved)."""
+    from tutorial_apache_beam_spark.catalog import load_table
+
+    sdf = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("value", 2).alias("value"),
+    )
+    return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           date_diff('second', c.ts, p.ts) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: purchases ⋈ clicks by the
+    same user within the preceding 10 minutes.
+
+    Both sides carry watermarks; the time-bound condition lets Spark evict
+    join state once the watermark passes each event's reachable window —
+    bounded state on unbounded streams. An availableNow drain of the inner
+    join yields exactly the batch result (the oracle).
+    """
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
+    )
+    return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the source is read twice and unioned (every
+    event duplicated), then `dropDuplicatesWithinWatermark` on the event id
+    restores exactly-once rows. State for an id is dropped once the
+    watermark passes it — bounded memory on unbounded streams, the scale
+    path for ingest-time dedup."""
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", "1 minute")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_stream_to_memory(deduped, spark, output_mode="append")

@@ -60,6 +60,7 @@ def _load_all() -> None:
         analytic,
         demo,
         llm,
+        pandas_udfs,
         relational,
         scalar,
         similarity,
