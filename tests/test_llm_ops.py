@@ -72,3 +72,19 @@ def test_frame_sampling_expands_video_rows_only(spark):
     )
     bad = per_doc.join(expected, "doc_id").filter(F.col("n") != F.col("n_exp"))
     assert bad.count() == 0
+
+
+def test_ivf_ann_scores_match_exact(spark):
+    from tutorial_apache_beam_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, probes, k=5).withColumnRenamed("cos", "cos_exact")
+    ann = ivf_ann_topk(emb, probes, k=5, nprobe=2)
+    assert ann.count() > 0
+    joined = ann.join(exact, ["probe_id", "vec_id"], "inner")
+    bad = joined.filter(F.abs(F.col("cos") - F.col("cos_exact")) >= 1e-9).count()
+    assert bad == 0
+    # every probe returns k candidates (buckets are non-empty at nprobe=2)
+    per_probe = ann.groupBy("probe_id").count().collect()
+    assert all(r["count"] == 5 for r in per_probe)

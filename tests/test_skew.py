@@ -1,0 +1,49 @@
+"""Salted aggregation equals direct aggregation (including on a corpus
+with one artificially hot key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_matches_direct(spark):
+    events = load_table(spark, SF_DIR, "events")
+    # Manufacture skew: map 80% of rows onto user 0.
+    skewed = events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 != 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    salted = salted_agg(
+        skewed,
+        ["user_id"],
+        salt_source=F.col("event_id"),
+        aggs={
+            "total": ("value", "sum"),
+            "n": ("value", "count"),
+            "vmin": ("value", "min"),
+            "vmax": ("value", "max"),
+        },
+        salt_buckets=8,
+    )
+    direct = skewed.groupBy("user_id").agg(
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    s = {r.user_id: (round(r.total, 6), r.n, r.vmin, r.vmax) for r in salted.collect()}
+    d = {r.user_id: (round(r.total, 6), r.n, r.vmin, r.vmax) for r in direct.collect()}
+    assert s == d
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The partial stage must actually fan the hot key across salt buckets."""
+    events = load_table(spark, SF_DIR, "events")
+    skewed = events.withColumn("user_id", F.lit(0))  # everything on one key
+    salted = skewed.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
+    n_buckets = salted.select("user_id", "_salt").distinct().count()
+    assert n_buckets == 8

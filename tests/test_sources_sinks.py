@@ -1,0 +1,101 @@
+"""Source/sink surface: CSV and JSON batch readers (schema-first), the
+partitioned parquet append sink with partition pruning, and the
+foreachBatch idempotent-append pattern (SURVEY K1/K2)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tutorial_apache_beam_spark.catalog import load_table
+
+
+def _events(spark, n=200):
+    return load_table(spark, SF_DIR, "events").limit(n)
+
+
+def test_csv_roundtrip_schema_first(spark, tmp_path):
+    ev = _events(spark).select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "csv")
+    ev.write.option("header", True).csv(path)
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).option("header", True).csv(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_json_roundtrip_schema_first(spark, tmp_path):
+    ev = _events(spark).select("event_id", "event_type", "props")
+    path = str(tmp_path / "json")
+    ev.write.json(path)
+    back = spark.read.schema("event_id BIGINT, event_type STRING, props STRING").json(
+        path
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Day-partitioned append table (the reference's BigQuery
+    time_partitioning analog, K2): a date-filtered read must scan only the
+    matching partition directories."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    path = str(tmp_path / "by_day")
+    ev.write.partitionBy("dt").parquet(path)
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("dt") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    # Partition pruning shows up as a partition filter on dt, and the row
+    # count must match the unpartitioned filter.
+    assert "PartitionFilters" in plan and "dt" in plan
+    expected = ev.filter(F.col("dt") == "2024-01-05").count()
+    assert one_day.count() == expected
+
+
+def test_foreachbatch_idempotent_append(spark, tmp_path):
+    """foreachBatch + overwrite-by-batch-id directory = an idempotent sink:
+    re-processing a batch replaces rather than duplicates (the engine's
+    answer to the reference's per-insert retry policy, K1)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"v": i}) for i in range(10)) + "\n"
+    )
+
+    def write_batch(batch_df, batch_id):
+        # Partition the sink by batch id and overwrite that partition:
+        # replaying batch N is a no-op-equivalent, not a duplication.
+        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch={batch_id}")
+
+    def run():
+        q = (
+            spark.readStream.schema("v BIGINT")
+            .json(str(src))
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = spark.read.parquet(f"{out}/batch=0").count()
+    # Simulate a redelivery: re-write batch 0 (as a retried task would)
+    # and confirm the overwrite keeps it exact, not duplicated.
+    # (Materialized first — overwriting a path being read is invalid.)
+    rows = spark.read.parquet(f"{out}/batch=0").drop("_batch").collect()
+    replay = spark.createDataFrame(rows, "v BIGINT")
+    write_batch(replay, 0)
+    assert spark.read.parquet(f"{out}/batch=0").count() == first == 10

@@ -183,3 +183,89 @@ def srp_ann_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _nearest_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_nearest: int = 1,
+) -> DataFrame:
+    """Assign each vector its `n_nearest` closest centroids (by cosine).
+
+    One broadcast nested-loop over the tiny centroid set + a per-vector
+    top-n — no shuffle of the vector corpus beyond the final window.
+    Output: (id, centroid_id) rows.
+    """
+    c = centroids.select(
+        F.col("centroid_id"), F.col("cv").alias("_centroid_vec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        cosine(as_double(F.col(vec_col)), as_double(F.col("_centroid_vec"))).alias(
+            "_sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_nearest)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    every_nth_centroid: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    centroid buckets (inverted file), search only the probe's `nprobe`
+    nearest buckets.
+
+    Centroids here are a deterministic sample (every Nth vector) — in
+    production swap in k-means centroids; the plan shape is identical.
+    Scale properties: corpus vectors join centroids by broadcast (no
+    corpus shuffle), bucket assignment is one narrow column, and the
+    probe-bucket candidate join is an equi-join on centroid_id whose
+    volume is |corpus|·nprobe/n_centroids per probe on average — the
+    IVF pruning factor.
+    """
+    centroids = corpus.filter(F.col(id_col) % every_nth_centroid == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    corpus_buckets = _nearest_centroids(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col, n_nearest=1
+    )
+    indexed = corpus.select(id_col, vec_col).join(corpus_buckets, id_col)
+    probe_buckets = _nearest_centroids(
+        probes.select(id_col, vec_col), centroids, id_col, vec_col, n_nearest=nprobe
+    ).select(F.col(id_col).alias("probe_id"), "centroid_id")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    ).join(probe_buckets, "probe_id")
+    scored = (
+        indexed.join(F.broadcast(p), "centroid_id")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, F.col(vec_col), F.col("pv"))
+        .distinct()  # a pair may appear via several probed buckets
+        .select(
+            "probe_id",
+            id_col,
+            F.round(cosine(as_double(F.col("pv")), as_double(F.col(vec_col))), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

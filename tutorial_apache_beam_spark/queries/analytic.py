@@ -441,3 +441,33 @@ def map_functions_on_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m")["k"].alias("k_value"),
         F.col("m")["k"].isNotNull().alias("has_k"),
     )
+
+
+@register(
+    "salted_skew_aggregation",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS total,
+           count(*)             AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators.skew.salted_agg): identical
+    result to the direct groupBy, but a hot key's rows spread across 16
+    salt buckets in the partial stage — the explicit skew remedy for
+    aggregations at 100 TB."""
+    from tutorial_apache_beam_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["user_id"],
+        salt_source=F.col("event_id"),
+        aggs={"total_raw": ("value", "sum"), "n": ("value", "count")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id", F.round("total_raw", 2).alias("total"), "n"
+    )

@@ -404,3 +404,92 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(media_table(docs))
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, text, {_TOK} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             round(least(len(toks) / 100.0, 1.0) * 0.5
+                   + ({stopword_count_sql('toks', 'en')}::DOUBLE / len(toks)) * 0.5,
+                   4) AS quality_score
+      FROM tok
+      WHERE lang = 'en' AND len(toks) >= 20),
+    kept AS (
+      SELECT min(doc_id) AS doc_id, text FROM scored
+      WHERE quality_score >= 0.3
+      GROUP BY text),
+    ktok AS (SELECT k.doc_id, {tokens_sql('k.text')} AS toks FROM kept k),
+    ksh AS (SELECT doc_id,
+                   list_distinct({word_shingles_sql('toks', 3)}) AS shingles
+            FROM ktok),
+    khsh AS (SELECT doc_id,
+                    list_transform(shingles, s -> {portable_hash64_sql('s')}) AS hashes
+             FROM ksh),
+    inv AS (SELECT doc_id, unnest(hashes) AS h FROM khsh),
+    freq AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+    inv2 AS (SELECT i.doc_id, i.h FROM inv i JOIN freq f USING (h)
+             WHERE f.df <= 100),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv2 a JOIN inv2 b USING (h) WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.hashes, sb.hashes))::DOUBLE
+                 / len(list_distinct(list_concat(sa.hashes, sb.hashes))) AS j
+        FROM cand
+        JOIN khsh sa ON sa.doc_id = cand.id_a
+        JOIN khsh sb ON sb.doc_id = cand.id_b)
+      WHERE round(j, 4) >= 0.2),
+    dupes AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT s.doc_id, s.n_tokens, s.quality_score
+    FROM scored s
+    JOIN kept k ON s.doc_id = k.doc_id
+    WHERE s.doc_id NOT IN (SELECT id_b FROM dupes)
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-data curation pipeline in one plan:
+
+      language filter → length gate → quality score → exact dedup →
+      near-dup removal (inverted-index Jaccard, keep-lowest-id) →
+      curated (doc_id, n_tokens, quality_score).
+
+    Every stage is the corresponding engine operator; the oracle replays
+    the whole chain in SQL. At 100 TB this is one lazy plan: a single
+    text scan feeds scoring and shingling, dedup joins are equi-joins on
+    hashes, and only the pruned survivor set reaches the sink.
+    """
+    from tutorial_apache_beam_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t)
+    sw_en = stopword_count(t, "en")
+    scored = (
+        docs.filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "text",
+            n_tokens.alias("n_tokens"),
+            F.round(
+                F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
+                + (sw_en.cast("double") / n_tokens) * 0.5,
+                4,
+            ).alias("quality_score"),
+        )
+        .filter(F.col("n_tokens") >= 20)
+    )
+    quality_gated = scored.filter(F.col("quality_score") >= 0.3)
+    kept = exact_dedup(quality_gated.select("doc_id", "text"))
+    pairs = ngram_jaccard_pairs(kept, threshold=0.2, max_doc_freq=100)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = kept.join(dupes, "doc_id", "left_anti").select("doc_id")
+    return survivors.join(scored, "doc_id").select(
+        "doc_id", "n_tokens", "quality_score"
+    )

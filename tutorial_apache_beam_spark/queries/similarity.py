@@ -76,3 +76,17 @@ def srp_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     return srp_ann_topk(emb, probes, k=5)
+
+
+@register("ivf_ann_topk")
+def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (coarse quantization + nprobe=2).
+
+    Rows-only in the gate (approximate recall); pytest checks score
+    consistency with the exact computation and non-trivial recall.
+    """
+    from tutorial_apache_beam_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_ann_topk(emb, probes, k=5, nprobe=2)

@@ -1,0 +1,81 @@
+"""Batch + streaming source readers (SURVEY S1-S3).
+
+The reference's one source is a Pub/Sub Lite subscription
+(`PubsubLiteIO.read`, Demo1.java:75-83). Pub/Sub Lite speaks the Kafka
+wire protocol, so the production-parity source here is `stream_kafka`;
+self-contained environments use the watched-directory and rate sources,
+and every downstream stage is identical because all sources normalize to
+the same (value STRING [, timestamp]) shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar batch scan — vectorized, pushdown + pruning via Catalyst."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """Schema-first CSV (never inferSchema in production — it's a full
+    extra pass over the data)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-first JSON-lines; malformed rows become nulls in the
+    projected columns (drop with a filter — reference Demo1 semantics)."""
+    return spark.read.schema(schema).json(path)
+
+
+def stream_directory_text(spark: SparkSession, path: str) -> DataFrame:
+    """Unbounded raw-message source: one payload line per row (`value`
+    STRING), from files appearing in a watched directory."""
+    return spark.readStream.text(path)
+
+
+def stream_directory_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Unbounded typed JSON source from a watched directory."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Synthetic unbounded source (timestamp, value) — the engine's analog
+    of the reference's message_publisher harness for load/latency tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka (or Pub/Sub Lite via its Kafka endpoint) streaming source.
+
+    Returns the normalized (value STRING, timestamp) shape the demo
+    pipelines consume — swapping this in for the directory source changes
+    nothing downstream. Requires the spark-sql-kafka package on the
+    classpath (not bundled in this container; the builder itself is
+    environment-independent).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("timestamp"),
+    )
