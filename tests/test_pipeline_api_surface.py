@@ -146,3 +146,31 @@ def test_withkeys_keys_values_partition(spark):
     parts = Partition(3, F.col("user_id")).split(p.create(events))
     assert len(parts) == 3
     assert sum(pc.df.count() for pc in parts) == 100
+
+
+def test_cogroupbykey(spark):
+    from tutorial_apache_beam_spark.plans.pipeline import CoGroupByKey, Filter
+
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events")
+    clicks = p.create(events).apply("C", Filter(F.col("event_type") == "click"))
+    purchases = p.create(events).apply("P", Filter(F.col("event_type") == "purchase"))
+    cg = clicks.apply(
+        "CoGroup", CoGroupByKey(purchases, "event_id", "event_id", "user_id")
+    )
+    rows = {r.user_id: (sorted(r.values_a), sorted(r.values_b)) for r in cg.df.collect()}
+    # spot-check against direct aggregation
+    expected_clicks = {
+        r.user_id: sorted(r.ids)
+        for r in clicks.df.groupBy("user_id")
+        .agg(F.collect_list("event_id").alias("ids"))
+        .collect()
+    }
+    for uid, (va, vb) in rows.items():
+        assert va == expected_clicks.get(uid, [])
+    # keys present on either side appear; missing side = empty list
+    purchase_only = set(
+        r.user_id for r in purchases.df.select("user_id").distinct().collect()
+    ) - set(expected_clicks)
+    for uid in purchase_only:
+        assert rows[uid][0] == []

@@ -612,3 +612,39 @@ class Partition(PTransform):
             pcoll._with(tagged.filter(F.col("_part") == i).drop("_part"))
             for i in range(self.n)
         ]
+
+
+class CoGroupByKey(PTransform):
+    """Beam CoGroupByKey: two keyed PCollections → (key, values_a, values_b).
+
+    Realized as per-side collect_list aggregation + full-outer join on the
+    key (each side aggregates before the join, so the join carries one row
+    per key per side). Missing sides yield empty arrays, matching Beam's
+    empty iterables.
+    """
+
+    def __init__(self, other: PCollection, value_col: str, other_value_col: str,
+                 *key_cols: str):
+        self.other = other
+        self.value_col = value_col
+        self.other_value_col = other_value_col
+        self.key_cols = list(key_cols)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        left = pcoll.df.groupBy(*self.key_cols).agg(
+            F.collect_list(self.value_col).alias("values_a")
+        )
+        right = self.other.df.groupBy(*self.key_cols).agg(
+            F.collect_list(self.other_value_col).alias("values_b")
+        )
+        joined = left.join(right, self.key_cols, "full_outer")
+        empties = {
+            name: F.array().cast(joined.schema[name].dataType)
+            for name in ("values_a", "values_b")
+        }
+        joined = joined.select(
+            *self.key_cols,
+            F.coalesce("values_a", empties["values_a"]).alias("values_a"),
+            F.coalesce("values_b", empties["values_b"]).alias("values_b"),
+        )
+        return pcoll._with(joined)

@@ -231,3 +231,53 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         "event_id", "user_id", "event_type"
     )
     return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), agg AS (
+      SELECT min(ts)                         AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end,
+             user_id,
+             count(*)                        AS count
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT * FROM agg
+    WHERE session_end <= (SELECT max(ts) - INTERVAL '2 minutes' FROM events)
+    """,
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a live stream (gap-merged, stateful): append mode
+    emits a session once the watermark passes its end (last event + gap).
+
+    The oracle sessionizes in SQL and keeps sessions closed by the final
+    watermark — verified to match Spark's emission rule exactly.
+    """
+    sdf = stream_events(spark, sf_dir).withWatermark("ts", "2 minutes")
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "count",
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="append")
