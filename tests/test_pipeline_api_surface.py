@@ -174,3 +174,37 @@ def test_cogroupbykey(spark):
     ) - set(expected_clicks)
     for uid in purchase_only:
         assert rows[uid][0] == []
+
+
+def test_reshuffle_sideinput_counter(spark):
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        ParDo,
+        Reshuffle,
+        WithSingletonSideInput,
+    )
+
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events").limit(100)
+
+    shuffled = p.create(events).apply("Reshuffle", Reshuffle(5))
+    assert shuffled.df.rdd.getNumPartitions() == 5
+    assert shuffled.df.count() == 100
+
+    total = p.create(events).apply(
+        "GlobalSum",
+        MapElements(lambda df: df.agg(F.sum("value").alias("global_total"))),
+    )
+    with_side = p.create(events).apply("Side", WithSingletonSideInput(total))
+    rows = with_side.df.select("event_id", "global_total").collect()
+    assert len(rows) == 100
+    assert len({r.global_total for r in rows}) == 1  # same singleton everywhere
+
+    counter = p.counter("rows_seen")
+
+    def count_rows(batch):
+        counter.inc(len(batch))
+        return batch[["event_id"]]
+
+    out = p.create(events).apply("Count", ParDo(count_rows, "event_id BIGINT"))
+    assert out.df.count() == 100
+    assert counter.value == 100

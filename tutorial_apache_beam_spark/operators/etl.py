@@ -58,3 +58,30 @@ def parse_json_props(df: DataFrame, col: str, schema: str) -> DataFrame:
     engine's generic JSON-extraction surface (`from_json` → struct).
     """
     return df.withColumn("_parsed", F.from_json(F.col(col), schema))
+
+
+def parse_click_messages_with_dlq(
+    raw: DataFrame, payload_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse with a dead-letter side output instead of silent dropping.
+
+    The reference logs-and-drops malformed messages (Demo1.java:65-68);
+    production pipelines usually keep them. One `from_json` evaluation
+    feeds both branches (Catalyst reuses the subtree within the plan);
+    returns (parsed, dead_letters) where dead_letters carries the raw
+    payload for replay.
+    """
+    tagged = raw.select(
+        F.col(payload_col).cast("string").alias("_raw"),
+        F.from_json(F.col(payload_col).cast("string"), INPUT_MESSAGE_SCHEMA).alias(
+            "m"
+        ),
+    )
+    ok = F.col("m").isNotNull() & F.col("m.event_time").isNotNull()
+    parsed = tagged.filter(ok).select(
+        F.timestamp_seconds(F.col("m.event_time")).alias("event_time"),
+        F.col("m.user_id").alias("user_id"),
+        F.col("m.click").alias("click"),
+    )
+    dead = tagged.filter(~ok).select(F.col("_raw").alias("payload"))
+    return parsed, dead

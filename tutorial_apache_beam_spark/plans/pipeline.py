@@ -188,6 +188,10 @@ class Pipeline:
         df = self.spark.readStream.schema(schema).parquet(path)
         return PCollection(df, self)
 
+    def counter(self, name: str) -> "Counter":
+        """Create a named metric counter (Beam Metrics.counter analog)."""
+        return Counter(self.spark, name)
+
     def run(self) -> PipelineResult:
         return PipelineResult(list(self._streaming_queries))
 
@@ -648,3 +652,64 @@ class CoGroupByKey(PTransform):
             F.coalesce("values_b", empties["values_b"]).alias("values_b"),
         )
         return pcoll._with(joined)
+
+
+class Reshuffle(PTransform):
+    """Beam Reshuffle: redistribute rows (break fusion / rebalance).
+
+    With `num_partitions` and no keys: round-robin repartition. With keys:
+    hash-partition on them (co-locates later per-key work).
+    """
+
+    def __init__(self, num_partitions: int | None = None, *key_cols: str):
+        self.num_partitions = num_partitions
+        self.key_cols = list(key_cols)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        if self.key_cols:
+            args = ([self.num_partitions] if self.num_partitions else []) + [
+                F.col(c) for c in self.key_cols
+            ]
+            out = df.repartition(*args)
+        elif self.num_partitions:
+            out = df.repartition(self.num_partitions)
+        else:
+            out = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        return pcoll._with(out)
+
+
+class WithSingletonSideInput(PTransform):
+    """Beam side input (AsSingleton): attach a 1-row computed value to
+    every element.
+
+    `side` must be a 1-row PCollection (e.g. a global aggregate); its
+    columns join onto every main-input row via a broadcast cross join —
+    the Spark realization of Beam's broadcast side input.
+    """
+
+    def __init__(self, side: PCollection):
+        self.side = side
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll._with(pcoll.df.crossJoin(F.broadcast(self.side.df)))
+
+
+class Counter:
+    """Beam Metrics.counter analog backed by a Spark accumulator.
+
+    Increment from inside ParDo dofns (runs in Python workers); read
+    `.value` on the driver after an action. Like Beam metrics, values are
+    attempted-work counts — task retries may overcount.
+    """
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.name = name
+        self._acc = spark.sparkContext.accumulator(0)
+
+    def inc(self, n: int = 1) -> None:
+        self._acc.add(n)
+
+    @property
+    def value(self) -> int:
+        return self._acc.value

@@ -171,3 +171,47 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     return session_agg(events, "ts", ["user_id"], "30 minutes")
+
+
+@register(
+    "demo1_dead_letter_split",
+    oracle="""
+    SELECT 'parsed' AS branch, count(*) AS n FROM events
+    UNION ALL
+    SELECT 'dead_letter' AS branch, CAST(count(*) / 2 AS BIGINT) AS n FROM events
+    """,
+)
+def demo1_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue variant of the Demo1 parse: malformed payloads go
+    to a side output (with the raw bytes for replay) instead of vanishing.
+
+    Input = one valid wire message per event + one corrupt payload per two
+    events; output = per-branch counts.
+    """
+    from tutorial_apache_beam_spark.operators.etl import (
+        parse_click_messages_with_dlq,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    valid = events.select(
+        F.to_json(
+            F.struct(
+                F.unix_timestamp("ts").alias("event_time"),
+                F.col("user_id").cast("int").alias("user_id"),
+                F.lit(1).alias("click"),
+            )
+        ).alias("value")
+    )
+    corrupt = events.filter(F.col("event_id") % 2 == 0).select(
+        F.concat(F.lit("{corrupt:"), F.col("event_id").cast("string")).alias("value")
+    )
+    parsed, dead = parse_click_messages_with_dlq(valid.unionAll(corrupt))
+    return (
+        parsed.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("parsed").alias("branch"), "n")
+        .unionByName(
+            dead.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("dead_letter").alias("branch"), "n"
+            )
+        )
+    )
