@@ -48,8 +48,9 @@ def main() -> None:
     # query doesn't absorb session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    names = sorted(queries) if "--all" in sys.argv else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         t0 = time.monotonic()
         fn(spark, SF_DIR).count()

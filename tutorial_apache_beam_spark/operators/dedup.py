@@ -13,9 +13,9 @@ Design for 100 TB:
 - Hot keys are the scale hazard: a shingle occurring in f docs yields
   f·(f−1)/2 candidate pairs. `max_doc_freq` drops such stop-shingles
   (standard practice); AQE skew-join splitting covers the remainder.
-- Sketches (MinHash/SimHash) are row-local array expressions over the
-  portable hash (functions.hashing) — no UDFs, no extra shuffles, and
-  bit-identical to the DuckDB oracles.
+- Sketches (MinHash/SimHash) compute as codegen'd row-wise aggregations
+  over portable hashes (functions.hashing) — no UDFs, and bit-identical
+  to the DuckDB oracles built from the same frozen constants.
 """
 
 from __future__ import annotations
@@ -27,7 +27,6 @@ from tutorial_apache_beam_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_COEFFS,
     portable_hash64,
-    simhash32,
 )
 from tutorial_apache_beam_spark.functions.text import tokens, word_shingles
 
@@ -269,13 +268,31 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """32-bit SimHash per document over token hashes (row-local)."""
-    return df.select(
-        F.col(id_col),
-        simhash32(
-            F.transform(tokens(F.col(text_col)), portable_hash64)
-        ).alias("simhash"),
-    )
+    """32-bit SimHash per document over token hashes.
+
+    Row-wise form: explode tokens, hash each occurrence (codegen), then 32
+    conditional-sum aggregates per doc reconstruct the bit-majority vote —
+    one shuffle on the id, everything whole-stage-codegen'd. The
+    array-HOF form (`functions.hashing.simhash32`) computes identical
+    values but runs interpreted (~3x slower at sf0.1); it remains the
+    reference implementation for array inputs.
+
+    Documents with zero tokens produce no row (they have no fingerprint).
+    """
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), portable_hash64(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    agg = tok_rows.groupBy(id_col).agg(*votes)
+    total = F.lit(0)
+    for j in range(32):
+        total = total + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), total.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
