@@ -99,3 +99,24 @@ def test_foreachbatch_idempotent_append(spark, tmp_path):
     replay = spark.createDataFrame(rows, "v BIGINT")
     write_batch(replay, 0)
     assert spark.read.parquet(f"{out}/batch=0").count() == first == 10
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    from datetime import date
+
+    from tutorial_apache_beam_spark.operators.retention import apply_retention
+
+    ev = load_table(spark, SF_DIR, "events").withColumn("dt", F.to_date("ts"))
+    path = str(tmp_path / "by_day")
+    ev.write.partitionBy("dt").parquet(path)
+    before = spark.read.parquet(path).select("dt").distinct().count()
+
+    # Fixture dates span 2024-01-01..2024-01-30; keep the last 7 days.
+    report = apply_retention(path, "dt", keep_days=7, today=date(2024, 1, 31))
+    assert len(report.dropped) > 0
+    assert len(report.kept) + len(report.dropped) == before
+
+    spark.catalog.clearCache()
+    after = spark.read.parquet(path)
+    assert after.select("dt").distinct().count() == len(report.kept)
+    assert after.agg(F.min("dt")).collect()[0][0] >= date(2024, 1, 24)

@@ -1,0 +1,66 @@
+"""Partition retention — the reference's table-TTL as a maintenance job.
+
+The reference's sink tables are day-partitioned with a 7-day expiry
+enforced by BigQuery itself (deployment/modules/infra/google_bigquery.tf:
+17-21, 35-39). Vanilla parquet has no built-in TTL, so the engine provides
+it as an explicit maintenance operator over a `partitionBy(date)` layout:
+drop whole partition directories older than the cutoff.
+
+Deleting directories (not rows) keeps the job metadata-only — no data
+files are read, which is the only retention strategy that works at 100 TB.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class RetentionReport:
+    kept: list[str]
+    dropped: list[str]
+
+
+def apply_retention(
+    table_path: str,
+    partition_col: str,
+    keep_days: int,
+    today: date,
+) -> RetentionReport:
+    """Drop `<table>/<partition_col>=<date>` directories older than
+    `today - keep_days`. Returns what was kept/dropped.
+
+    `today` is explicit (no wall-clock reads) so runs are reproducible and
+    testable. Partition values must be ISO dates — the layout produced by
+    `df.write.partitionBy(to_date(...))`.
+    """
+    cutoff = today - timedelta(days=keep_days)
+    root = Path(table_path)
+    kept: list[str] = []
+    dropped: list[str] = []
+    prefix = f"{partition_col}="
+    for child in sorted(root.iterdir()) if root.exists() else []:
+        if not child.is_dir() or not child.name.startswith(prefix):
+            continue
+        value = child.name[len(prefix):]
+        try:
+            part_date = date.fromisoformat(value)
+        except ValueError:
+            kept.append(child.name)  # non-date partition: never expire
+            continue
+        if part_date < cutoff:
+            shutil.rmtree(child)
+            dropped.append(child.name)
+        else:
+            kept.append(child.name)
+    return RetentionReport(kept=kept, dropped=dropped)
+
+
+def refresh_after_retention(spark: SparkSession, table_path: str) -> None:
+    """Invalidate cached file listings after partition deletion."""
+    spark.catalog.clearCache()

@@ -93,3 +93,46 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(
         _zscore, "event_id BIGINT, event_type STRING, z DOUBLE"
     )
+
+
+@register(
+    "udtf_word_positions",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           toks[i] AS word,
+           CAST(i - 1 AS INT) AS pos
+    FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input row → many output rows (word, position).
+
+    Completes the UDF/UDAF/UDTF surface (SURVEY §2.6): scalar pandas_udf,
+    grouped applyInPandas, and this table function, lateral-joined per
+    document. Whitespace splitting is deliberately trivial — the query
+    verifies the UDTF row-expansion machinery against a SQL unnest.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word STRING, pos INT")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    spark.udtf.register("split_words", SplitWords)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_udtf_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM documents_udtf_in d, LATERAL split_words(d.text) s
+        """
+    )
