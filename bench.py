@@ -34,8 +34,11 @@ HEADLINE = [
     "top_orders_per_customer",
     "minhash_lsh_near_dups",
     "cosine_topk_bruteforce",
+    "embedding_cosine_near_dups",
     "text_stats_quality",
+    "training_data_pipeline",
     "streaming_demo2_counts",
+    "streaming_interval_join",
 ]
 
 
