@@ -1,0 +1,52 @@
+"""Connected components: transitive near-dup clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.operators.graph import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def test_chain_and_clique_collapse(spark):
+    # Components: chain 1-2-3-4, pair 10-11, triangle 20-21-22.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    comps = {
+        r.vertex: r.component for r in connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_keep_canonical_transitive(spark):
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    # A~B, B~C (A,B,C = 0,1,2): pairwise removal of id_b would keep 0 and
+    # drop 1,2 only if 0~2 had been emitted — components get it right.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a BIGINT, id_b BIGINT"
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_components_on_real_near_dups(spark):
+    """Cluster the fixture's actual near-dup pairs; every cluster's
+    canonical id must be its minimum member."""
+    from tutorial_apache_beam_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comps = connected_components(pairs)
+    bad = (
+        comps.groupBy("component")
+        .agg(F.min("vertex").alias("mn"))
+        .filter(F.col("component") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0

@@ -493,3 +493,25 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(scored, "doc_id").select(
         "doc_id", "n_tokens", "quality_score"
     )
+
+
+@register("near_dup_clusters")
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the Jaccard
+    pair graph (A~B, B~C collapse together even without an A~C edge).
+
+    Iterative min-label propagation (operators.graph) — the
+    non-SQL-expressible class, so rows-only in the gate; planted-cluster
+    pytests (tests/test_graph.py) pin the semantics.
+    Output: (component, cluster_size) for clusters of 2+ documents.
+    """
+    from tutorial_apache_beam_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
