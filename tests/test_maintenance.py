@@ -1,0 +1,138 @@
+"""Bucketed-layout and compaction maintenance jobs (operators.maintenance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.operators.maintenance import (
+    compact_partitions,
+    write_bucketed,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture
+def no_broadcast(spark):
+    """Force shuffle-based join strategies so the bucketing effect is visible."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    """Two tables bucketed on the join key sort-merge-join with zero
+    shuffle exchanges — the co-located-join contract that makes repeated
+    fact⋈fact joins viable at 100 TB."""
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders",
+        bucket_cols=["o_custkey"],
+        num_buckets=4,
+        sort_cols=["o_custkey"],
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        customer.select("c_custkey", "c_name"),
+        "b_customer",
+        bucket_cols=["c_custkey"],
+        num_buckets=4,
+        sort_cols=["c_custkey"],
+        path=str(tmp_path / "b_customer"),
+    )
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+        # And the result is the same as the plain (shuffling) join.
+        expected = (
+            orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tmp_path, no_broadcast):
+    """Aggregation on the bucket key also needs no shuffle: rows for one
+    key are already co-located in one bucket."""
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(
+        orders.select("o_custkey", "o_totalprice"),
+        "b_orders_agg",
+        bucket_cols=["o_custkey"],
+        num_buckets=4,
+        path=str(tmp_path / "b_orders_agg"),
+    )
+    try:
+        agg = (
+            spark.table("b_orders_agg")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("total"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan}"
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders_agg")
+
+
+def _file_counts(table_dir):
+    return {
+        d.name: len([f for f in d.iterdir() if f.name.endswith(".parquet")])
+        for d in table_dir.iterdir()
+        if d.is_dir() and "=" in d.name
+    }
+
+
+def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
+    """A micro-batch-fragmented partitioned sink compacts to one file per
+    partition, preserving content exactly; a second run is a no-op."""
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    sink = tmp_path / "sink"
+    # Simulate many tiny micro-batch appends: 6 writes of 3 files each.
+    for i in range(6):
+        (
+            events.filter(F.col("event_id") % 6 == i)
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(str(sink))
+        )
+    before = _file_counts(sink)
+    assert max(before.values()) >= 6, f"fixture not fragmented: {before}"
+    total_before = spark.read.parquet(str(sink)).count()
+
+    report = compact_partitions(spark, str(sink), target_file_bytes=1 << 30)
+    after = _file_counts(sink)
+    assert set(report.compacted) == set(before), report
+    assert all(n == 1 for n in after.values()), after
+    assert report.files_after < report.files_before
+
+    # Content is intact (count + a value checksum).
+    df = spark.read.parquet(str(sink))
+    assert df.count() == total_before
+    assert df.select(F.sum("event_id")).first()[0] == events.select(
+        F.sum("event_id")
+    ).first()[0]
+
+    # Idempotent: second run touches nothing.
+    report2 = compact_partitions(spark, str(sink), target_file_bytes=1 << 30)
+    assert report2.compacted == []
+    assert set(report2.skipped) == set(before)

@@ -13,4 +13,7 @@ scope's) operators Spark-first:
 - ``similarity`` — vector similarity search (brute-force + LSH-bucketed).
 - ``text``       — language-ID, quality scoring, token counts, fingerprints.
 - ``multimodal`` — binary media columns: schema + Pandas-UDF plumbing.
+- ``retention``  — partition TTL (the reference's 7-day table expiry).
+- ``maintenance``— bucketed layouts (shuffle-free co-located joins) and
+                   small-file compaction for streaming append sinks.
 """

@@ -1,0 +1,133 @@
+"""Sink-table maintenance: bucketed layouts and small-file compaction.
+
+Two operational jobs the reference delegates to BigQuery (clustered tables,
+automatic storage optimization — `deployment/modules/infra/google_bigquery.tf`)
+but a parquet/warehouse engine must provide itself:
+
+- **Bucketed tables** (`write_bucketed`): pre-shuffle a table once at write
+  time into N buckets on its join/agg key. Every later equi-join or groupBy
+  on that key between same-bucketed tables runs with ZERO exchange — the
+  single biggest shuffle eliminator for repeated fact⋈fact joins at 100 TB.
+  Spark persists bucket metadata in the catalog, so this must go through
+  `saveAsTable`, not a bare path write.
+
+- **Compaction** (`compact_partitions`): streaming append sinks (SURVEY K1)
+  emit one file per micro-batch per partition; at scale a table rots into
+  millions of KB-sized files and every scan drowns in open() calls and
+  listing RPCs. Compaction rewrites each date partition into
+  ceil(bytes / target_file_bytes) files. It processes partitions as a unit
+  (atomic swap per partition dir) so readers never see a half-compacted
+  partition, and skips partitions already at target shape.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist `df` as a bucketed (and optionally sorted) catalog table.
+
+    `num_buckets` is a layout contract, not a tuning knob: both sides of a
+    co-located join must share it (Spark 3.1+ can coalesce mismatched
+    bucket counts when one divides the other, but identical is the fast
+    path). Size it so one bucket of the LARGEST table using the layout is
+    ~128-256 MB — at 100 TB that means thousands of buckets, which is fine:
+    buckets are files, not tasks, and AQE coalesces small reads.
+
+    Sorting within buckets (`sort_cols`) additionally enables sort-merge
+    joins with no per-task sort.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)  # external table location
+    writer.saveAsTable(table)
+
+
+@dataclass
+class CompactionReport:
+    compacted: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    files_before: int = 0
+    files_after: int = 0
+
+
+def _data_files(part_dir: Path) -> list[Path]:
+    return [
+        p
+        for p in part_dir.iterdir()
+        if p.is_file() and p.name.endswith(".parquet") and not p.name.startswith(("_", "."))
+    ]
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> CompactionReport:
+    """Rewrite each `<col>=<value>` partition of a parquet table into
+    ceil(partition_bytes / target_file_bytes) files.
+
+    Partition-at-a-time with a write-to-temp-then-swap: the rewrite lands in
+    a sibling temp dir and replaces the partition dir only after success, so
+    a crash mid-job leaves every partition either old or new, never mixed.
+    Partitions already at/below the target file count are skipped — the job
+    is safe to run on a schedule, costing only a directory listing when
+    there is nothing to do.
+
+    At cluster scale the same loop runs with cloud-storage renames; the
+    per-partition unit keeps the job restartable and the listing cost
+    bounded (one partition's files in memory at a time, never the table's).
+    """
+    root = Path(table_path)
+    report = CompactionReport()
+    part_dirs = [
+        d for d in sorted(root.iterdir()) if d.is_dir() and "=" in d.name
+    ] if root.exists() else []
+    for part_dir in part_dirs:
+        files = _data_files(part_dir)
+        part_bytes = sum(f.stat().st_size for f in files)
+        want = max(1, math.ceil(part_bytes / target_file_bytes))
+        report.files_before += len(files)
+        if len(files) < min_files_to_compact or len(files) <= want:
+            report.skipped.append(part_dir.name)
+            report.files_after += len(files)
+            continue
+        tmp = root / f"_compact_{part_dir.name}_{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(str(part_dir))
+            .repartition(want)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        # Swap: move new data files into place of the old partition dir.
+        swap = part_dir.with_name(part_dir.name + ".old")
+        os.rename(part_dir, swap)
+        os.rename(tmp, part_dir)
+        # Drop the _SUCCESS marker (partition dirs of a partitioned table
+        # hold only data files) and the old data.
+        marker = part_dir / "_SUCCESS"
+        if marker.exists():
+            marker.unlink()
+        shutil.rmtree(swap)
+        report.compacted.append(part_dir.name)
+        report.files_after += len(_data_files(part_dir))
+    return report

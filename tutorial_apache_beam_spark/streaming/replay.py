@@ -11,10 +11,21 @@ final streaming output == batch output, Beam's unified-model property).
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
+
+# State-store partition count for replay runs. A streaming aggregation/join
+# runs one state-store task per shuffle partition PER MICRO-BATCH, and the
+# count is frozen into the checkpoint at first start — so it must be sized
+# to the job's load, not inherited from the batch default. The fixture
+# replays are MiB-scale, where 32 partitions is pure fixed overhead
+# (measured 3-4x slower than 8 at sf0.1); a production job at cluster scale
+# should instead set this to 2-3x total executor cores BEFORE first start
+# (resizing later means a new checkpoint). Override: SPARK_GRAFT_STREAM_PARTITIONS.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
 
 def run_stream_to_memory(
@@ -22,22 +33,37 @@ def run_stream_to_memory(
     spark: SparkSession,
     output_mode: str = "complete",
     name: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming plan to exhaustion into a memory sink; return the
-    final result table as a (batch) DataFrame."""
+    final result table as a (batch) DataFrame.
+
+    `state_partitions` (default STREAM_STATE_PARTITIONS) temporarily sets
+    spark.sql.shuffle.partitions while the query runs: each fresh memory
+    sink gets a fresh checkpoint, so the stream's state layout is sized here
+    without touching the session's batch default.
+    """
     qname = name or f"replay_{next(_counter)}"
-    query = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(qname)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    parts = STREAM_STATE_PARTITIONS if state_partitions is None else state_partitions
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        query = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """The fixture `events` table as an unbounded source (file-stream
     replay of parquet — the batch/streaming unification seam).
 
@@ -55,7 +81,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events table inside the fixture dir.
     raw = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
