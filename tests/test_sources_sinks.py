@@ -120,3 +120,42 @@ def test_retention_drops_old_partitions(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.select("dt").distinct().count() == len(report.kept)
     assert after.agg(F.min("dt")).collect()[0][0] >= date(2024, 1, 24)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """A restarted query resumes from its checkpoint: the second run
+    processes only files that arrived after the first, and the sink holds
+    every record exactly once (K1's exactly-once across restarts — the
+    engine's replacement for the reference's per-insert retry policy)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run():
+        q = (
+            spark.readStream.schema("v BIGINT")
+            .json(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"v": i}) for i in range(100)) + "\n"
+    )
+    run()
+    assert spark.read.parquet(str(out)).count() == 100
+
+    # Restart with the same checkpoint after new data lands: only the new
+    # file is read — a.json is NOT reprocessed, so no duplicates.
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"v": i}) for i in range(100, 150)) + "\n"
+    )
+    run()
+    result = spark.read.parquet(str(out))
+    assert result.count() == 150
+    assert result.groupBy("v").count().filter("count > 1").count() == 0

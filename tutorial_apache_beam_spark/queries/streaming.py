@@ -234,6 +234,37 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "streaming_group_into_batches",
+    oracle="""
+    SELECT user_id,
+           CAST(ceil(count(*) / 64.0) AS BIGINT) AS num_batches,
+           count(*)                              AS total_elements
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam GroupIntoBatches.ofSize(64) per user as a keyed state+timer
+    operator (streaming/batching.py), checked through its emission
+    invariant: greedy filling with a single end-of-stream timeout flush
+    means a key's batch count is exactly ceil(elements / 64) and every
+    element is batched exactly once — both SQL-computable from the raw
+    input. (Batch membership itself is arrival-order-dependent, so the
+    oracle pins the invariant, not the assignment; per-batch structure is
+    asserted in tests/test_group_into_batches.py.)
+    """
+    from tutorial_apache_beam_spark.streaming.batching import group_into_batches
+
+    sdf = stream_events(spark, sf_dir).withWatermark("ts", "1 minute")
+    batches = group_into_batches(sdf, batch_size=64)
+    raw = run_stream_to_memory(batches, spark, output_mode="append")
+    return raw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("num_batches"),
+        F.sum("batch_size").alias("total_elements"),
+    )
+
+
+@register(
     "streaming_session_counts",
     oracle="""
     WITH ordered AS (
