@@ -515,3 +515,88 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") >= 2)
     )
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({portable_hash64_sql('text')} % 100 AS INT) AS bucket,
+           CASE WHEN {portable_hash64_sql('text')} % 100 < 90 THEN 'train'
+                WHEN {portable_hash64_sql('text')} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content hash.
+
+    Hashing the TEXT (not the id) keeps a document's split stable across
+    re-crawls and re-sharding, and identical content always lands in the
+    same split — no train/test leakage through duplicates. Pure
+    row-local projection: no shuffle, scales linearly, and the portable
+    hash makes the assignment reproducible in any engine (the oracle
+    computes the identical buckets in DuckDB).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (portable_hash64(F.col("text")) % 100).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "pack_documents_by_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_TOK}) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4096.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_documents_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: group documents into ~4096-token packs for LLM
+    training, sharded for parallelism.
+
+    Each of 8 shards packs independently (window partitioned by shard, so
+    the cumulative sum never needs a global order — the scale-critical
+    choice: a single global packing order would serialize onto one
+    partition). Within a shard, a document's pack is
+    floor(tokens-before-it / budget): contiguous offset-based packing,
+    fully deterministic and one shuffle, versus sequential greedy
+    first-fit which cannot parallelize. Packs can overflow the budget by
+    at most one document — the standard concat-then-chunk approximation
+    used when documents are later concatenated and split at token
+    boundaries anyway.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / 4096.0).alias("pack_id"),
+    )
