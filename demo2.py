@@ -35,6 +35,13 @@ def main() -> None:
         action="store_true",
         help="run continuously instead of draining available input",
     )
+    ap.add_argument(
+        "--no-finalize",
+        action="store_true",
+        help="drain mode: do NOT flush windows still open at the final "
+        "watermark (use for repeated incremental drains; default flushes "
+        "them, reproducing Beam's end-of-bounded-input firing)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="demo2")
@@ -47,6 +54,7 @@ def main() -> None:
         allowed_skew=args.skew,
         allowed_lateness=args.lateness,
         available_now=not args.follow,
+        finalize=not args.no_finalize,
     )
     result.wait_until_finish()
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from tutorial_apache_beam_spark.streaming.demos import demo1_pipeline, demo2_pipeline
 
@@ -63,7 +64,12 @@ def test_demo1_pipeline_appends_parsed_rows(spark, tmp_path, src_dir):
 def test_demo2_pipeline_counts_per_window(spark, tmp_path, src_dir):
     sink = tmp_path / "sink"
     result = demo2_pipeline(
-        spark, str(src_dir), str(sink), str(tmp_path / "ckpt"), available_now=True
+        spark,
+        str(src_dir),
+        str(sink),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        finalize=False,
     )
     result.wait_until_finish()
 
@@ -83,7 +89,7 @@ def test_demo2_late_data_within_open_window_is_counted(spark, tmp_path, src_dir)
     sink = tmp_path / "sink"
     ckpt = tmp_path / "ckpt"
     demo2_pipeline(
-        spark, str(src_dir), str(sink), str(ckpt), available_now=True
+        spark, str(src_dir), str(sink), str(ckpt), available_now=True, finalize=False
     ).wait_until_finish()
 
     late = [
@@ -95,7 +101,7 @@ def test_demo2_late_data_within_open_window_is_counted(spark, tmp_path, src_dir)
     ]
     (src_dir / "batch1.json").write_text("\n".join(late) + "\n")
     demo2_pipeline(
-        spark, str(src_dir), str(sink), str(ckpt), available_now=True
+        spark, str(src_dir), str(sink), str(ckpt), available_now=True, finalize=False
     ).wait_until_finish()
 
     out = spark.read.parquet(str(sink))
@@ -108,3 +114,26 @@ def test_demo2_late_data_within_open_window_is_counted(spark, tmp_path, src_dir)
     expected.update({(u, "2024-01-01 00:01:00"): 6 for u in USERS})
     expected[(1000, "2024-01-01 00:01:00")] = 7  # 6 on-time + 1 late
     assert rows == expected
+
+
+def test_demo2_drain_finalize_matches_beam_bounded_output(spark, tmp_path, src_dir):
+    """Default drain of a bounded directory reproduces Beam's
+    bounded-pipeline result (watermark -> +inf fires every window): the
+    reference's manual test expectation — each user's counts sum to 10
+    (SURVEY §5.1, utils/message_publisher.py:113-116). This fixture's
+    :30-offset 90 s span crosses 3 window boundaries (3 + 6 + 1)."""
+    sink = tmp_path / "sink"
+    demo2_pipeline(
+        spark, str(src_dir), str(sink), str(tmp_path / "ckpt"), available_now=True
+    ).wait_until_finish()
+
+    out = spark.read.parquet(str(sink))
+    per_user = {
+        r.user_id: (r.total, r.windows)
+        for r in out.groupBy("user_id")
+        .agg(
+            F.sum("count").alias("total"), F.count(F.lit(1)).alias("windows")
+        )
+        .collect()
+    }
+    assert per_user == {u: (10, 3) for u in USERS}

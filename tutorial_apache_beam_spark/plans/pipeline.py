@@ -429,14 +429,31 @@ class WriteParquet(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         df = pcoll.df
         if df.isStreaming:
+            # foreachBatch plain appends, NOT the built-in file sink: the
+            # file sink's _spark_metadata transaction log makes Spark
+            # readers ignore any file not written through it, so the sink
+            # could never be compacted, retention-pruned, or batch-appended
+            # to (e.g. the demo2 drain-finalize flush). Source progress is
+            # still checkpointed per epoch — a restarted query never
+            # re-reads processed input; only a crash INSIDE a batch can
+            # duplicate its rows (at-least-once), which matches the
+            # reference's BigQuery STREAMING_INSERTS + transient-retry
+            # semantics (Demo1.java:96-97). Exactly-once upgrades are the
+            # overwrite-by-batch-id pattern (tests/test_sources_sinks.py)
+            # or a transactional table format.
+            path, partition_by = self.path, self.partition_by
+
+            def _append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+                w = batch_df.write.mode("append")
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.parquet(path)
+
             writer = (
                 df.writeStream.outputMode(self.output_mode)
-                .format("parquet")
-                .option("path", self.path)
+                .foreachBatch(_append_batch)
                 .option("checkpointLocation", self.checkpoint)
             )
-            if self.partition_by:
-                writer = writer.partitionBy(*self.partition_by)
             if self.available_now:
                 writer = writer.trigger(availableNow=True)
             query = writer.start()

@@ -78,12 +78,26 @@ def demo2_pipeline(
     allowed_skew: str = "1 minute",
     allowed_lateness: str = "1 minute",
     available_now: bool = True,
+    finalize: bool = True,
 ) -> PipelineResult:
     """Stateful windowed aggregation: clicks per user per 1-minute window.
 
     Output mode is append — rows emit once, when the watermark (event time
     minus skew+lateness) passes the window end: Beam's
     AfterWatermark.pastEndOfWindow() firing (SURVEY W3 mapping).
+
+    `finalize` (drain mode only): when a BOUNDED input is exhausted, Beam
+    advances the watermark to +infinity and fires the final pane of EVERY
+    window; Spark's availableNow drain leaves the watermark at
+    max(event_time) - delay, so windows newer than that would never emit
+    (on the reference's 100-second test generator that is ALL windows).
+    After the drain, the still-open windows — exactly those with
+    window_end > final watermark, disjoint from what the stream appended —
+    are computed with the equivalent batch plan and appended, making one
+    drain of a bounded directory reproduce Beam's bounded-pipeline output
+    (unified-model parity). Pass finalize=False for repeated incremental
+    drains of a growing directory, where only-closed-windows is the safe
+    (duplicate-free) behavior; finalize is a terminal operation.
     """
     p = Pipeline(spark)
     (
@@ -119,4 +133,49 @@ def demo2_pipeline(
             ),
         )
     )
-    return p.run()
+    result = p.run()
+    if available_now and finalize:
+        result.wait_until_finish()
+        _demo2_flush_open_windows(
+            spark, source_dir, sink_dir, window, allowed_skew, allowed_lateness
+        )
+    return result
+
+
+def _demo2_flush_open_windows(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    window: str,
+    allowed_skew: str,
+    allowed_lateness: str,
+) -> None:
+    """Append the windows still open at the drain's final watermark — the
+    batch form of the same plan restricted to window_end > watermark (the
+    complement of what append mode emitted)."""
+    from tutorial_apache_beam_spark.operators.windowing import tumbling_counts
+
+    parsed = parse_click_messages(spark.read.text(source_dir))
+    wm_row = (
+        parsed.agg(F.max("event_time").alias("mx"))
+        .select(
+            F.expr(
+                f"mx - INTERVAL {allowed_skew} - INTERVAL {allowed_lateness}"
+            ).alias("wm")
+        )
+        .first()
+    )
+    if wm_row is None or wm_row["wm"] is None:
+        return
+    counts = tumbling_counts(parsed, "event_time", ["user_id"], window)
+    (
+        counts.filter(F.col("window_end") > F.lit(wm_row["wm"]))
+        .select(
+            F.current_timestamp().alias("processing_time"),
+            "window_start",
+            "user_id",
+            "count",
+        )
+        .write.mode("append")
+        .parquet(sink_dir)
+    )
