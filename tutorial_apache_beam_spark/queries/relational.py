@@ -442,3 +442,83 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@register(
+    "q4_order_priority_late_ship",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table range predicate
+    (the fixtures lack l_commitdate/l_receiptdate, so "late" is l_shipdate
+    more than 60 days after o_orderdate), then count per priority.
+
+    The semi-join is equi on l_orderkey with the range condition folded
+    into the join — Catalyst keeps it a hash semi-join (the range is a
+    post-probe filter, not a nested loop), and the quarter filter on
+    orders is pushed to the scan, shrinking the build side before the
+    shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        quarter.join(
+            li,
+            (quarter.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > quarter.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional aggregation (the
+    fixtures lack l_shipmode, so groups are l_linestatus). The year filter
+    on lineitem pushes to the scan; the CASE sums are one pass in the
+    partial aggregate, so the shuffle after the join carries one row per
+    (partition, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
