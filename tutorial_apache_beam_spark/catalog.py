@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     by 1000 and stamping µs is lossless (`ts div 1000` stays in 64-bit
     integer arithmetic — a double division would lose precision above 2^53).
     """
+    if name == "events":
+        # Self-sufficient: the conf is runtime-settable, and a harness-owned
+        # SparkSession (e.g. the driver's correctness gate) won't have it.
+        # Without it the read fails with PARQUET_TYPE_ILLEGAL on the NANOS
+        # column before any row is touched.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

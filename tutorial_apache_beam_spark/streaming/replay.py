@@ -73,6 +73,11 @@ def stream_events(
     """
     from pyspark.sql import functions as F
 
+    # Same self-sufficiency guard as catalog.load_table: the file-stream
+    # source hits the same PARQUET_TYPE_ILLEGAL on the NANOS column if the
+    # session wasn't built by session.get_spark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     schema = (
         "event_id BIGINT, ts BIGINT, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING"
