@@ -80,3 +80,63 @@ def test_single_run_panes_equal_totals(spark, tmp_path):
     out = _run(spark, src, tmp_path / "ckpt", tmp_path / "sink")
     got = {r.user_id: (r.pane_count, r.pane_index) for r in out.collect()}
     assert got == {100: (1, 0), 101: (2, 0), 102: (3, 0)}
+
+
+class _FakeState:
+    """Minimal GroupState double capturing timer arming and removal."""
+
+    def __init__(self, watermark_ms=0):
+        self.exists = False
+        self.hasTimedOut = False
+        self._value = None
+        self.removed = False
+        self.timeout_ts = None
+        self._wm = watermark_ms
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.exists = True
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_emit_pane_arms_event_time_timer_and_cleans_up():
+    import pandas as pd
+
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        _duration_ms,
+        _make_emit_pane,
+    )
+
+    fn = _make_emit_pane(_duration_ms("1 minute"))
+    window_start = pd.Timestamp("2024-01-01 00:05:00")
+    key = (window_start, 7)
+    state = _FakeState(watermark_ms=0)
+    batch = pd.DataFrame({"window_start": [window_start] * 3, "user_id": [7] * 3})
+
+    out = list(fn(key, iter([batch]), state))
+    assert out[0]["pane_count"].iloc[0] == 3
+    # Timer armed at the window END (start + 1 minute), so state is dropped
+    # once the watermark passes it instead of growing forever.
+    assert state.timeout_ts == window_start.value // 1_000_000 + 60_000
+
+    # Spark guarantee: timestamp must beat the current watermark.
+    late_state = _FakeState(watermark_ms=10**15)
+    list(fn(key, iter([batch]), late_state))
+    assert late_state.timeout_ts == 10**15 + 1
+
+    # Timed-out invocation removes state and emits nothing.
+    state.hasTimedOut = True
+    assert list(fn(key, iter([]), state)) == []
+    assert state.removed

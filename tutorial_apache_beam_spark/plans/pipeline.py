@@ -449,11 +449,16 @@ class WriteParquet(PTransform):
                     w = w.partitionBy(*partition_by)
                 w.parquet(path)
 
-            writer = (
-                df.writeStream.outputMode(self.output_mode)
-                .foreachBatch(_append_batch)
-                .option("checkpointLocation", self.checkpoint)
+            writer = df.writeStream.outputMode(self.output_mode).foreachBatch(
+                _append_batch
             )
+            if self.checkpoint is not None:
+                # Passing None through would make start() throw an opaque
+                # "Can not create a Path from a null string"; omitting the
+                # option lets Spark fall back to a temp checkpoint (fine for
+                # ad-hoc runs; production callers pass one for exactly-once
+                # source progress across restarts).
+                writer = writer.option("checkpointLocation", self.checkpoint)
             if self.available_now:
                 writer = writer.trigger(availableNow=True)
             query = writer.start()

@@ -37,29 +37,57 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "pane_index INT"
 
 
-def _emit_pane(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n = sum(len(b) for b in batches)
-    if state.hasTimedOut:
-        # Watermark passed the window end: drop the per-key state.
-        state.remove()
-        return
-    if n == 0:
-        return
-    (pane_index,) = state.get if state.exists else (0,)
-    window_start, user_id = key
-    yield pd.DataFrame(
-        {
-            "window_start": [window_start],
-            "user_id": [user_id],
-            "pane_count": [n],
-            "pane_index": [pane_index],
-        }
-    )
-    state.update((pane_index + 1,))
+def _duration_ms(duration: str) -> int:
+    """Parse a Spark interval string like '1 minute' / '30 seconds' to ms."""
+    qty, unit = duration.split()
+    unit_ms = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(qty) * unit_ms
+
+
+def _make_emit_pane(window_ms: int):
+    """Build the keyed pane emitter with the window length baked in (the
+    state function only sees the key's window START; the timeout must be
+    armed at the window END so state survives exactly as long as on-time
+    data can still arrive)."""
+
+    def _emit_pane(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Watermark passed the window end: drop the per-key state.
+            state.remove()
+            return
+        n = sum(len(b) for b in batches)
+        if n == 0:
+            return
+        (pane_index,) = state.get if state.exists else (0,)
+        window_start, user_id = key
+        yield pd.DataFrame(
+            {
+                "window_start": [window_start],
+                "user_id": [user_id],
+                "pane_count": [n],
+                "pane_index": [pane_index],
+            }
+        )
+        state.update((pane_index + 1,))
+        # Arm the event-time timer: fire once the watermark passes the
+        # window end, so expired (window, key) state is removed instead of
+        # accumulating forever. Spark requires the timestamp to be beyond
+        # the current watermark; a pane firing implies its rows passed the
+        # watermark filter, but clamp defensively anyway.
+        end_ms = pd.Timestamp(window_start).value // 1_000_000 + window_ms
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+
+    return _emit_pane
 
 
 def discarding_pane_counts(
@@ -88,7 +116,7 @@ def discarding_pane_counts(
         .select("window_start", key_col)
     )
     return bucketed.groupBy("window_start", key_col).applyInPandasWithState(
-        _emit_pane,
+        _make_emit_pane(_duration_ms(window_duration)),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
