@@ -31,13 +31,13 @@ HEADLINE = [
     "demo2_tumbling_counts",
     "q1_pricing_summary",
     "star_join_revenue_by_nation",
-    "top_orders_per_customer",
+    "topk_orders",
     "minhash_lsh_near_dups",
     "cosine_topk_bruteforce",
     "embedding_cosine_near_dups",
-    "text_stats_quality",
+    "text_analysis_suite",
     "training_data_pipeline",
-    "streaming_demo2_counts",
+    "streaming_demo2_modes",
     "streaming_interval_join",
 ]
 

@@ -54,9 +54,9 @@ def test_demo2_aggregation_is_two_phase(spark):
 
 
 def test_semi_join_stays_semi(spark):
-    df = registry.queries()["semi_join_customers_with_orders"](spark, SF_DIR)
+    df = registry.queries()["customer_set_ops"](spark, SF_DIR)
     plan = plan_of(df)
-    assert "LeftSemi" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
     # Orders scan must prune to the join key only.
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     orders_schema = [l for l in read_schemas if "o_custkey" in l][0]

@@ -74,119 +74,29 @@ def demo1_click_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "demo1_drop_malformed",
+    "demo1_malformed_split",
     oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_valid
-    FROM events
-    WHERE user_id IS NOT NULL
-    """,
-)
-def demo1_drop_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Malformed JSON is dropped silently, not failed (Demo1.java:65-68).
-
-    Interleaves one corrupt payload per event with the valid wire rows; the
-    parse must keep exactly the valid ones.
-    """
-    events = load_table(spark, sf_dir, "events")
-    valid = events.select(
-        F.to_json(
-            F.struct(
-                F.unix_timestamp("ts").alias("event_time"),
-                F.col("user_id").cast("int").alias("user_id"),
-                F.lit(1).alias("click"),
-            )
-        ).alias("value")
-    )
-    corrupt = events.select(F.lit("{not json!").alias("value"))
-    parsed = parse_click_messages(valid.unionAll(corrupt))
-    return parsed.agg(F.count(F.lit(1)).alias("n_valid"))
-
-
-@register(
-    "sliding_window_value_sum",
-    oracle="""
-    WITH hops AS (SELECT unnest(range(0, 5)) AS i)
-    SELECT time_bucket(INTERVAL '1 minute', e.ts) - (h.i * INTERVAL '1 minute') AS window_start,
-           time_bucket(INTERVAL '1 minute', e.ts) - (h.i * INTERVAL '1 minute')
-             + INTERVAL '5 minutes'                                             AS window_end,
-           e.event_type,
-           count(*)                                                             AS count,
-           round(sum(e.value), 2)                                               AS sum_value
-    FROM events e CROSS JOIN hops h
-    GROUP BY 1, 2, 3
-    """,
-)
-def sliding_window_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute windows sliding by 1 minute (Beam SlidingWindows parity).
-
-    Each event belongs to 5 hops; the oracle enumerates them explicitly.
-    """
-    events = load_table(spark, sf_dir, "events")
-    out = sliding_agg(
-        events,
-        "ts",
-        ["event_type"],
-        "5 minutes",
-        "1 minute",
-        aggs=[
-            F.count(F.lit(1)).alias("count"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        ],
-    )
-    return out
-
-
-@register(
-    "session_window_counts",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-      FROM events
-    ), marked AS (
-      SELECT user_id, ts,
-             CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM ordered
-    ), sessions AS (
-      SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM marked
-    )
-    SELECT min(ts)                         AS session_start,
-           max(ts) + INTERVAL '30 minutes' AS session_end,
-           user_id,
-           count(*)                        AS count
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
-def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows with a 30-minute gap (Beam Sessions parity).
-
-    Spark's `session_window` merges events < gap apart; session_end is
-    last_event + gap. The oracle reproduces that with a lag/cumsum
-    sessionization.
-    """
-    events = load_table(spark, sf_dir, "events")
-    return session_agg(events, "ts", ["user_id"], "30 minutes")
-
-
-@register(
-    "demo1_dead_letter_split",
-    oracle="""
-    SELECT 'parsed' AS branch, count(*) AS n FROM events
+    SELECT 'drop_parsed' AS branch, count(*) AS n FROM events
     UNION ALL
-    SELECT 'dead_letter' AS branch, CAST(count(*) / 2 AS BIGINT) AS n FROM events
+    SELECT 'dlq_parsed' AS branch, count(*) AS n FROM events
+    UNION ALL
+    SELECT 'dlq_dead_letter' AS branch, count(*) AS n
+    FROM events WHERE event_id % 2 = 0
     """,
 )
-def demo1_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dead-letter-queue variant of the Demo1 parse: malformed payloads go
-    to a side output (with the raw bytes for replay) instead of vanishing.
+def demo1_malformed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling, both policies in one gate (merges round-1's
+    `demo1_drop_malformed` + `demo1_dead_letter_split`):
 
-    Input = one valid wire message per event + one corrupt payload per two
-    events; output = per-branch counts.
+    - drop path (Demo1.java:65-68): malformed JSON silently dropped —
+      `drop_parsed` must equal the valid-row count;
+    - dead-letter path: malformed payloads routed to a side output with the
+      raw bytes for replay — `dlq_parsed` / `dlq_dead_letter` count the two
+      branches.
+
+    Input = one valid wire message per event, one corrupt payload per even
+    event_id (half the corrupt rows of the drop-path input, exercising a
+    different malformed density on each path).
     """
     from tutorial_apache_beam_spark.operators.etl import (
         parse_click_messages_with_dlq,
@@ -202,16 +112,99 @@ def demo1_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
-    corrupt = events.filter(F.col("event_id") % 2 == 0).select(
+    corrupt_all = events.select(F.lit("{not json!").alias("value"))
+    corrupt_half = events.filter(F.col("event_id") % 2 == 0).select(
         F.concat(F.lit("{corrupt:"), F.col("event_id").cast("string")).alias("value")
     )
-    parsed, dead = parse_click_messages_with_dlq(valid.unionAll(corrupt))
-    return (
-        parsed.agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("parsed").alias("branch"), "n")
-        .unionByName(
-            dead.agg(F.count(F.lit(1)).alias("n")).select(
-                F.lit("dead_letter").alias("branch"), "n"
-            )
-        )
+    dropped = parse_click_messages(valid.unionAll(corrupt_all))
+    parsed, dead = parse_click_messages_with_dlq(valid.unionAll(corrupt_half))
+    count = lambda df, tag: df.agg(F.count(F.lit(1)).alias("n")).select(  # noqa: E731
+        F.lit(tag).alias("branch"), "n"
     )
+    return (
+        count(dropped, "drop_parsed")
+        .unionByName(count(parsed, "dlq_parsed"))
+        .unionByName(count(dead, "dlq_dead_letter"))
+    )
+
+
+@register(
+    "sliding_session_windows",
+    oracle="""
+    WITH hops AS (SELECT unnest(range(0, 5)) AS i),
+    sliding AS (
+      SELECT time_bucket(INTERVAL '1 minute', e.ts) - (h.i * INTERVAL '1 minute') AS window_start,
+             time_bucket(INTERVAL '1 minute', e.ts) - (h.i * INTERVAL '1 minute')
+               + INTERVAL '5 minutes'                                             AS window_end,
+             e.event_type                                                         AS grp,
+             count(*)                                                             AS count,
+             round(sum(e.value), 2)                                               AS sum_value
+      FROM events e CROSS JOIN hops h
+      GROUP BY 1, 2, 3
+    ),
+    ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), sess AS (
+      SELECT min(ts)                         AS window_start,
+             max(ts) + INTERVAL '30 minutes' AS window_end,
+             CAST(user_id AS VARCHAR)        AS grp,
+             count(*)                        AS count,
+             CAST(NULL AS DOUBLE)            AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT 'sliding' AS kind, * FROM sliding
+    UNION ALL
+    SELECT 'session' AS kind, * FROM sess
+    """,
+)
+def sliding_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding + session windows in one gate (merges round-1's
+    `sliding_window_value_sum` + `session_window_counts`; tumbling is
+    `demo2_tumbling_counts` — together the full Beam window-fn surface, W2).
+
+    - sliding: 5-minute windows every 1 minute (each event in 5 hops; the
+      oracle enumerates the hops explicitly);
+    - session: 30-minute-gap merged sessions, session_end = last event +
+      gap, reproduced in SQL via lag/cumsum sessionization.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sliding = sliding_agg(
+        events,
+        "ts",
+        ["event_type"],
+        "5 minutes",
+        "1 minute",
+        aggs=[
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    ).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "window_end",
+        F.col("event_type").alias("grp"),
+        "count",
+        "sum_value",
+    )
+    session = session_agg(events, "ts", ["user_id"], "30 minutes").select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("grp"),
+        "count",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return sliding.unionByName(session)

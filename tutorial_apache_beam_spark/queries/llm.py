@@ -162,19 +162,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
 
 
-@register(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-    hashed AS (SELECT doc_id,
-                      list_transform(toks, s -> {portable_hash64_sql('s')}) AS hx
-               FROM tok)
-    SELECT doc_id, {simhash32_sql('hx')} AS simhash
-    FROM hashed
-    """,
-)
 def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash (bit-majority of token hashes)."""
+    """Per-document 32-bit SimHash (bit-majority of token hashes) — driver
+    gate moved into `doc_fingerprints_suite`; kept callable for bench/tests."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(docs)
 
@@ -210,37 +200,82 @@ _SW_RATIO_COLS_SQL = ",\n           ".join(
     for lang in STOPWORDS
 )
 
+_LANGS = list(STOPWORDS)  # tie order: en, es, de, fr
+
 
 @register(
-    "text_stats_quality",
+    "text_analysis_suite",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
-    SELECT doc_id,
-           length(text)                                         AS n_chars,
-           len(toks)                                            AS n_tokens,
-           len(list_distinct(toks))                             AS n_types,
-           len(regexp_extract_all(text,
+    WITH tok AS (SELECT doc_id, lang, text, {_TOK} AS toks FROM documents),
+    scored AS (SELECT doc_id,
+           {_SW_RATIO_COLS_SQL}
+               FROM tok WHERE len(toks) > 0)
+    SELECT t.doc_id,
+           length(t.text)                                       AS n_chars,
+           len(t.toks)                                          AS n_tokens,
+           len(list_distinct(t.toks))                           AS n_types,
+           len(regexp_extract_all(t.text,
                '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))                 AS n_bpe_tokens,
-           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-           round(CASE WHEN len(toks) = 0 THEN 0
-                 ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 4)
+           length(regexp_replace(t.text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+           round(CASE WHEN len(t.toks) = 0 THEN 0
+                 ELSE len(list_distinct(t.toks))::DOUBLE / len(t.toks) END, 4)
                                                                 AS type_token_ratio,
-           round(least(len(toks) / 100.0, 1.0) * 0.5
-                 + CASE WHEN len(toks) = 0 THEN 0
-                   ELSE ({stopword_count_sql('toks', 'en')}::DOUBLE / len(toks))
-                   END * 0.5, 4)                                AS quality_score
-    FROM tok
+           round(least(len(t.toks) / 100.0, 1.0) * 0.5
+                 + CASE WHEN len(t.toks) = 0 THEN 0
+                   ELSE ({stopword_count_sql('t.toks', 'en')}::DOUBLE / len(t.toks))
+                   END * 0.5, 4)                                AS quality_score,
+           t.lang                                               AS labeled_lang,
+           CASE
+             WHEN s.doc_id IS NULL THEN NULL
+             WHEN sw_en >= sw_es AND sw_en >= sw_de AND sw_en >= sw_fr THEN 'en'
+             WHEN sw_es >= sw_de AND sw_es >= sw_fr THEN 'es'
+             WHEN sw_de >= sw_fr THEN 'de'
+             ELSE 'fr'
+           END AS detected_lang
+    FROM tok t LEFT JOIN scored s ON t.doc_id = s.doc_id
     """,
 )
-def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counts, type/token ratio, BPE-ish token count, punctuation
-    count, and a composite quality score — all codegen built-ins."""
+def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis in one gate (merges round-1's `text_stats_quality` +
+    `lang_id_heuristic`), one row per document:
+
+    - token counts, type/token ratio, BPE-ish token count, punctuation
+      count, composite quality score — all codegen built-ins;
+    - stopword-overlap language ID with a fixed tie order (en>es>de>fr);
+      NULL for token-less documents. (The fixture text is synthetic, so
+      `detected_lang` doesn't track the `lang` label — the operator
+      contract is the deterministic scoring.)
+    """
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    n_tokens = F.size(t)
-    n_types = F.size(F.array_distinct(t))
-    sw_en = stopword_count(t, "en")
-    return docs.select(
+    base = docs.select("doc_id", "lang", "text", t.alias("toks"))
+    for lang in _LANGS:
+        base = base.withColumn(
+            f"sw_{lang}",
+            F.round(
+                stopword_count(F.col("toks"), lang).cast("double")
+                / F.size("toks"),
+                4,
+            ),
+        )
+    n_tokens = F.size("toks")
+    n_types = F.size(F.array_distinct("toks"))
+    sw_en = stopword_count(F.col("toks"), "en")
+    detected = F.when(F.size("toks") == 0, F.lit(None).cast("string")).otherwise(
+        F.when(
+            (F.col("sw_en") >= F.col("sw_es"))
+            & (F.col("sw_en") >= F.col("sw_de"))
+            & (F.col("sw_en") >= F.col("sw_fr")),
+            "en",
+        )
+        .when(
+            (F.col("sw_es") >= F.col("sw_de")) & (F.col("sw_es") >= F.col("sw_fr")),
+            "es",
+        )
+        .when(F.col("sw_de") >= F.col("sw_fr"), "de")
+        .otherwise("fr")
+    )
+    return base.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -252,90 +287,48 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bpe_tokens"),
         F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).alias("n_punct"),
         F.round(
-            F.when(n_tokens == 0, 0.0).otherwise(
-                n_types.cast("double") / n_tokens
-            ),
+            F.when(n_tokens == 0, 0.0).otherwise(n_types.cast("double") / n_tokens),
             4,
         ).alias("type_token_ratio"),
         F.round(
             F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
-            + F.when(n_tokens == 0, 0.0).otherwise(
-                sw_en.cast("double") / n_tokens
-            )
+            + F.when(n_tokens == 0, 0.0).otherwise(sw_en.cast("double") / n_tokens)
             * 0.5,
             4,
         ).alias("quality_score"),
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
     )
-
-
-_LANGS = list(STOPWORDS)  # tie order: en, es, de, fr
 
 
 @register(
-    "lang_id_heuristic",
+    "doc_fingerprints_suite",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
-    scored AS (SELECT doc_id, lang,
-           {_SW_RATIO_COLS_SQL}
-               FROM tok WHERE len(toks) > 0)
-    SELECT doc_id,
-           lang AS labeled_lang,
-           CASE
-             WHEN sw_en >= sw_es AND sw_en >= sw_de AND sw_en >= sw_fr THEN 'en'
-             WHEN sw_es >= sw_de AND sw_es >= sw_fr THEN 'es'
-             WHEN sw_de >= sw_fr THEN 'de'
-             ELSE 'fr'
-           END AS detected_lang
-    FROM scored
-    """,
-)
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID with a fixed tie order (en>es>de>fr).
-
-    (The fixture text is synthetic, so `detected_lang` doesn't track the
-    `lang` label — the operator contract is the deterministic scoring.)
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    base = docs.select("doc_id", F.col("lang").alias("labeled_lang"), t.alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    for lang in _LANGS:
-        base = base.withColumn(
-            f"sw_{lang}",
-            F.round(
-                stopword_count(F.col("toks"), lang).cast("double") / F.size("toks"), 4
-            ),
-        )
-    detected = (
-        F.when(
-            (F.col("sw_en") >= F.col("sw_es"))
-            & (F.col("sw_en") >= F.col("sw_de"))
-            & (F.col("sw_en") >= F.col("sw_fr")),
-            "en",
-        )
-        .when((F.col("sw_es") >= F.col("sw_de")) & (F.col("sw_es") >= F.col("sw_fr")), "es")
-        .when(F.col("sw_de") >= F.col("sw_fr"), "de")
-        .otherwise("fr")
-    )
-    return base.select("doc_id", "labeled_lang", detected.alias("detected_lang"))
-
-
-@register(
-    "document_fingerprints",
-    oracle=f"""
-    WITH {_SHINGLES_CTE}
+    WITH {_SHINGLES_CTE},
+    thx AS (SELECT doc_id,
+                   list_transform(toks, s -> {portable_hash64_sql('s')}) AS token_hashes
+            FROM tok)
     SELECT t.doc_id,
            {portable_hash64_sql("array_to_string(list_sort(list_distinct(t.toks)), ' ')")}
              AS content_fp,
            coalesce(list_min(list_transform(s.shingles,
-                     x -> {portable_hash64_sql('x')})), -1) AS min_shingle_fp
-    FROM tok t JOIN sh s ON t.doc_id = s.doc_id
+                     x -> {portable_hash64_sql('x')})), -1) AS min_shingle_fp,
+           {simhash32_sql('x.token_hashes')} AS simhash
+    FROM tok t
+    JOIN sh s  ON t.doc_id = s.doc_id
+    JOIN thx x ON t.doc_id = x.doc_id
     """,
 )
-def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive content fingerprint (hash of sorted vocabulary)
-    plus a min-shingle rolling fingerprint — both portable-hash built."""
+def doc_fingerprints_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting in one gate (merges round-1's
+    `document_fingerprints` + `simhash_fingerprints`):
+
+    - order-insensitive content fingerprint (hash of sorted vocabulary);
+    - min-shingle rolling fingerprint;
+    - 32-bit SimHash (bit-majority of token hashes).
+
+    All portable-hash built, so the oracle reproduces every bit.
+    """
     from tutorial_apache_beam_spark.operators.dedup import with_shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -352,11 +345,12 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(F.transform("shingles", portable_hash64)), F.lit(-1)
         ).alias("min_shingle_fp"),
     )
-    return content.join(sh, "doc_id")
+    sim = simhash_fingerprints(docs)
+    return content.join(sh, "doc_id").join(sim, "doc_id")
 
 
 @register(
-    "multimodal_decode_metadata",
+    "multimodal_pipeline",
     oracle="""
     WITH m AS (
       SELECT doc_id,
@@ -365,45 +359,53 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 'video' END AS media_type,
              text,
              ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
-      FROM documents)
-    SELECT doc_id,
-           media_type,
-           octet_length(encode(text))                    AS n_bytes,
-           CAST(64 + h % 512 AS INT)                     AS width,
-           CAST(64 + (h // 512) % 512 AS INT)            AS height,
-           CAST(CASE WHEN media_type = 'image' THEN 0
-                ELSE 1000 + (h // (512 * 512)) % 60000
-                END AS INT)                              AS duration_ms
-    FROM m
+      FROM documents),
+    meta AS (
+      SELECT doc_id,
+             media_type,
+             octet_length(encode(text))                    AS n_bytes,
+             CAST(64 + h % 512 AS INT)                     AS width,
+             CAST(64 + (h // 512) % 512 AS INT)            AS height,
+             CAST(CASE WHEN media_type = 'image' THEN 0
+                  ELSE 1000 + (h // (512 * 512)) % 60000
+                  END AS INT)                              AS duration_ms
+      FROM m)
+    SELECT *,
+           CAST(CASE WHEN media_type = 'video'
+                THEN duration_ms // 10000 + 1 ELSE 0 END AS BIGINT) AS n_frames
+    FROM meta
     """,
 )
-def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns → typed metadata through the Arrow mapInPandas
-    decode plumbing (deterministic stub codec — see operators.multimodal).
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + frame sampling in one gate (merges round-1's
+    `multimodal_decode_metadata` + the previously rows-only
+    `multimodal_frame_samples`):
 
-    The oracle recomputes the stub's md5-derived metadata in SQL, so the
-    whole Python/Arrow path is value-checked, not just row-counted.
+    - binary media → typed metadata through the Arrow mapInPandas decode
+      plumbing (deterministic stub codec — see operators.multimodal);
+    - row-expanding frame sampler, checked through its count invariant:
+      a video yields exactly duration_ms // interval + 1 frames, other
+      media none. The oracle recomputes the stub's md5-derived metadata
+      AND the frame-count formula in SQL, so the whole Python/Arrow path —
+      including the flat-map expansion — is value-checked.
     """
     from tutorial_apache_beam_spark.operators.multimodal import (
         decode_metadata,
-        media_table,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_metadata(media_table(docs))
-
-
-@register("multimodal_frame_samples")
-def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling for video media: a row-expanding mapInPandas stage
-    (rows-only check; frame hashes cover byte-level determinism in pytest)."""
-    from tutorial_apache_beam_spark.operators.multimodal import (
         media_table,
         sample_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(media_table(docs))
+    media = media_table(docs)
+    meta = decode_metadata(media)
+    frames = (
+        sample_frames(media)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return meta.join(frames, "doc_id", "left").withColumn(
+        "n_frames", F.coalesce(F.col("n_frames"), F.lit(0))
+    )
 
 
 @register(
@@ -495,14 +497,51 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dup_clusters")
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inv AS (SELECT doc_id, unnest(hashes) AS h FROM hsh),
+    freq AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+    inv2 AS (SELECT i.doc_id, i.h
+             FROM inv i JOIN freq f USING (h) WHERE f.df <= 100),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv2 a JOIN inv2 b USING (h)
+             WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.hashes, sb.hashes))::DOUBLE
+                     / len(list_distinct(list_concat(sa.hashes, sb.hashes))),
+                     4) AS jaccard
+        FROM cand
+        JOIN hsh sa ON sa.doc_id = cand.id_a
+        JOIN hsh sb ON sb.doc_id = cand.id_b)
+      WHERE jaccard >= 0.2),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT component, count(*) AS cluster_size
+    FROM comp
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the Jaccard
     pair graph (A~B, B~C collapse together even without an A~C edge).
 
-    Iterative min-label propagation (operators.graph) — the
-    non-SQL-expressible class, so rows-only in the gate; planted-cluster
-    pytests (tests/test_graph.py) pin the semantics.
+    Engine side is iterative min-label propagation (operators.graph —
+    distributed, one shuffle per round, converges in O(diameter)). The
+    oracle computes the same components via a recursive-CTE transitive
+    closure (viable at oracle scale; the component label is the minimum
+    doc_id in the component on both sides — exact value parity, upgrading
+    round-1's rows-only check).
     Output: (component, cluster_size) for clusters of 2+ documents.
     """
     from tutorial_apache_beam_spark.operators.graph import connected_components
@@ -518,29 +557,47 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dataset_split_assignment",
+    "split_and_pack",
     oracle=f"""
-    SELECT doc_id,
-           CAST({portable_hash64_sql('text')} % 100 AS INT) AS bucket,
-           CASE WHEN {portable_hash64_sql('text')} % 100 < 90 THEN 'train'
-                WHEN {portable_hash64_sql('text')} % 100 < 95 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_TOK}) AS n_tokens
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST({portable_hash64_sql('d.text')} % 100 AS INT) AS bucket,
+           CASE WHEN {portable_hash64_sql('d.text')} % 100 < 90 THEN 'train'
+                WHEN {portable_hash64_sql('d.text')} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           t.shard,
+           t.n_tokens,
+           CAST(floor(coalesce(sum(t.n_tokens) OVER (
+                    PARTITION BY t.shard ORDER BY t.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4096.0) AS BIGINT) AS pack_id
+    FROM documents d JOIN t ON d.doc_id = t.doc_id
     """,
 )
-def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test split by content hash.
+def split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly in one gate (merges round-1's
+    `dataset_split_assignment` + `pack_documents_by_token_budget`), one row
+    per document:
 
-    Hashing the TEXT (not the id) keeps a document's split stable across
-    re-crawls and re-sharding, and identical content always lands in the
-    same split — no train/test leakage through duplicates. Pure
-    row-local projection: no shuffle, scales linearly, and the portable
-    hash makes the assignment reproducible in any engine (the oracle
-    computes the identical buckets in DuckDB).
+    - deterministic 90/5/5 train/val/test split by CONTENT hash: identical
+      content always lands in the same split — no train/test leakage
+      through duplicates, stable across re-crawls; pure row-local
+      projection, no shuffle;
+    - sequence packing into ~4096-token packs across 8 independent shards
+      (window partitioned by shard — a single global packing order would
+      serialize onto one partition). A document's pack is
+      floor(tokens-before-it / budget): contiguous offset-based packing,
+      one shuffle, deterministic; packs overflow by at most one document —
+      the standard concat-then-chunk approximation.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     bucket = (portable_hash64(F.col("text")) % 100).cast("int")
-    return docs.select(
+    split = docs.select(
         "doc_id",
         bucket.alias("bucket"),
         F.when(bucket < 90, "train")
@@ -548,41 +605,6 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-
-
-@register(
-    "pack_documents_by_token_budget",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard, len({_TOK}) AS n_tokens
-      FROM documents
-    )
-    SELECT doc_id, shard, n_tokens,
-           CAST(floor(coalesce(sum(n_tokens) OVER (
-                    PARTITION BY shard ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                / 4096.0) AS BIGINT) AS pack_id
-    FROM t
-    """,
-)
-def pack_documents_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: group documents into ~4096-token packs for LLM
-    training, sharded for parallelism.
-
-    Each of 8 shards packs independently (window partitioned by shard, so
-    the cumulative sum never needs a global order — the scale-critical
-    choice: a single global packing order would serialize onto one
-    partition). Within a shard, a document's pack is
-    floor(tokens-before-it / budget): contiguous offset-based packing,
-    fully deterministic and one shuffle, versus sequential greedy
-    first-fit which cannot parallelize. Packs can overflow the budget by
-    at most one document — the standard concat-then-chunk approximation
-    used when documents are later concatenated and split at token
-    boundaries anyway.
-    """
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
@@ -594,9 +616,7 @@ def pack_documents_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        F.floor(cum_before / 4096.0).alias("pack_id"),
+    packed = t.select(
+        "doc_id", "shard", "n_tokens", F.floor(cum_before / 4096.0).alias("pack_id")
     )
+    return split.join(packed, "doc_id")

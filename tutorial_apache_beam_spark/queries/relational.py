@@ -103,45 +103,63 @@ def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_customers_with_orders",
+    "customer_set_ops",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    WITH y1996 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y1997 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT 'with_orders' AS segment, c_custkey AS custkey
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers that placed at least one order."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "anti_join_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'no_1996_orders' AS segment, c_custkey AS custkey
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND year(o.o_orderdate) = 1996)
+    UNION ALL
+    SELECT 'both_96_97' AS segment, o_custkey AS custkey
+    FROM (SELECT * FROM y1996 INTERSECT SELECT * FROM y1997)
+    UNION ALL
+    SELECT 'only_1996' AS segment, o_custkey AS custkey
+    FROM (SELECT * FROM y1996 EXCEPT SELECT * FROM y1997)
+    UNION ALL
+    SELECT 'only_1997' AS segment, o_custkey AS custkey
+    FROM (SELECT * FROM y1997 EXCEPT SELECT * FROM y1996)
     """,
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no 1996 orders.
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer membership segments — semi-join, anti-join, and the set-op
+    surface in one gate (merges round-1's `semi_join_customers_with_orders`,
+    `anti_join_customers_without_orders`, `set_ops_customer_years`):
 
-    (Restricted to one year so the result is non-empty at every fixture SF —
-    an empty result would make the oracle comparison vacuous.)
+    - `with_orders`: left-semi (EXISTS) — placed at least one order;
+    - `no_1996_orders`: left-anti (NOT EXISTS) against one year, so the
+      segment is non-empty at every fixture SF;
+    - `both_96_97` / `only_1996` / `only_1997`: INTERSECT / EXCEPT over
+      yearly customer sets.
     """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1996
+    orders = load_table(spark, sf_dir, "orders")
+    seg = lambda df, tag: df.select(  # noqa: E731
+        F.lit(tag).alias("segment"), F.col(df.columns[0]).alias("custkey")
     )
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    semi = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+    anti = customer.join(
+        orders.filter(F.year("o_orderdate") == 1996),
+        customer.c_custkey == orders.o_custkey,
+        "left_anti",
+    ).select("c_custkey")
+    y1996 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y1997 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    return (
+        seg(semi, "with_orders")
+        .unionByName(seg(anti, "no_1996_orders"))
+        .unionByName(seg(y1996.intersect(y1997), "both_96_97"))
+        .unionByName(seg(y1996.exceptAll(y1997), "only_1996"))
+        .unionByName(seg(y1997.exceptAll(y1996), "only_1997"))
+    )
 
 
 @register(
@@ -259,32 +277,14 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "global_top_orders",
+    "topk_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
-    """,
-)
-def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
-    from tutorial_apache_beam_spark.operators.relational import top_k
-
-    orders = load_table(spark, sf_dir, "orders")
-    return top_k(
-        orders.select(
-            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
-        ),
-        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        25,
-    )
-
-
-@register(
-    "top_orders_per_customer",
-    oracle="""
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    SELECT 'global' AS scope, o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25)
+    UNION ALL
+    SELECT 'per_customer' AS scope, o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -294,20 +294,41 @@ def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
 )
-def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer (windowed top-k, one shuffle on the key)."""
-    from tutorial_apache_beam_spark.operators.relational import top_k_per_group
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k orders, global and per-group, in one gate (merges round-1's
+    `global_top_orders` + `top_orders_per_customer`):
+
+    - global top-25 (TakeOrderedAndProject — no full sort at scale);
+    - top-3 per customer (windowed top-k, one shuffle on the key).
+    """
+    from tutorial_apache_beam_spark.operators.relational import (
+        top_k,
+        top_k_per_group,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    out = top_k_per_group(
-        orders,
-        ["o_custkey"],
+    top_global = top_k(
+        orders.select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        ),
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        3,
+        25,
+    ).select(F.lit("global").alias("scope"), "*")
+    per_cust = (
+        top_k_per_group(
+            orders,
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+            3,
+        )
+        .select(
+            F.lit("per_customer").alias("scope"),
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
     )
-    return out.select(
-        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
-    )
+    return top_global.unionByName(per_cust)
 
 
 @register(

@@ -141,24 +141,35 @@ def math_conditional_on_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "json_props_extraction",
+    "json_map_functions",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k,
-           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+           CAST(json_extract(props, '$.k') AS INT)              AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 10         AS k_bucket,
+           json_keys(props)                                     AS prop_keys,
+           CAST(json_extract(props, '$.k') AS INT) IS NOT NULL  AS has_k
     FROM events
     """,
 )
-def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON column extraction: `from_json` into a typed struct (the engine's
-    generic schema-on-read surface; malformed rows become NULL, mirroring
-    the reference's drop-on-parse-failure)."""
+def json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + MapType surface in one gate (merges round-1's
+    `json_props_extraction` + `map_functions_on_props`):
+
+    - `from_json` into a typed struct (schema-on-read; malformed rows
+      become NULL, mirroring the reference's drop-on-parse-failure);
+    - `from_json` into MAP<STRING,INT> with map_keys / lookup / membership
+      (the escape hatch for ragged JSON).
+    """
     events = load_table(spark, sf_dir, "events")
     parsed = events.select(
-        "event_id", F.from_json("props", "k INT").alias("_p")
+        "event_id",
+        F.from_json("props", "k INT").alias("_p"),
+        F.from_json("props", "MAP<STRING, INT>").alias("_m"),
     )
     return parsed.select(
         "event_id",
         F.col("_p.k").alias("k"),
         (F.col("_p.k") % 10).alias("k_bucket"),
+        F.map_keys("_m").alias("prop_keys"),
+        F.col("_m")["k"].isNotNull().alias("has_k"),
     )

@@ -65,28 +65,27 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35)
 
 
-@register("srp_ann_topk")
-def srp_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-random-projection LSH buckets.
+@register("ann_topk_variants")
+def ann_topk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors under BOTH ANN index families in one
+    gate (merges round-1's `srp_ann_topk` + `ivf_ann_topk`):
+
+    - srp: sign-random-projection LSH buckets (3 independent tables);
+    - ivf: coarse quantization into centroid buckets, nprobe=2.
 
     No SQL oracle (approximate recall is implementation-defined); the
-    companion exact query anchors correctness, and a pytest asserts
-    every returned neighbor's cosine matches the exact computation.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return srp_ann_topk(emb, probes, k=5)
-
-
-@register("ivf_ann_topk")
-def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (coarse quantization + nprobe=2).
-
-    Rows-only in the gate (approximate recall); pytest checks score
-    consistency with the exact computation and non-trivial recall.
+    companion exact query `cosine_topk_bruteforce` anchors correctness,
+    and pytests assert every returned neighbor's cosine matches the exact
+    computation plus non-trivial recall for each method.
     """
     from tutorial_apache_beam_spark.operators.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_ann_topk(emb, probes, k=5, nprobe=2)
+    srp = srp_ann_topk(emb, probes, k=5).select(
+        F.lit("srp").alias("method"), "probe_id", "vec_id", "cos"
+    )
+    ivf = ivf_ann_topk(emb, probes, k=5, nprobe=2).select(
+        F.lit("ivf").alias("method"), "probe_id", "vec_id", "cos"
+    )
+    return srp.unionByName(ivf)

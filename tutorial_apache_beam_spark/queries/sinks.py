@@ -1,0 +1,95 @@
+"""Sink-path queries: the K1/K2 rows (append sink + partitioned TTL table)
+as driver-checked round trips instead of pytest-only coverage.
+
+Reference parity: Demo1 writes an append table (Demo1.java:89-98, BigQuery
+WRITE_APPEND + STREAMING_INSERTS) into a day-partitioned, TTL'd target
+(deployment/modules/infra/google_bigquery.tf:17-21). Here that is the
+streaming WriteParquet sink (checkpointed foreachBatch append, partitioned
+by event date) plus the retention maintenance operator, verified by
+reading the surviving table back and oracle-checking the per-day counts.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.registry import register
+
+# The events fixture spans 2024-01-01 .. 2024-01-30 at every SF; a frozen
+# "today" keeps the run reproducible (no wall-clock reads).
+_TODAY = date(2024, 1, 30)
+_KEEP_DAYS = 7  # keep event_date >= 2024-01-23, drop the older 22 days
+
+
+@register(
+    "sink_roundtrip_retention",
+    oracle="""
+    SELECT CAST(ts AS DATE)  AS event_date,
+           count(*)          AS n_rows,
+           count(*)          AS n_clicks
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-23'
+    GROUP BY 1
+    """,
+)
+def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 + K2 round trip in one gate:
+
+    1. Demo1's parsed click rows flow through the STREAMING WriteParquet
+       sink (checkpointed foreachBatch append, availableNow drain),
+       partitioned by event date — the reference's WRITE_APPEND into a
+       day-partitioned table;
+    2. the retention operator drops partitions older than 7 days relative
+       to the frozen fixture "today" (metadata-only directory drops — the
+       only strategy that works at 100 TB);
+    3. the surviving table is read back and aggregated per day.
+
+    The oracle computes the same per-day counts directly from `events`
+    with the retention predicate — rows written, partitioned, pruned, and
+    re-read must match it exactly. (The scratch table lives in a fresh
+    temp dir per invocation and is left for the OS to reap — the returned
+    plan reads from it lazily.)
+    """
+    from tutorial_apache_beam_spark.operators.retention import (
+        apply_retention,
+        refresh_after_retention,
+    )
+    from tutorial_apache_beam_spark.plans.pipeline import Pipeline, WriteParquet
+    from tutorial_apache_beam_spark.streaming.replay import stream_events
+
+    scratch = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    table = f"{scratch}/clicks_daily"
+
+    rows = stream_events(spark, sf_dir).select(
+        F.date_trunc("second", "ts").alias("event_time"),
+        F.col("user_id").cast("int").alias("user_id"),
+        F.lit(1).alias("click"),
+        F.to_date("ts").alias("event_date"),
+    )
+    p = Pipeline(spark)
+    p.create(rows).apply(
+        "AppendDaily",
+        WriteParquet(
+            table,
+            checkpoint=f"{scratch}/checkpoint",
+            partition_by=["event_date"],
+            available_now=True,
+        ),
+    )
+    p.run().wait_until_finish()
+
+    apply_retention(table, "event_date", keep_days=_KEEP_DAYS, today=_TODAY)
+    refresh_after_retention(spark, table)
+
+    return (
+        spark.read.parquet(table)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("click").cast("bigint").alias("n_clicks"),
+        )
+    )

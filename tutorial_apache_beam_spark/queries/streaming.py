@@ -28,45 +28,50 @@ from tutorial_apache_beam_spark.streaming.replay import (
 
 
 @register(
-    "streaming_demo2_counts",
+    "streaming_demo2_modes",
     oracle="""
-    SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
-           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
-           user_id,
-           count(*)                                                   AS count
-    FROM events
-    GROUP BY 1, 2, 3
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
+             time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+             user_id,
+             count(*)                                                   AS count
+      FROM events
+      GROUP BY 1, 2, 3),
+    wm AS (SELECT max(ts) - INTERVAL '2 minutes' AS w FROM events)
+    SELECT 'complete' AS mode, * FROM agg
+    UNION ALL
+    SELECT 'append' AS mode, * FROM agg
+    WHERE window_end <= (SELECT w FROM wm)
     """,
 )
-def streaming_demo2_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Demo2 as a real streaming job, complete mode: final state must equal
-    the batch aggregation (unified model)."""
-    sdf = stream_events(spark, sf_dir)
-    agg = tumbling_counts(sdf, "ts", ["user_id"], "1 minute")
-    return run_stream_to_memory(agg, spark, output_mode="complete")
+def streaming_demo2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo2 as a real streaming job under BOTH output modes in one gate
+    (merges round-1's `streaming_demo2_counts` + `streaming_demo2_append`):
 
-
-@register(
-    "streaming_demo2_append",
-    oracle="""
-    WITH wm AS (SELECT max(ts) - INTERVAL '2 minutes' AS w FROM events)
-    SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
-           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
-           user_id,
-           count(*)                                                   AS count
-    FROM events
-    GROUP BY 1, 2, 3
-    HAVING time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute'
-           <= (SELECT w FROM wm)
-    """,
-)
-def streaming_demo2_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Demo2 with a 2-minute watermark (1 m skew + 1 m lateness composed,
-    SURVEY W1+W4), append mode: only windows the final watermark closed are
-    emitted — Beam's AfterWatermark.pastEndOfWindow firing (W3)."""
-    sdf = stream_events(spark, sf_dir).withWatermark("ts", "2 minutes")
-    agg = tumbling_counts(sdf, "ts", ["user_id"], "1 minute")
-    return run_stream_to_memory(agg, spark, output_mode="append")
+    - complete mode: final state must equal the batch aggregation (the
+      unified-model property);
+    - append mode with a 2-minute watermark (1 m skew + 1 m lateness
+      composed, SURVEY W1+W4): only windows the final watermark closed are
+      emitted — Beam's AfterWatermark.pastEndOfWindow firing (W3).
+    """
+    complete = run_stream_to_memory(
+        tumbling_counts(stream_events(spark, sf_dir), "ts", ["user_id"], "1 minute"),
+        spark,
+        output_mode="complete",
+    )
+    append = run_stream_to_memory(
+        tumbling_counts(
+            stream_events(spark, sf_dir).withWatermark("ts", "2 minutes"),
+            "ts",
+            ["user_id"],
+            "1 minute",
+        ),
+        spark,
+        output_mode="append",
+    )
+    return complete.select(F.lit("complete").alias("mode"), "*").unionByName(
+        append.select(F.lit("append").alias("mode"), "*")
+    )
 
 
 @register(

@@ -54,6 +54,39 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     )
 
 
+# The wire schema the kafka source resolves to (fixed by Spark's kafka
+# connector) — used to plan/test the normalization without a broker.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The option wiring for `readStream.format("kafka")` — factored out so
+    the plan-level contract is testable without a broker on the classpath."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": subscribe,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def normalize_kafka(raw: DataFrame) -> DataFrame:
+    """Kafka wire rows → the (value STRING, timestamp) shape every demo
+    pipeline consumes. Applied identically to a real kafka stream or any
+    KAFKA_WIRE_SCHEMA-shaped replay, so downstream stages never know the
+    transport."""
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("timestamp"),
+    )
+
+
 def stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -68,14 +101,17 @@ def stream_kafka(
     classpath (not bundled in this container; the builder itself is
     environment-independent).
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", subscribe)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return raw.select(
-        F.col("value").cast("string").alias("value"),
-        F.col("timestamp").alias("timestamp"),
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, subscribe, starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as ex:  # pragma: no cover — depends on classpath
+        raise RuntimeError(
+            "kafka source requires the spark-sql-kafka package on the "
+            "classpath (start the session with "
+            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from ex
+    return normalize_kafka(raw)
