@@ -61,3 +61,28 @@ def test_semi_join_stays_semi(spark):
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     orders_schema = [l for l in read_schemas if "o_custkey" in l][0]
     assert "o_totalprice" not in orders_schema
+
+
+def test_embedding_neardup_builds_without_driver_jobs(spark):
+    """The exact all-pairs operator must be a lazy distributed plan — round
+    1 collected the corpus to the driver at plan-construction time, which
+    is a driver OOM at scale. Constructing the plan must launch zero jobs."""
+    from tutorial_apache_beam_spark.catalog import load_table
+    from tutorial_apache_beam_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")  # schema read happens here
+    sc = spark.sparkContext
+    group = "neardup-construction-probe"
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        df = embedding_neardup_pairs(emb, threshold=0.35)
+    finally:
+        sc.setJobGroup(None, None)
+    assert spark.sparkContext.statusTracker().getJobIdsForGroup(group) == []
+    plan = plan_of(df)
+    # Distributed shape: block packing (FlatMapGroupsInPandas) feeding the
+    # triangle block join, then the pair-emitting mapInPandas.
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" in plan

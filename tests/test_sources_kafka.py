@@ -1,0 +1,58 @@
+"""Kafka source contract without a broker (SURVEY S1; reference
+Demo1.java:75-83 reads Pub/Sub Lite, which speaks the Kafka wire protocol).
+
+The spark-sql-kafka package is not on this container's classpath, so these
+tests pin everything AROUND the transport: the option wiring, the
+normalization of the fixed kafka wire schema to the (value, timestamp)
+shape every demo pipeline consumes, and the clear error raised when the
+package is missing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tutorial_apache_beam_spark.sources.readers import (
+    KAFKA_WIRE_SCHEMA,
+    kafka_reader_options,
+    normalize_kafka,
+    stream_kafka,
+)
+
+
+def test_kafka_reader_options_wiring():
+    opts = kafka_reader_options("broker:9092", "clicks", "earliest")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_reader_options("b", "t")["startingOffsets"] == "latest"
+
+
+def test_normalize_kafka_wire_schema(spark):
+    import datetime
+
+    raw = spark.createDataFrame(
+        [
+            (
+                None,
+                b'{"event_time": 1, "user_id": 2, "click": 1}',
+                "clicks",
+                0,
+                42,
+                datetime.datetime(2024, 1, 1, 0, 0, 1),
+                0,
+            )
+        ],
+        KAFKA_WIRE_SCHEMA,
+    )
+    out = normalize_kafka(raw)
+    assert out.schema.simpleString() == "struct<value:string,timestamp:timestamp>"
+    row = out.collect()[0]
+    assert row["value"].startswith('{"event_time"')  # bytes -> string payload
+
+
+def test_stream_kafka_raises_clear_error_without_package(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        stream_kafka(spark, "broker:9092", "clicks")
