@@ -297,6 +297,114 @@ def _nearest_centroids(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means over an embedding column, as DataFrame
+    aggregations — the trained-centroid path for `ivf_ann_topk`.
+
+    SPHERICAL (unit vectors, dot-product assignment), not Euclidean,
+    because IVF bucket assignment is by cosine: training in a different
+    geometry than assignment fragments cosine neighborhoods across
+    buckets and destroys recall (measured, not hypothetical).
+
+    Per round:
+      1. assign each unit vector its max-dot centroid — broadcast the
+         k×dim centroid matrix (tiny) into an Arrow-vectorized pandas_udf;
+         the corpus is scanned, never shuffled, for assignment;
+      2. recompute centroids as the element-wise mean of assigned unit
+         vectors — posexplode to (cid, pos, val) rows, groupBy(cid, pos)
+         avg. Partial (map-side) aggregation reduces each partition to at
+         most k×dim rows before the exchange, so the shuffle is
+         O(partitions × k × dim) regardless of corpus size;
+      3. the k×dim means (a few KB) come back to the driver for the next
+         round's broadcast — the standard Lloyd's-on-Spark loop shape
+         (driver traffic is centroids only, never corpus rows).
+
+    Init is a deterministic hash-ordered sample (reproducible uniform
+    spread — adjacent-id vectors can be correlated, a poor seed). Empty
+    clusters keep their previous centroid. Output: (centroid_id, cv),
+    centroid_id 0..k-1; centroids are mean directions (cosine against
+    them is scale-invariant, so no re-normalization is needed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _unit(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return mat / norms[:, None]
+
+    init = (
+        df.select(as_double(F.col(vec_col)).alias("v"), F.col(id_col))
+        .orderBy(F.hash(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = _unit(np.array([r["v"] for r in init], dtype=np.float64))
+
+    spark = df.sparkSession
+    vecs = df.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _assign(v):
+            c_unit = _unit(bc.value)
+            mat_unit = _unit(np.array(list(v), dtype=np.float64))
+            sims = mat_unit @ c_unit.T
+            return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+        # Real class annotations (the module-level `from __future__ import
+        # annotations` would stringify inline hints, which pandas_udf's
+        # signature inference can't resolve).
+        _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        assign = F.pandas_udf(_assign, "int")
+
+        norm = F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        assigned = (
+            vecs.withColumn("_n", norm)
+            .withColumn("cid", assign("v"))
+            .select(
+                "cid",
+                F.transform(
+                    "v",
+                    lambda x: x
+                    / F.when(F.col("_n") == 0, 1.0).otherwise(F.col("_n")),
+                ).alias("uv"),
+            )
+        )
+        means = (
+            assigned.select("cid", F.posexplode("uv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mv")
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        for r in means:
+            new_cents[r["cid"]] = np.asarray(r["mv"], dtype=np.float64)
+        cents = _unit(new_cents)
+
+    rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    return spark.createDataFrame(rows, "centroid_id INT, cv ARRAY<DOUBLE>")
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -305,22 +413,25 @@ def ivf_ann_topk(
     every_nth_centroid: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     centroid buckets (inverted file), search only the probe's `nprobe`
     nearest buckets.
 
-    Centroids here are a deterministic sample (every Nth vector) — in
-    production swap in k-means centroids; the plan shape is identical.
+    Default centroids are a deterministic sample (every Nth vector); pass
+    `centroids=kmeans_centroids(corpus, k)` for trained buckets — the plan
+    shape is identical either way.
     Scale properties: corpus vectors join centroids by broadcast (no
     corpus shuffle), bucket assignment is one narrow column, and the
     probe-bucket candidate join is an equi-join on centroid_id whose
     volume is |corpus|·nprobe/n_centroids per probe on average — the
     IVF pruning factor.
     """
-    centroids = corpus.filter(F.col(id_col) % every_nth_centroid == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) % every_nth_centroid == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
     corpus_buckets = _nearest_centroids(
         corpus.select(id_col, vec_col), centroids, id_col, vec_col, n_nearest=1
     )
