@@ -77,6 +77,27 @@ def _sustained_stream_mib_per_s(spark, copies: int = 16) -> tuple[float, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _family_of(name: str) -> str:
+    """Family tag from the registering module (for per-family rollups)."""
+    import tutorial_apache_beam_spark.queries as qpkg
+
+    for mod_name in (
+        "demo",
+        "streaming",
+        "relational",
+        "analytic",
+        "scalar",
+        "pandas_udfs",
+        "llm",
+        "sinks",
+        "similarity",
+    ):
+        mod = getattr(qpkg, mod_name, None)
+        if mod is not None and hasattr(mod, name):
+            return mod_name
+    return "other"
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -86,7 +107,12 @@ def main() -> None:
     # query doesn't absorb session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-    names = sorted(queries) if "--all" in sys.argv else HEADLINE
+    # Headline queries run (and report) first so the headline metric stays
+    # comparable round over round; unless --headline-only, every remaining
+    # registered query is also timed for per-query regression tracking.
+    names = list(HEADLINE)
+    if "--headline-only" not in sys.argv:
+        names += [n for n in sorted(queries) if n not in HEADLINE]
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
@@ -94,7 +120,11 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = _family_of(name)
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
 
     # Demo2-equivalent sustained streaming throughput (MiB/s drained over a
     # 16x-replicated source, amortizing fixed query-startup cost).
@@ -111,6 +141,8 @@ def main() -> None:
                 "extra": {
                     "demo2_stream_mib_per_s": mib_per_s,
                     "demo2_stream_input_mib": stream_mib,
+                    "all_queries_total": round(sum(timings.values()), 3),
+                    "family_totals": families,
                 },
             }
         )

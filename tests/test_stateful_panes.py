@@ -120,16 +120,37 @@ def test_emit_pane_arms_event_time_timer_and_cleans_up():
     )
 
     fn = _make_emit_pane(_duration_ms("1 minute"))
-    window_start = pd.Timestamp("2024-01-01 00:05:00")
-    key = (window_start, 7)
+    w1 = pd.Timestamp("2024-01-01 00:05:00")
+    w2 = pd.Timestamp("2024-01-01 00:07:00")
+    key = (7,)
     state = _FakeState(watermark_ms=0)
-    batch = pd.DataFrame({"window_start": [window_start] * 3, "user_id": [7] * 3})
+    batch = pd.DataFrame(
+        {"window_start": [w1] * 3 + [w2], "user_id": [7] * 4}
+    )
 
-    out = list(fn(key, iter([batch]), state))
-    assert out[0]["pane_count"].iloc[0] == 3
-    # Timer armed at the window END (start + 1 minute), so state is dropped
-    # once the watermark passes it instead of growing forever.
-    assert state.timeout_ts == window_start.value // 1_000_000 + 60_000
+    (out,) = list(fn(key, iter([batch]), state))
+    by_win = {r.window_start: r for r in out.itertuples()}
+    assert by_win[w1].pane_count == 3 and by_win[w1].pane_index == 0
+    assert by_win[w2].pane_count == 1 and by_win[w2].pane_index == 0
+    # State holds both open windows' next pane index.
+    assert dict(zip(*state.get)) == {
+        w1.value // 1_000_000: 1,
+        w2.value // 1_000_000: 1,
+    }
+    # ONE timer per key, armed at the NEWEST window's end, so the whole
+    # entry is dropped once the watermark passes it instead of growing
+    # forever.
+    assert state.timeout_ts == w2.value // 1_000_000 + 60_000
+
+    # A later firing for w1 increments only w1's pane index.
+    (out2,) = list(fn(key, iter([batch.iloc[:2]]), state))
+    assert out2["pane_index"].iloc[0] == 1
+
+    # Windows whose end passed the watermark are pruned inline.
+    pruned_state = _FakeState(watermark_ms=w1.value // 1_000_000 + 60_000)
+    pruned_state.update(state.get)
+    list(fn(key, iter([pd.DataFrame({"window_start": [w2], "user_id": [7]})]), pruned_state))
+    assert list(pruned_state.get[0]) == [w2.value // 1_000_000]
 
     # Spark guarantee: timestamp must beat the current watermark.
     late_state = _FakeState(watermark_ms=10**15)

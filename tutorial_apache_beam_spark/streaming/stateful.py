@@ -14,10 +14,18 @@ monotonically increasing `pane_index` carried in the state store (Beam's
 PaneInfo.index analog). Summing a key's panes reproduces the accumulated
 count — the invariant the tests assert.
 
-Scale notes: state per (window, key) is a single int; the state store
-(HDFS/RocksDB-backed at cluster scale) shards by the grouping key exactly
-like the built-in streaming aggregation, and state is dropped on event-time
-timeout once the watermark passes the window end.
+Scale / performance design — state is keyed by USER, not (window, user):
+applyInPandasWithState pays a per-group Python invocation (~0.3 ms), so
+grouping by (window, key) means one call per window-key pair — measured
+66x more groups than users on the fixture (99,921 vs 1,500 at sf0.1) and
+a 53 s drain. Keying by user alone holds the open windows' pane indexes
+in two parallel array columns, cutting invocations to one per user per
+micro-batch. Expired windows (end below the current watermark) are pruned
+inline on every call, and ONE event-time timer per user (re-armed at the
+newest window end) removes the whole entry when the user goes idle — so
+state stays bounded on unbounded streams without per-window timers. The
+state store shards by user exactly like the built-in streaming
+aggregation (HDFS/RocksDB-backed at cluster scale).
 """
 
 from __future__ import annotations
@@ -34,7 +42,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "window_start TIMESTAMP, user_id BIGINT, pane_count BIGINT, pane_index INT"
 )
-STATE_SCHEMA = "pane_index INT"
+# Open windows for this key: window starts (epoch ms) + next pane index.
+STATE_SCHEMA = "win_ms ARRAY<BIGINT>, pane_idx ARRAY<INT>"
 
 
 def _duration_ms(duration: str) -> int:
@@ -51,10 +60,8 @@ def _duration_ms(duration: str) -> int:
 
 
 def _make_emit_pane(window_ms: int):
-    """Build the keyed pane emitter with the window length baked in (the
-    state function only sees the key's window START; the timeout must be
-    armed at the window END so state survives exactly as long as on-time
-    data can still arrive)."""
+    """Build the per-USER pane emitter with the window length baked in (the
+    window end drives both inline pruning and the idle-key timer)."""
 
     def _emit_pane(
         key: tuple[Any, ...],
@@ -62,30 +69,51 @@ def _make_emit_pane(window_ms: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # Watermark passed the window end: drop the per-key state.
+            # Watermark passed every window this key had open: drop it all.
             state.remove()
             return
-        n = sum(len(b) for b in batches)
-        if n == 0:
+        frames = [b for b in batches if len(b)]
+        if not frames:
             return
-        (pane_index,) = state.get if state.exists else (0,)
-        window_start, user_id = key
-        yield pd.DataFrame(
-            {
-                "window_start": [window_start],
-                "user_id": [user_id],
-                "pane_count": [n],
-                "pane_index": [pane_index],
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        (user_id,) = key
+
+        win_ms, pane_idx = state.get if state.exists else ([], [])
+        open_windows = dict(zip(win_ms, pane_idx))
+
+        # Inline cleanup: drop windows whose end passed the watermark (their
+        # rows can no longer arrive — Spark filters them upstream).
+        watermark_ms = state.getCurrentWatermarkMs()
+        if watermark_ms:
+            open_windows = {
+                w: i for w, i in open_windows.items() if w + window_ms > watermark_ms
             }
+
+        counts = pdf.groupby("window_start", sort=True).size()
+        out = {
+            "window_start": [],
+            "user_id": [],
+            "pane_count": [],
+            "pane_index": [],
+        }
+        for window_start, n in counts.items():
+            w_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            idx = open_windows.get(w_ms, 0)
+            out["window_start"].append(window_start)
+            out["user_id"].append(user_id)
+            out["pane_count"].append(int(n))
+            out["pane_index"].append(idx)
+            open_windows[w_ms] = idx + 1
+        yield pd.DataFrame(out)
+
+        state.update(
+            (list(open_windows.keys()), list(open_windows.values()))
         )
-        state.update((pane_index + 1,))
-        # Arm the event-time timer: fire once the watermark passes the
-        # window end, so expired (window, key) state is removed instead of
-        # accumulating forever. Spark requires the timestamp to be beyond
-        # the current watermark; a pane firing implies its rows passed the
-        # watermark filter, but clamp defensively anyway.
-        end_ms = pd.Timestamp(window_start).value // 1_000_000 + window_ms
-        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        # One timer per key: fire once the watermark passes the NEWEST open
+        # window's end (re-armed every batch). Spark requires a timestamp
+        # beyond the current watermark; clamp defensively.
+        newest_end = max(open_windows) + window_ms if open_windows else 0
+        state.setTimeoutTimestamp(max(newest_end, watermark_ms + 1))
 
     return _emit_pane
 
@@ -115,7 +143,7 @@ def discarding_pane_counts(
         .withWatermark("window_start", watermark_delay)
         .select("window_start", key_col)
     )
-    return bucketed.groupBy("window_start", key_col).applyInPandasWithState(
+    return bucketed.groupBy(key_col).applyInPandasWithState(
         _make_emit_pane(_duration_ms(window_duration)),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
