@@ -30,65 +30,83 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
     `edges` is an undirected edge list; isolated vertices don't appear
     (they are their own components trivially — union them in if needed).
-    """
-    # Symmetrize in ONE pass over the edge input (a union of two selects
-    # would evaluate the upstream pair-generation pipeline twice).
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-        .persist()
-    )
-    labels = (
-        sym.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
-        .persist()
-    )
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.vertex)
-            .groupBy(F.col("u").alias("vertex"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_component", F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+    `shuffle_partitions` sizes the per-iteration joins independently of
+    the session default (temporarily, conf-scoped to this fixed-point
+    loop — every action happens inside it): the edge list of a near-dup
+    graph is orders of magnitude smaller than the corpus that produced
+    it, and each label-propagation round otherwise pays the full session
+    shuffle-partition count in task overhead (measured ~2 s/round on a
+    few hundred edges at 32 partitions). At cluster scale pass a value
+    proportional to the EDGE count, not the corpus size.
+    """
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        # Symmetrize in ONE pass over the edge input (a union of two
+        # selects would evaluate the upstream pair-generation twice).
+        sym = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                        F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    )
+                ).alias("e")
             )
+            .select("e.u", "e.v")
+            .distinct()
             .persist()
         )
-        # One action per iteration: materializes the cache AND reads the
-        # convergence signal.
-        changed = new_labels.agg(
-            F.sum(F.col("_changed").cast("int")).alias("ch")
-        ).collect()[0]["ch"]
-        labels.unpersist()
-        labels = new_labels.drop("_changed")
-        if not changed:
-            break
-    sym.unpersist()
-    return labels
+        labels = (
+            sym.select(F.col("u").alias("vertex"))
+            .distinct()
+            .withColumn("component", F.col("vertex"))
+            .persist()
+        )
+
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.v == labels.vertex)
+                .groupBy(F.col("u").alias("vertex"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.coalesce("nbr_component", F.col("component"))
+                        < F.col("component")
+                    ).alias("_changed"),
+                )
+                .persist()
+            )
+            # One action per iteration: materializes the cache AND reads
+            # the convergence signal.
+            changed = new_labels.agg(
+                F.sum(F.col("_changed").cast("int")).alias("ch")
+            ).collect()[0]["ch"]
+            labels.unpersist()
+            labels = new_labels.drop("_changed")
+            if not changed:
+                break
+        sym.unpersist()
+        return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def dedup_keep_canonical(
@@ -96,7 +114,7 @@ def dedup_keep_canonical(
 ) -> DataFrame:
     """Keep one doc per near-dup cluster (the min id), plus all unpaired
     docs — transitive closure of pairwise near-dup removal."""
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, shuffle_partitions=8)
     drop = comps.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias(id_col)
     )

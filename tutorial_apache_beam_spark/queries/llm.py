@@ -548,7 +548,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, shuffle_partitions=8)
     return (
         comps.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
