@@ -110,25 +110,31 @@ def main() -> None:
     # Headline queries run (and report) first so the headline metric stays
     # comparable round over round; unless --headline-only, every remaining
     # registered query is also timed for per-query regression tracking.
-    names = list(HEADLINE)
-    if "--headline-only" not in sys.argv:
-        names += [n for n in sorted(queries) if n not in HEADLINE]
     timings: dict[str, float] = {}
-    for name in names:
-        fn = queries[name]
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+
+    def run(names: list[str]) -> None:
+        for name in names:
+            fn = queries[name]
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    run(HEADLINE)
+
+    # Demo2-equivalent sustained streaming throughput (MiB/s drained over a
+    # 16x-replicated source, amortizing fixed query-startup cost). Measured
+    # right after the headline set — before the full sweep's GC/codegen
+    # pressure — so the figure is comparable round over round.
+    mib_per_s, stream_mib = _sustained_stream_mib_per_s(spark)
+
+    if "--headline-only" not in sys.argv:
+        run([n for n in sorted(queries) if n not in HEADLINE])
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     families: dict[str, float] = {}
     for name, sec in timings.items():
         fam = _family_of(name)
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
-
-    # Demo2-equivalent sustained streaming throughput (MiB/s drained over a
-    # 16x-replicated source, amortizing fixed query-startup cost).
-    mib_per_s, stream_mib = _sustained_stream_mib_per_s(spark)
 
     print(
         json.dumps(
