@@ -50,3 +50,29 @@ def test_components_on_real_near_dups(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The union-find fast path and the iterative min-label loop must
+    produce identical (vertex, component) sets — the size threshold is an
+    execution strategy, never a semantics switch."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (4, 40)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    local = {
+        (r.vertex, r.component)
+        for r in connected_components(edges).collect()
+    }
+    distributed = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            edges, shuffle_partitions=4, local_edge_threshold=0
+        ).collect()
+    }
+    assert local == distributed and len(local) == 10
+
+
+def test_local_path_empty_edges(spark):
+    empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert connected_components(empty).count() == 0

@@ -25,28 +25,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _components_local(edge_rows, src: str, dst: str) -> list[tuple[int, int]]:
+    """Union-find over a collected edge list; component = min member id.
+    Exactly the fixed point the distributed loop converges to."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = find(r[src]), find(r[dst])
+        if a != b:
+            # Union by MIN id so the root IS the component label.
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    return [(v, find(v)) for v in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     shuffle_partitions: int | None = None,
+    local_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
     `edges` is an undirected edge list; isolated vertices don't appear
     (they are their own components trivially — union them in if needed).
 
-    `shuffle_partitions` sizes the per-iteration joins independently of
-    the session default (temporarily, conf-scoped to this fixed-point
-    loop — every action happens inside it): the edge list of a near-dup
-    graph is orders of magnitude smaller than the corpus that produced
-    it, and each label-propagation round otherwise pays the full session
-    shuffle-partition count in task overhead (measured ~2 s/round on a
-    few hundred edges at 32 partitions). At cluster scale pass a value
-    proportional to the EDGE count, not the corpus size.
+    Two execution strategies, same result (the broadcast-join-threshold
+    philosophy applied to graphs):
+
+    - **small graphs** (≤ `local_edge_threshold` edges, checked with a
+      limit-probe that never counts the full set): collect the EDGE LIST
+      (already the reduced output of the near-dup pipeline, orders of
+      magnitude smaller than the corpus) and run union-find on the driver
+      in milliseconds. A near-dup graph over even billions of documents
+      is typically well under a million edges, so this is the common
+      case; the iterative path's per-round job overhead (~6 Spark jobs ×
+      codegen) dwarfs union-find below that size.
+    - **large graphs**: distributed min-label propagation, one
+      shuffle-by-vertex join + aggregation per round, rounds = graph
+      diameter. `shuffle_partitions` sizes those joins independently of
+      the session default (temporarily, conf-scoped to this loop) — at
+      cluster scale pass a value proportional to the EDGE count, not the
+      corpus size. Set `local_edge_threshold=0` to force this path.
     """
     spark = edges.sparkSession
+    if local_edge_threshold > 0:
+        # Persist first: if the probe overflows, the distributed loop below
+        # must not re-run the (expensive) upstream pair generation.
+        edges = edges.persist()
+        edge_rows = (
+            edges.select(F.col(src), F.col(dst))
+            .limit(local_edge_threshold + 1)
+            .collect()
+        )
+        if len(edge_rows) <= local_edge_threshold:
+            edges.unpersist()
+            return spark.createDataFrame(
+                _components_local(edge_rows, src, dst) or [(None, None)],
+                "vertex BIGINT, component BIGINT",
+            ).filter(F.col("vertex").isNotNull())
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -106,6 +153,7 @@ def connected_components(
         sym.unpersist()
         return labels
     finally:
+        edges.unpersist()  # no-op unless the size probe persisted it
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
