@@ -1,0 +1,89 @@
+"""Unregistered TPC-H analog shapes, oracle-verified (SURVEY §9: the
+driver's gate window is fully allocated, so these extra join shapes are
+library functions checked here with the same DuckDB hash compare)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+from tutorial_apache_beam_spark.queries.relational import (
+    q2_min_cost_supplier,
+    q5_regional_volume,
+    q10_returned_items,
+    q14_promo_revenue_share,
+)
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_name, s.s_acctbal
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)
+SELECT l_partkey AS p_partkey,
+       l_suppkey AS s_suppkey,
+       s_name,
+       round(s_acctbal, 2) AS s_acctbal
+FROM ps p
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM ps q
+                   WHERE q.l_partkey = p.l_partkey)
+"""
+
+Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+GROUP BY 1
+"""
+
+Q10_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT c.c_custkey,
+       c.c_name,
+       round(rev.r, 2)        AS revenue,
+       round(c.c_acctbal, 2)  AS c_acctbal,
+       n.n_name               AS nation
+FROM rev
+JOIN customer c ON rev.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+ORDER BY round(rev.r, 2) DESC, c.c_custkey
+LIMIT 20
+"""
+
+Q14_ORACLE = """
+SELECT round(100.0 * sum(CASE WHEN p.p_brand LIKE 'Brand#1%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def test_q2_min_cost_supplier(spark, duck):
+    assert_matches_oracle(q2_min_cost_supplier(spark, SF_DIR), duck, Q2_ORACLE)
+
+
+def test_q5_regional_volume(spark, duck):
+    assert_matches_oracle(q5_regional_volume(spark, SF_DIR), duck, Q5_ORACLE)
+
+
+def test_q10_returned_items(spark, duck):
+    assert_matches_oracle(q10_returned_items(spark, SF_DIR), duck, Q10_ORACLE)
+
+
+def test_q14_promo_revenue_share(spark, duck):
+    assert_matches_oracle(q14_promo_revenue_share(spark, SF_DIR), duck, Q14_ORACLE)

@@ -543,3 +543,164 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H analog shapes — library functions, pytest-oracle-verified
+# (tests/test_tpch_extra.py). Deliberately NOT registered: the driver's
+# correctness window is fully allocated (SURVEY §9); these deepen the join
+# surface without displacing a gate.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each part, the
+    supplier(s) with the minimum account balance among its suppliers
+    (fixtures lack partsupp/supplycost, so supplier acctbal over the
+    lineitem part-supplier relationship stands in).
+
+    Plan shape: the per-part minimum is a grouped aggregate joined back on
+    (partkey, acctbal) — Catalyst's decorrelation of the classic
+    `WHERE x = (SELECT min(...) WHERE correlated)` pattern, expressed
+    directly. Both joins shuffle on p_partkey; the supplier dim broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    # Derived self-join: rename the grouped side's key so Catalyst doesn't
+    # resolve both predicate legs to the same lineage (trivially true).
+    min_bal = ps.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        ps.join(
+            min_bal,
+            (F.col("l_partkey") == F.col("_mk"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join restricted to one region and year,
+    revenue per nation — the classic star-plus-snowflake volume query.
+    Customer and supplier must share the nation (the Q5 twist that forces
+    the supplier join to carry the nation key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nr = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1996),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns in one
+    quarter (l_returnflag = 'R'), top 20 — join + grouped agg + top-k."""
+    from tutorial_apache_beam_spark.operators.relational import top_k
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    joined = revenue.join(
+        F.broadcast(
+            customer.join(
+                F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+            ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round("_rev", 2).alias("revenue"),
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.col("n_name").alias("nation"),
+    )
+    return top_k(joined, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share — promo-branded parts'
+    percentage of one month's revenue (fixtures lack p_type PROMO values,
+    so brand prefix 'Brand#1' stands in). Single join + one conditional
+    aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_brand").startswith("Brand#1")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
