@@ -340,3 +340,38 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def streaming_simhash_dedup(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    watermark_delay: str = "1 minute",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time NEAR-dup suppression on an unbounded stream: keep the
+    first document per 32-bit SimHash fingerprint seen within the
+    watermark window.
+
+    Exact streaming dedup (`dropDuplicatesWithinWatermark` on an id)
+    misses re-crawled documents with trivial edits; fingerprint equality
+    (hamming distance 0 — the high-precision end of the SimHash spectrum)
+    catches them with per-row state only. The fingerprint uses the
+    array-HOF `simhash32` form rather than the batch groupBy form because
+    a pre-dedup aggregation would make this two chained stateful
+    operators; here the whole fingerprint is a row-local projection, so
+    the only state is the dedup operator's fingerprint set, bounded by
+    the watermark. Banded hamming>0 matching on a stream would need a
+    custom stateful join — batch `simhash_near_pairs` covers that tier.
+
+    Token-less documents all hash to fingerprint 0 (every bit-majority
+    vote is empty), so empty payloads collapse to one survivor per
+    watermark window — the conservative choice for blank re-crawls.
+    """
+    from tutorial_apache_beam_spark.functions.hashing import simhash32
+
+    fp = simhash32(F.transform(tokens(F.col(text_col)), portable_hash64))
+    return (
+        sdf.withColumn("simhash", fp)
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
