@@ -87,3 +87,47 @@ def test_q10_returned_items(spark, duck):
 
 def test_q14_promo_revenue_share(spark, duck):
     assert_matches_oracle(q14_promo_revenue_share(spark, SF_DIR), duck, Q14_ORACLE)
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS ship_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name IN ('CHINA', 'JAPAN')
+  AND sn.n_name IN ('CHINA', 'JAPAN')
+  AND cn.n_name <> sn.n_name
+GROUP BY 1, 2, 3
+"""
+
+Q19_ORACLE = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def test_q7_bilateral_volume(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import q7_bilateral_volume
+
+    assert_matches_oracle(q7_bilateral_volume(spark, SF_DIR), duck, Q7_ORACLE)
+
+
+def test_q19_disjunctive_revenue(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import (
+        q19_disjunctive_revenue,
+    )
+
+    assert_matches_oracle(q19_disjunctive_revenue(spark, SF_DIR), duck, Q19_ORACLE)

@@ -704,3 +704,80 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct")
         )
     )
+
+
+def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two specific nations, per
+    direction per year — the bilateral-pair join where supplier and
+    customer nations must differ and both orderings count.
+
+    The two-nation filter broadcasts into both dimension joins; the
+    direction label is computed after the join, so the fact tables are
+    scanned once (not once per direction).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nations = nation.filter(F.col("n_name").isin("CHINA", "JAPAN"))
+    cust_n = customer.join(
+        F.broadcast(nations), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp_n = supplier.join(
+        F.broadcast(nations), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of conjunctive
+    brand/size/quantity bands — the OR-of-ANDs predicate that tests
+    whether the optimizer can still push the common part (the join) and
+    evaluate the residual once (fixtures lack p_container, so size bands
+    stand in).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == part.p_partkey,
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
