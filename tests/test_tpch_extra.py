@@ -131,3 +131,45 @@ def test_q19_disjunctive_revenue(spark, duck):
     )
 
     assert_matches_oracle(q19_disjunctive_revenue(spark, SF_DIR), duck, Q19_ORACLE)
+
+
+Q8_ORACLE = """
+SELECT year(o.o_orderdate) AS order_year,
+       round(sum(CASE WHEN sn.n_name = 'CHINA'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS china_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+Q16_ORACLE = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+GROUP BY 1, 2
+"""
+
+
+def test_q8_market_share(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import q8_market_share
+
+    assert_matches_oracle(q8_market_share(spark, SF_DIR), duck, Q8_ORACLE)
+
+
+def test_q16_supplier_part_stats(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import (
+        q16_supplier_part_stats,
+    )
+
+    assert_matches_oracle(q16_supplier_part_stats(spark, SF_DIR), duck, Q16_ORACLE)

@@ -781,3 +781,73 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    a conditional-sum-over-total ratio on top of the snowflake join
+    (supplier nation provides the numerator flag, customer region the
+    population filter).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_region = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == region.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), "n_name")),
+        supplier.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "CHINA", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("china_share")
+        )
+    )
+
+
+def q16_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute class,
+    EXCLUDING a blocklisted supplier set (NOT IN as a left-anti join on
+    the distinct part-supplier relationship; fixtures lack complaint
+    comments, so negative-balance suppliers form the blocklist)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    blocked = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(blocked),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        ps.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
