@@ -29,7 +29,7 @@ from tutorial_apache_beam_spark.registry import register
            reverse(p_brand)                                AS brand_rev,
            regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_num,
            contains(p_type, 'BRASS')                       AS is_brass,
-           string_split(p_name, ' ')                       AS name_tokens
+           array_to_string(string_split(p_name, ' '), '|') AS name_tokens
     FROM part
     """,
 )
@@ -49,7 +49,9 @@ def string_functions_on_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_brand").alias("brand_rev"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
         F.col("p_type").contains("BRASS").alias("is_brass"),
-        F.split("p_name", " ").alias("name_tokens"),
+        # Serialized (array_join) at the gate boundary: the driver's pandas
+        # canonicalizer cannot sort list cells. Raw-array form stays in pytest.
+        F.array_join(F.split("p_name", " "), "|").alias("name_tokens"),
     )
 
 
@@ -146,7 +148,7 @@ def math_conditional_on_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INT)              AS k,
            CAST(json_extract(props, '$.k') AS INT) % 10         AS k_bucket,
-           json_keys(props)                                     AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), '|')    AS prop_keys,
            CAST(json_extract(props, '$.k') AS INT) IS NOT NULL  AS has_k
     FROM events
     """,
@@ -170,6 +172,7 @@ def json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("_p.k").alias("k"),
         (F.col("_p.k") % 10).alias("k_bucket"),
-        F.map_keys("_m").alias("prop_keys"),
+        # Sorted + serialized at the gate boundary (see string gate note).
+        F.array_join(F.array_sort(F.map_keys("_m")), "|").alias("prop_keys"),
         F.col("_m")["k"].isNotNull().alias("has_k"),
     )
