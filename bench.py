@@ -33,9 +33,9 @@ HEADLINE = [
     "star_join_revenue_by_nation",
     "topk_orders",
     "minhash_lsh_near_dups",
-    "cosine_topk_bruteforce",
+    "ann_topk_methods",
     "embedding_cosine_near_dups",
-    "text_analysis_suite",
+    "text_fingerprint_suite",
     "training_data_pipeline",
     "streaming_demo2_modes",
     "streaming_interval_join",

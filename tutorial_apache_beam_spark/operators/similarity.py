@@ -12,13 +12,14 @@
                            is an equi-join on bucket id — no cross join.
 
 All vector math is `F.zip_with`/`F.aggregate` built-ins (JVM, codegen) —
-no Python in the row path. Hyperplanes for SRP are deterministic frozen
-literals so runs are reproducible across sessions and engines.
+no Python in the row path. SRP hyperplane signs derive from the portable
+md5 hash (`srp_sign`) so bucket assignment is reproducible across sessions
+AND engines — a DuckDB oracle recomputes the identical buckets in SQL.
 """
 
 from __future__ import annotations
 
-import random
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -26,17 +27,31 @@ from pyspark.sql import functions as F
 from tutorial_apache_beam_spark.functions.vectors import as_double, cosine
 
 # Frozen ±1 hyperplane matrices for SRP-LSH: HYPERPLANE_TABLES[t][p][d] for
-# hash table t, plane p, dimension d. Seeded once; never regenerate (bucket
-# ids must be stable across runs). Multiple independent tables are the
-# standard recall lever: a true neighbor is missed only if it lands in a
-# different bucket in EVERY table.
-_rng = random.Random(20240101)
+# hash table t, plane p, dimension d. Signs are the low bit of the portable
+# 60-bit md5 hash (functions/hashing.py) of "srp:{t}:{p}:{d}" — the same
+# derivation is expressible in DuckDB SQL, so an oracle can reproduce bucket
+# assignment exactly (no RNG, no seed to ship). Multiple independent tables
+# are the standard recall lever: a true neighbor is missed only if it lands
+# in a different bucket in EVERY table.
 N_TABLES = 3
 N_PLANES = 4
 DIM = 64
+
+
+def srp_sign(t: int, p: int, d: int) -> int:
+    """±1 hyperplane component: low bit of the portable md5 hash.
+
+    DuckDB twin (identical by construction):
+    ``CASE WHEN ('0x' || substring(md5('srp:' || t || ':' || p || ':' || d),
+    1, 15))::BIGINT & 1 = 1 THEN 1 ELSE -1 END``
+    """
+    h = int(hashlib.md5(f"srp:{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+    return 1 if h & 1 else -1
+
+
 HYPERPLANE_TABLES: list[list[list[int]]] = [
-    [[_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(N_PLANES)]
-    for _ in range(N_TABLES)
+    [[srp_sign(t, p, d) for d in range(DIM)] for p in range(N_PLANES)]
+    for t in range(N_TABLES)
 ]
 
 

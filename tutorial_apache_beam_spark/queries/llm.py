@@ -203,9 +203,7 @@ _SW_RATIO_COLS_SQL = ",\n           ".join(
 _LANGS = list(STOPWORDS)  # tie order: en, es, de, fr
 
 
-@register(
-    "text_analysis_suite",
-    oracle=f"""
+_TEXT_ANALYSIS_ORACLE = f"""
     WITH tok AS (SELECT doc_id, lang, text, {_TOK} AS toks FROM documents),
     scored AS (SELECT doc_id,
            {_SW_RATIO_COLS_SQL}
@@ -233,11 +231,13 @@ _LANGS = list(STOPWORDS)  # tie order: en, es, de, fr
              ELSE 'fr'
            END AS detected_lang
     FROM tok t LEFT JOIN scored s ON t.doc_id = s.doc_id
-    """,
-)
+    """
+
+
 def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis in one gate (merges round-1's `text_stats_quality` +
-    `lang_id_heuristic`), one row per document:
+    """Text analysis (merges round-1's `text_stats_quality` +
+    `lang_id_heuristic`), one row per document — driver gate moved into
+    `text_fingerprint_suite`; kept callable for bench/tests:
 
     - token counts, type/token ratio, BPE-ish token count, punctuation
       count, composite quality score — all codegen built-ins;
@@ -301,9 +301,7 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprints_suite",
-    oracle=f"""
+_DOC_FINGERPRINTS_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     thx AS (SELECT doc_id,
                    list_transform(toks, s -> {portable_hash64_sql('s')}) AS token_hashes
@@ -317,11 +315,13 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok t
     JOIN sh s  ON t.doc_id = s.doc_id
     JOIN thx x ON t.doc_id = x.doc_id
-    """,
-)
+    """
+
+
 def doc_fingerprints_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting in one gate (merges round-1's
-    `document_fingerprints` + `simhash_fingerprints`):
+    """Document fingerprinting (merges round-1's `document_fingerprints` +
+    `simhash_fingerprints`) — driver gate moved into
+    `text_fingerprint_suite`; kept callable for bench/tests:
 
     - order-insensitive content fingerprint (hash of sorted vocabulary);
     - min-shingle rolling fingerprint;
@@ -347,6 +347,30 @@ def doc_fingerprints_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = simhash_fingerprints(docs)
     return content.join(sh, "doc_id").join(sim, "doc_id")
+
+
+@register(
+    "text_fingerprint_suite",
+    oracle=f"""
+    SELECT * FROM ({_TEXT_ANALYSIS_ORACLE}) ta
+    JOIN ({_DOC_FINGERPRINTS_ORACLE}) fp USING (doc_id)
+    """,
+)
+def text_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis + fingerprints in ONE gate (merges
+    round-2's `text_analysis_suite` + `doc_fingerprints_suite` — both are
+    one-row-per-document over the same table, so the merge is an equi-join
+    on doc_id, not a union): token/char/punct counts, BPE-ish token count,
+    type-token ratio, quality score, stopword language ID, content/
+    min-shingle/SimHash fingerprints. Freed the driver-window slot now
+    spent on `q8_market_share`.
+
+    Scale: both sides are narrow map-only projections of the same scan;
+    Catalyst collapses the self-join on the doc_id shuffle key.
+    """
+    return text_analysis_suite(spark, sf_dir).join(
+        doc_fingerprints_suite(spark, sf_dir), "doc_id"
+    )
 
 
 @register(

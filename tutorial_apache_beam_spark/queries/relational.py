@@ -547,9 +547,10 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Additional TPC-H analog shapes — library functions, pytest-oracle-verified
-# (tests/test_tpch_extra.py). Deliberately NOT registered: the driver's
-# correctness window is fully allocated (SURVEY §9); these deepen the join
-# surface without displacing a gate.
+# (tests/test_tpch_extra.py). All but q8_market_share (promoted round 3)
+# are deliberately NOT registered: the driver's correctness window is fully
+# allocated (SURVEY §9); these deepen the join surface without displacing a
+# gate.
 # ---------------------------------------------------------------------------
 
 
@@ -783,11 +784,31 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS order_year,
+           round(sum(CASE WHEN sn.n_name = 'CHINA'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS china_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of regional revenue per year —
     a conditional-sum-over-total ratio on top of the snowflake join
     (supplier nation provides the numerator flag, customer region the
-    population filter).
+    population filter). Promoted from pytest (test_tpch_extra) into the
+    driver window on the slot freed by the text/fingerprint gate merge.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")

@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 
 from tutorial_apache_beam_spark.catalog import load_table
 from tutorial_apache_beam_spark.operators.similarity import (
+    N_PLANES,
+    N_TABLES,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_ann_topk,
     srp_ann_topk,
 )
 from tutorial_apache_beam_spark.registry import register
@@ -23,29 +26,124 @@ _COS = (
     "(sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4)"
 )
 
+# SRP bucket ids recomputed in SQL: hyperplane signs are the low bit of the
+# portable md5 hash (operators/similarity.srp_sign — identical derivation),
+# so DuckDB reproduces every (table, bucket) assignment exactly. The
+# sign-of-dot boundary is fp-safe on the fixtures: min |projection| is
+# ~5.6e-5 at sf0.1 vs ~1e-12 cross-engine summation noise (measured).
+_SRP_BUCKETS = f"""
+    signs AS (
+      SELECT tt.t, pp.p, dd.d,
+             CASE WHEN (('0x' || substring(md5('srp:' || tt.t || ':' || pp.p
+                          || ':' || dd.d), 1, 15))::BIGINT & 1) = 1
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(range({N_TABLES})) AS t) tt,
+           (SELECT unnest(range({N_PLANES})) AS p) pp,
+           (SELECT unnest(range(64)) AS d) dd),
+    elems AS (
+      SELECT vec_id, unnest(range(len(ve))) AS d, unnest(ve) AS val FROM v),
+    dots AS (
+      SELECT e.vec_id, s.t, s.p, sum(e.val * s.s) AS dot
+      FROM elems e JOIN signs s USING (d)
+      GROUP BY e.vec_id, s.t, s.p),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, t)
+"""
+
+# IVF assignment recomputed in SQL: deterministic centroids (every 50th
+# vector), nearest-centroid by unrounded cosine argmax. Engine-stable on the
+# fixtures: min top1-top2 centroid-similarity gap is ≥6e-6 across SFs
+# (measured) vs ~1e-14 cross-engine noise, so no rounding and no real ties.
+_IVF_COS = (
+    "list_dot_product(a.ve, c.cv) / "
+    "(sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(c.cv, c.cv)))"
+)
+_IVF_ASSIGN = f"""
+    cents AS (SELECT vec_id AS centroid_id, ve AS cv FROM v
+              WHERE vec_id % 50 = 0),
+    asgn AS (
+      SELECT a.vec_id, c.centroid_id, row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_IVF_COS} DESC, c.centroid_id) AS rn
+      FROM v a, cents c)
+"""
+
 
 @register(
-    "cosine_topk_bruteforce",
+    "ann_topk_methods",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     p AS (SELECT * FROM v WHERE vec_id % 100 = 0),
-    scored AS (
+    {_SRP_BUCKETS.strip().rstrip()},
+    {_IVF_ASSIGN.strip().rstrip()},
+    exact_scored AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, {_COS} AS cos
-      FROM p a JOIN v b ON b.vec_id <> a.vec_id)
-    SELECT probe_id, vec_id, cos FROM (
-      SELECT probe_id, vec_id, cos,
-             row_number() OVER (PARTITION BY probe_id
-                                ORDER BY cos DESC, vec_id) AS rn
-      FROM scored)
-    WHERE rn <= 5
+      FROM p a JOIN v b ON b.vec_id <> a.vec_id),
+    srp_cand AS (
+      SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS vec_id
+      FROM buckets pb JOIN buckets cb
+        ON pb.t = cb.t AND pb.bucket = cb.bucket
+      WHERE pb.vec_id % 100 = 0 AND cb.vec_id <> pb.vec_id),
+    srp_scored AS (
+      SELECT sc.probe_id, sc.vec_id, {_COS} AS cos
+      FROM srp_cand sc
+      JOIN v a ON a.vec_id = sc.probe_id
+      JOIN v b ON b.vec_id = sc.vec_id),
+    ivf_cand AS (
+      SELECT DISTINCT pa.vec_id AS probe_id, ca.vec_id AS vec_id
+      FROM asgn pa JOIN asgn ca
+        ON pa.centroid_id = ca.centroid_id AND ca.rn = 1
+      WHERE pa.vec_id % 100 = 0 AND pa.rn <= 2 AND ca.vec_id <> pa.vec_id),
+    ivf_scored AS (
+      SELECT ic.probe_id, ic.vec_id, {_COS} AS cos
+      FROM ivf_cand ic
+      JOIN v a ON a.vec_id = ic.probe_id
+      JOIN v b ON b.vec_id = ic.vec_id),
+    ranked AS (
+      SELECT method, probe_id, vec_id, cos, row_number() OVER (
+               PARTITION BY method, probe_id
+               ORDER BY cos DESC, vec_id) AS rn
+      FROM (SELECT 'exact' AS method, * FROM exact_scored
+            UNION ALL SELECT 'srp' AS method, * FROM srp_scored
+            UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored))
+    SELECT method, probe_id, vec_id, cos FROM ranked WHERE rn <= 5
     """,
 )
-def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for every 100th vector (the ANN
-    correctness baseline: one corpus scan, broadcast probes)."""
+def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for every 100th vector under all THREE
+    search tiers in one method-tagged gate (merges round-2's oracle-backed
+    `cosine_topk_bruteforce` with the previously rows-only
+    `ann_topk_variants`):
+
+    - exact: brute force — one corpus scan × broadcast probes (the
+      verification tier at any scale where |probes|·|corpus| is viable);
+    - srp:   sign-random-projection LSH — candidates share a (table,
+      bucket) key in any of the independent hash tables; the equi-join
+      shuffles N_TABLES·(|corpus|+|probes|) rows, never the pair space;
+    - ivf:   inverted-file over deterministic centroids (every 50th
+      vector), nprobe=2 — broadcast centroid assignment, candidate join
+      pruned by the bucket fan-out.
+
+    All three tiers are DuckDB-oracle-checked: SRP buckets derive from the
+    portable md5 hash and IVF assignment is an fp-stable cosine argmax
+    (margins measured; see the SQL fragment comments above).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    return cosine_topk(emb, probes, k=5)
+
+    def tag(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"), "probe_id", "vec_id", "cos"
+        )
+
+    return (
+        tag(cosine_topk(emb, probes, k=5), "exact")
+        .unionByName(tag(srp_ann_topk(emb, probes, k=5), "srp"))
+        .unionByName(tag(ivf_ann_topk(emb, probes, k=5, nprobe=2), "ivf"))
+    )
 
 
 @register(
@@ -65,27 +163,3 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35)
 
 
-@register("ann_topk_variants")
-def ann_topk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors under BOTH ANN index families in one
-    gate (merges round-1's `srp_ann_topk` + `ivf_ann_topk`):
-
-    - srp: sign-random-projection LSH buckets (3 independent tables);
-    - ivf: coarse quantization into centroid buckets, nprobe=2.
-
-    No SQL oracle (approximate recall is implementation-defined); the
-    companion exact query `cosine_topk_bruteforce` anchors correctness,
-    and pytests assert every returned neighbor's cosine matches the exact
-    computation plus non-trivial recall for each method.
-    """
-    from tutorial_apache_beam_spark.operators.similarity import ivf_ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    srp = srp_ann_topk(emb, probes, k=5).select(
-        F.lit("srp").alias("method"), "probe_id", "vec_id", "cos"
-    )
-    ivf = ivf_ann_topk(emb, probes, k=5, nprobe=2).select(
-        F.lit("ivf").alias("method"), "probe_id", "vec_id", "cos"
-    )
-    return srp.unionByName(ivf)
