@@ -37,22 +37,46 @@ from tutorial_apache_beam_spark.streaming.replay import (
              count(*)                                                   AS count
       FROM events
       GROUP BY 1, 2, 3),
-    wm AS (SELECT max(ts) - INTERVAL '2 minutes' AS w FROM events)
+    wm AS (SELECT max(ts) - INTERVAL '2 minutes' AS w FROM events),
+    firings AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts)                       AS window_start,
+             time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+             user_id,
+             CAST(count(DISTINCT event_id % 3 = 0) AS BIGINT)           AS count
+      FROM events
+      GROUP BY 1, 2, 3)
     SELECT 'complete' AS mode, * FROM agg
     UNION ALL
     SELECT 'append' AS mode, * FROM agg
     WHERE window_end <= (SELECT w FROM wm)
+    UNION ALL
+    SELECT 'update' AS mode, * FROM agg
+    UNION ALL
+    SELECT 'update_firings' AS mode, * FROM firings
     """,
 )
 def streaming_demo2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Demo2 as a real streaming job under BOTH output modes in one gate
-    (merges round-1's `streaming_demo2_counts` + `streaming_demo2_append`):
+    """Demo2 as a real streaming job under ALL THREE output modes in one
+    gate (round 2 merged `streaming_demo2_counts` + `streaming_demo2_append`;
+    round 3 adds the update-mode late-firing half of W3):
 
     - complete mode: final state must equal the batch aggregation (the
       unified-model property);
     - append mode with a 2-minute watermark (1 m skew + 1 m lateness
       composed, SURVEY W1+W4): only windows the final watermark closed are
-      emitted — Beam's AfterWatermark.pastEndOfWindow firing (W3).
+      emitted — Beam's AfterWatermark.pastEndOfWindow firing (W3);
+    - update mode over an OUT-OF-ORDER two-batch replay (every third event
+      arrives in a second, late micro-batch — a backfill hitting windows
+      across all of history) — Beam's accumulatingFiredPanes: each trigger
+      re-emits the ACCUMULATED count for changed keys. Two tags make that
+      checkable from the final sink alone:
+        'update'          — max emitted count per key == the batch count
+                            (the last firing carries the accumulated total);
+        'update_firings'  — emissions per key == number of micro-batches
+                            containing that key (1 or 2), proving per-pane
+                            re-emission rather than complete-mode dumps.
+      The generous 31-day allowed lateness admits the whole backfill
+      (fixture spans ~30 days); production picks the real lateness bound.
     """
     complete = run_stream_to_memory(
         tumbling_counts(stream_events(spark, sf_dir), "ts", ["user_id"], "1 minute"),
@@ -69,9 +93,64 @@ def streaming_demo2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="append",
     )
-    return complete.select(F.lit("complete").alias("mode"), "*").unionByName(
-        append.select(F.lit("append").alias("mode"), "*")
+    update_sink = _demo2_update_replay(spark, sf_dir)
+    key = ["window_start", "window_end", "user_id"]
+    update_final = update_sink.groupBy(*key).agg(F.max("count").alias("count"))
+    update_firings = update_sink.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("count")
     )
+    return (
+        complete.select(F.lit("complete").alias("mode"), "*")
+        .unionByName(append.select(F.lit("append").alias("mode"), "*"))
+        .unionByName(update_final.select(F.lit("update").alias("mode"), "*"))
+        .unionByName(
+            update_firings.select(F.lit("update_firings").alias("mode"), "*")
+        )
+    )
+
+
+def _demo2_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the Demo2 aggregation in update mode over a deterministic
+    out-of-order replay: the events fixture split into two parquet files
+    (event_id % 3 selects the late file), streamed with maxFilesPerTrigger=1
+    so the second micro-batch delivers late rows into windows the first
+    batch already fired. Returns the memory-sink table (one row per changed
+    key per trigger); rows live in the sink after the drain, so the scratch
+    files are removed before returning.
+    """
+    import shutil
+    import tempfile
+
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="demo2_update_replay_")
+    try:
+        late = F.col("event_id") % 3 == 0
+        raw.filter(~late).coalesce(1).write.parquet(f"{tmp}/b0")
+        raw.filter(late).coalesce(1).write.parquet(f"{tmp}/b1")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "part-*")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = tumbling_counts(
+            sdf.withWatermark("ts", "31 days"), "ts", ["user_id"], "1 minute"
+        )
+        sink = run_stream_to_memory(agg, spark, output_mode="update")
+        # Materialize before deleting the scratch source files (the memory
+        # sink retains rows, but the first action must not re-list them).
+        sink = sink.persist()
+        sink.count()
+        return sink
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
