@@ -76,3 +76,21 @@ def test_local_and_distributed_paths_agree(spark):
 def test_local_path_empty_edges(spark):
     empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
     assert connected_components(empty).count() == 0
+
+
+def test_local_path_string_vertex_ids(spark):
+    """Non-integer vertex ids (e.g. content-hash doc ids) flow through the
+    union-find fast path with the output schema derived from the input —
+    component = lexicographic min member (same rule the distributed
+    F.least path applies)."""
+    edges = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC"), ("docX", "docY")],
+        "id_a STRING, id_b STRING",
+    )
+    out = connected_components(edges)
+    assert dict(out.dtypes) == {"vertex": "string", "component": "string"}
+    comps = {r.vertex: r.component for r in out.collect()}
+    assert comps == {
+        "docA": "docA", "docB": "docA", "docC": "docA",
+        "docX": "docX", "docY": "docX",
+    }

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _components_local(edge_rows, src: str, dst: str) -> list[tuple[int, int]]:
@@ -76,7 +77,11 @@ def connected_components(
       diameter. `shuffle_partitions` sizes those joins independently of
       the session default (temporarily, conf-scoped to this loop) — at
       cluster scale pass a value proportional to the EDGE count, not the
-      corpus size. Set `local_edge_threshold=0` to force this path.
+      corpus size, and only when the caller knows that size; left unset,
+      the session default applies. NB the conf set/restore mutates the
+      shared session, so don't run concurrent queries on the same session
+      while an override is active. Set `local_edge_threshold=0` to force
+      this path.
     """
     spark = edges.sparkSession
     if local_edge_threshold > 0:
@@ -90,10 +95,19 @@ def connected_components(
         )
         if len(edge_rows) <= local_edge_threshold:
             edges.unpersist()
+            # Output vertex type follows the input edge columns (string doc
+            # ids work the same as ints: component = min member id, and
+            # union-by-min is total-order-agnostic).
+            vertex_type = edges.schema[src].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("vertex", vertex_type),
+                    T.StructField("component", vertex_type),
+                ]
+            )
             return spark.createDataFrame(
-                _components_local(edge_rows, src, dst) or [(None, None)],
-                "vertex BIGINT, component BIGINT",
-            ).filter(F.col("vertex").isNotNull())
+                _components_local(edge_rows, src, dst), out_schema
+            )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -162,7 +176,7 @@ def dedup_keep_canonical(
 ) -> DataFrame:
     """Keep one doc per near-dup cluster (the min id), plus all unpaired
     docs — transitive closure of pairwise near-dup removal."""
-    comps = connected_components(pairs, shuffle_partitions=8)
+    comps = connected_components(pairs)
     drop = comps.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias(id_col)
     )

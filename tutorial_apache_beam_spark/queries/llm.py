@@ -572,7 +572,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
-    comps = connected_components(pairs, shuffle_partitions=8)
+    # No shuffle_partitions override: the near-dup graph resolves on the
+    # union-find fast path; a graph that overflowed to the distributed
+    # loop would need width sized to its edge list, not a fixed constant.
+    comps = connected_components(pairs)
     return (
         comps.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
