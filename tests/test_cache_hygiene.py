@@ -22,30 +22,40 @@ def _n_persisted(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def _assert_only_result_pinned(spark, baseline: int, result) -> None:
-    # The eager pair computation freed every intermediate cache...
-    assert _n_persisted(spark) == baseline + 1
-    # ...and releasing the result restores the baseline exactly.
+def _assert_only_result_pinned(spark, result) -> None:
+    # The eager pair computation freed every intermediate cache (the
+    # session was cleared at entry, so the result is the one survivor)...
+    assert result.storageLevel.useMemory
+    assert _n_persisted(spark) == 1
+    # ...and releasing the result leaves nothing pinned.
     result.unpersist(blocking=True)
-    assert _n_persisted(spark) == baseline
+    assert _n_persisted(spark) == 0
+
+
+def _clean_session(spark):
+    """Start from zero pinned storage: other tests leak caches whose
+    out-of-scope handles the ContextCleaner collects asynchronously, which
+    would race a baseline-delta assertion."""
+    spark.catalog.clearCache()
+    assert _n_persisted(spark) == 0
 
 
 def test_ngram_jaccard_releases_intermediates(spark):
+    _clean_session(spark)
     docs = load_table(spark, SF_DIR, "documents")
-    baseline = _n_persisted(spark)
     pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
-    _assert_only_result_pinned(spark, baseline, pairs)
+    _assert_only_result_pinned(spark, pairs)
 
 
 def test_minhash_lsh_releases_intermediates(spark):
+    _clean_session(spark)
     docs = load_table(spark, SF_DIR, "documents")
-    baseline = _n_persisted(spark)
     pairs = minhash_lsh_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
-    _assert_only_result_pinned(spark, baseline, pairs)
+    _assert_only_result_pinned(spark, pairs)
 
 
 def test_simhash_releases_intermediates(spark):
+    _clean_session(spark)
     docs = load_table(spark, SF_DIR, "documents")
-    baseline = _n_persisted(spark)
     pairs = simhash_near_pairs(docs, max_hamming=3)
-    _assert_only_result_pinned(spark, baseline, pairs)
+    _assert_only_result_pinned(spark, pairs)

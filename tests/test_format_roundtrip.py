@@ -1,0 +1,53 @@
+"""Every native file format round-trips the same relation losslessly
+(SURVEY K1 breadth): write → read-back → identical row multiset, with
+partitioned layouts preserving partition-column values."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.sources.writers import read_table, write_table
+
+SCHEMA = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING"
+
+
+def _frame(spark):
+    return load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_lossless(spark, fmt, tmp_path):
+    df = _frame(spark)
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema=SCHEMA)
+    assert back.schema == df.schema
+    orig = sorted(map(tuple, df.collect()))
+    rt = sorted(map(tuple, back.collect()))
+    assert rt == orig
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partitioned layout: partition values survive the roundtrip and a
+    partition filter prunes to that directory (no full scan)."""
+    df = _frame(spark)
+    path = str(tmp_path / "part_orc")
+    write_table(df, path, fmt="orc", partition_by=["o_orderpriority"])
+    back = read_table(spark, path, fmt="orc")
+    assert back.filter(F.col("o_orderpriority") == "1-URGENT").count() == (
+        df.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    )
+    plan = (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Catalyst turns the filter into partition pruning on the scan.
+    assert "o_orderpriority" in plan

@@ -173,3 +173,150 @@ def test_q16_supplier_part_stats(spark, duck):
     )
 
     assert_matches_oracle(q16_supplier_part_stats(spark, SF_DIR), duck, Q16_ORACLE)
+
+
+Q9_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE contains(p.p_name, 'red')
+GROUP BY 1, 2
+"""
+
+Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+  FROM lineitem GROUP BY 1)
+SELECT l_partkey, value FROM per_part
+WHERE value > 0.001 * (SELECT sum(value) FROM per_part)
+"""
+
+Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+Q17_ORACLE = """
+WITH brand AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#23'),
+thresholds AS (
+  SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_threshold
+  FROM brand GROUP BY 1)
+SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM brand b JOIN thresholds t ON b.l_partkey = t.l_partkey
+WHERE b.l_quantity < t.qty_threshold
+"""
+
+Q21_ORACLE = """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '60 days'
+                  THEN 1 ELSE 0 END) AS any_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(any_late) AS n_late
+  FROM per_os GROUP BY 1)
+SELECT s.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os s JOIN per_o o ON s.l_orderkey = o.l_orderkey
+WHERE s.any_late = 1 AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY 1
+"""
+
+Q22_ORACLE = """
+WITH coded AS (
+  SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS INT) AS cntrycode
+  FROM customer WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 3)),
+avg_bal AS (
+  SELECT round(avg(c_acctbal), 6) AS a FROM coded WHERE c_acctbal > 0)
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT)     AS numcust,
+       round(sum(c_acctbal), 2)     AS totacctbal
+FROM coded c
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+def test_q9_product_profit(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import q9_product_profit
+
+    assert_matches_oracle(q9_product_profit(spark, SF_DIR), duck, Q9_ORACLE)
+
+
+def test_q11_important_parts(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import q11_important_parts
+
+    assert_matches_oracle(q11_important_parts(spark, SF_DIR), duck, Q11_ORACLE)
+
+
+def test_q13_customer_distribution(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import (
+        q13_customer_distribution,
+    )
+
+    assert_matches_oracle(
+        q13_customer_distribution(spark, SF_DIR), duck, Q13_ORACLE
+    )
+
+
+def test_q15_top_supplier(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import q15_top_supplier
+
+    assert_matches_oracle(q15_top_supplier(spark, SF_DIR), duck, Q15_ORACLE)
+
+
+def test_q17_small_quantity_revenue(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import (
+        q17_small_quantity_revenue,
+    )
+
+    assert_matches_oracle(
+        q17_small_quantity_revenue(spark, SF_DIR), duck, Q17_ORACLE
+    )
+
+
+def test_q21_waiting_supplier(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import q21_waiting_supplier
+
+    assert_matches_oracle(q21_waiting_supplier(spark, SF_DIR), duck, Q21_ORACLE)
+
+
+def test_q22_global_sales_opportunity(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import (
+        q22_global_sales_opportunity,
+    )
+
+    assert_matches_oracle(
+        q22_global_sales_opportunity(spark, SF_DIR), duck, Q22_ORACLE
+    )

@@ -98,7 +98,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
-    rows_per_block: int = 2048,
+    block_bytes: int = 4 << 20,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact brute force as a fully
     distributed blocked matrix product (NO driver collect, NO corpus
@@ -117,19 +117,21 @@ def embedding_neardup_pairs(
 
     Scale: data movement is O(n·(B+1)/2) — each block meets (B+1)/2
     partners — against the O(n²/B²) compute per combo that dominates at
-    any real corpus size. By default B derives from the corpus row count
-    (one cheap scan) so a packed block stays ~`rows_per_block`×dim doubles
-    (~1 MB at dim 64) regardless of corpus size — a fixed B would grow
-    per-block rows linearly with the corpus and eventually hit the ~2 GB
-    single-Arrow-row bound. Compute cost is inherent to EXACT all-pairs —
-    beyond a few hundred thousand vectors, the SRP/IVF operators supply
-    approximate candidates instead.
+    any real corpus size. By default B derives from Catalyst's PLAN-TIME
+    size estimate (`stats().sizeInBytes` — no job is launched; plan
+    construction stays fully lazy) targeting ~`block_bytes` of input per
+    block, so a packed block stays bounded regardless of corpus size — a
+    fixed B would grow per-block rows linearly with the corpus and
+    eventually hit the ~2 GB single-Arrow-row bound. Compute cost is
+    inherent to EXACT all-pairs — beyond a few hundred thousand vectors,
+    the SRP/IVF operators supply approximate candidates instead.
     """
     import numpy as np
     import pandas as pd
 
     if n_blocks is None:
-        n_blocks = max(4, -(-df.count() // rows_per_block))
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_blocks = int(min(4096, max(4, est // block_bytes)))
 
     vecs = df.select(
         F.col(id_col).alias("vid"),

@@ -872,3 +872,217 @@ def q16_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over parts
+    matching a name pattern — the widest analog join (lineitem ⋈ part ⋈
+    supplier ⋈ nation ⋈ orders) with a derived amount expression (fixtures
+    lack partsupp supplycost, so 10% of retail price stands in for cost).
+
+    The part filter prunes before the join; supplier→nation broadcasts;
+    the only big shuffle is lineitem⋈orders on the order key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_n = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("red")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs a global-total threshold — the
+    grouped-aggregate-filtered-by-scalar-subquery pattern (fixtures lack
+    partsupp, so lineitem revenue stands in for stock value).
+
+    The global total is a one-row aggregate broadcast into the filter —
+    two passes over the same grouped result, no second scan of the fact
+    (the grouped frame is persisted through both uses by Catalyst's reuse
+    of the exchange).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "value"
+        )
+    )
+    total = per_part.agg(
+        F.sum("value").alias("_total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("_total"))
+        .select("l_partkey", "value")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count INCLUDING
+    zero-order customers — the left-outer-join-then-double-group pattern
+    (fixtures lack o_comment, so urgent orders are excluded as the NOT
+    LIKE stand-in).
+
+    count(o_orderkey) over the left join counts 0 for unmatched customers;
+    the second aggregation is over one row per customer — tiny.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the MAX quarterly revenue —
+    grouped aggregate + scalar-max subquery equality join (the view-based
+    original, decorrelated). Revenue is rounded to 2 BEFORE the max on
+    both engines so the equality compare is parity-safe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    correlated per-part AVG subquery, decorrelated into a grouped
+    aggregate joined back to the fact. The 20%-of-average threshold is
+    rounded to 6 decimals on both engines so the strict `<` compare can't
+    flip on cross-engine fp summation noise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = li.join(
+        F.broadcast(
+            part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+        ),
+        li.l_partkey == part.p_partkey,
+    )
+    avg_qty = brand.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    return (
+        brand.join(avg_qty, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — the exists/not-exists pair, decorrelated into
+    per-order supplier/late-supplier counts (fixtures lack commit/receipt
+    dates, so 'late' = shipped >60 days after the order date; lack
+    nation, so unfiltered).
+
+    Per (order, supplier): any_late flag. Per order: distinct suppliers
+    and late suppliers. A supplier waits iff it is late, shares the order
+    with another supplier, and no OTHER supplier on that order is late —
+    exactly n_supp > 1 AND n_late = 1 AND any_late.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_os = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("any_late")
+        )
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late"),
+    )
+    return (
+        per_os.join(per_o, per_os.l_orderkey == F.col("_ok"))
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: idle customers with above-average balances, by
+    country code — anti join against orders + scalar AVG subquery
+    (fixtures lack c_phone, so c_custkey % 7 stands in for the country
+    code; codes 1-3 are the target set).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    coded = customer.withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("int")
+    ).filter(F.col("cntrycode").isin(1, 2, 3))
+    avg_bal = coded.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("_avg")
+    )
+    return (
+        coded.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, coded.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Batch sink writers (SURVEY K1/K2 breadth): every columnar/text format
+Spark ships natively, one writer surface.
+
+The reference's only sink is a BigQuery table append (Demo1.java:96-105,
+Demo2.java:170-182); the engine-scope equivalents are the file-format
+sinks here (partitioned parquet being the BigQuery-analog default) plus
+the bucketed table writer in operators/maintenance.py.
+
+Scale notes: `partition_by` columns become directory partitions — choose
+low-cardinality keys (date, not user id) so the file count stays sane;
+writers never coalesce by default (parallel writes at shuffle width), and
+a caller that needs fewer output files should repartition on the
+partition columns first so each partition directory gets contiguous
+writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write `df` to `path` in any native format (parquet/orc/json/csv).
+
+    CSV gets a header by default (schema-first on read-back — never
+    inferSchema in production, it is a full extra pass).
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read `path` back in any native format. Text formats (json/csv)
+    REQUIRE `schema` — their files carry no types, and inferSchema is a
+    banned extra pass. Columnar formats (parquet/orc) carry their own."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt in ("json", "csv") and schema is None:
+        raise ValueError(f"{fmt} read-back requires an explicit schema")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC batch scan — vectorized with pushdown/pruning, same as
+    parquet (`sources/readers.py:read_parquet`)."""
+    return spark.read.orc(path)
