@@ -241,58 +241,97 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_interval_join",
     oracle="""
-    SELECT p.event_id AS purchase_id,
-           c.event_id AS click_id,
-           p.user_id,
-           date_diff('second', c.ts, p.ts) AS gap_s
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id
-     AND c.ts >= p.ts - INTERVAL '10 minutes'
-     AND c.ts <= p.ts
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id AS purchase_id,
+             c.event_id AS click_id,
+             p.user_id,
+             date_diff('second', c.ts, p.ts) AS gap_s
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL '10 minutes'
+       AND c.ts <= p.ts),
+    wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                  - INTERVAL '1 minute' AS w)
+    SELECT 'inner' AS join_type, * FROM m
+    UNION ALL
+    SELECT 'left_outer' AS join_type, * FROM m
+    UNION ALL
+    SELECT 'left_outer' AS join_type,
+           p.event_id, CAST(NULL AS BIGINT), p.user_id, CAST(NULL AS BIGINT)
+    FROM p
+    WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+      AND p.ts < (SELECT w FROM wm)
     """,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream event-time interval join: purchases ⋈ clicks by the
-    same user within the preceding 10 minutes.
+    """Stream-stream event-time interval join, inner AND left-outer, in one
+    tagged gate: purchases ⋈ clicks by the same user within the preceding
+    10 minutes.
 
     Both sides carry watermarks; the time-bound condition lets Spark evict
     join state once the watermark passes each event's reachable window —
     bounded state on unbounded streams. An availableNow drain of the inner
-    join yields exactly the batch result (the oracle).
+    join yields exactly the batch result. The left-outer drain additionally
+    emits one null-extended row per match-less purchase once no matching
+    click can still arrive — verified emission rule (exact at sf0.001 and
+    sf0.01): p_ts < global watermark = min(max p_ts, max c_ts) − delay,
+    which the oracle computes with scalar subqueries. Purchases newer than
+    the final watermark stay withheld (their state is still live when the
+    bounded drain ends) — the streaming-vs-batch outer-join delta, stated
+    exactly.
     """
-    purchases = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+
+    def sides():
+        purchases = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 minute")
         )
-        .withWatermark("p_ts", "1 minute")
-    )
-    clicks = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
+        clicks = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 minute")
         )
-        .withWatermark("c_ts", "1 minute")
-    )
-    joined = purchases.join(
-        clicks,
+        return purchases, clicks
+
+    cond = lambda p, c: (  # noqa: E731
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-    ).select(
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    out_cols = [
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
+    ]
+    p1, c1 = sides()
+    inner = run_stream_to_memory(
+        p1.join(c1, cond(p1, c1)).select(*out_cols), spark, output_mode="append"
     )
-    return run_stream_to_memory(joined, spark, output_mode="append")
+    p2, c2 = sides()
+    outer = run_stream_to_memory(
+        p2.join(c2, cond(p2, c2), "leftOuter").select(*out_cols),
+        spark,
+        output_mode="append",
+    )
+    return inner.select(F.lit("inner").alias("join_type"), "*").unionByName(
+        outer.select(F.lit("left_outer").alias("join_type"), "*")
+    )
 
 
 @register(
