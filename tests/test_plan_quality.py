@@ -97,3 +97,37 @@ def test_window_surface_reuses_one_exchange(spark):
     assert plan.count("+- Exchange") == 1, plan
     # Two Window operators (event-time ordering + event-type ordering).
     assert plan.count("+- Window") + plan.count("* Window") >= 2
+
+
+def test_q8_snowflake_broadcasts_and_pushes_region(spark):
+    """q8's snowflake: region/nation/customer/supplier dims broadcast, the
+    ASIA filter reaches the region scan, and the only shuffled join is
+    lineitem ⋈ orders on the order key."""
+    df = registry.queries()["q8_market_share"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "r_name" in line
+    ]
+    assert pushed, "ASIA filter must reach the region scan"
+    # lineitem reads only the join/aggregate columns.
+    li_schema = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "l_extendedprice" in line
+    ][0]
+    for unused in ("l_quantity", "l_tax", "l_returnflag", "l_shipdate"):
+        assert unused not in li_schema, f"{unused} read but never used"
+
+
+def test_ann_methods_have_no_unintended_cartesian(spark):
+    """The ANN gate's only nested-loop join is the exact tier's documented
+    broadcast of the tiny probe set; SRP and IVF candidate joins must be
+    hash joins on their bucket keys."""
+    df = registry.queries()["ann_topk_methods"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # exact tier: broadcast nested loop against the probe set (intended)
+    assert "BroadcastNestedLoopJoin" in plan
+    # srp/ivf candidate generation: equi-joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
