@@ -124,3 +124,68 @@ def test_ivf_kmeans_centroids_recall_at_least_sampled(spark):
     )
     assert trained >= sampled, (trained, sampled)
     assert trained > 0.2, trained
+
+
+def test_benchmark_contamination_flags_shingle_overlap(spark):
+    """Docs sharing >= min_overlap distinct n-gram shingles with the
+    benchmark set are flagged; others are not; benchmark-only shingles
+    never flag the benchmark docs themselves (they are not in `docs`)."""
+    from tutorial_apache_beam_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+
+    rows = [
+        # doc 1: two distinct shingles shared with bench ("a b c", "b c d")
+        (1, "a b c d"),
+        # doc 2: one shared shingle only ("a b c")
+        (2, "a b c x y"),
+        # doc 3: nothing shared
+        (3, "p q r s t"),
+    ]
+    bench = [(100, "a b c d e")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    benchmark = spark.createDataFrame(bench, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["bench_hits"]
+        for r in benchmark_contamination(docs, benchmark, min_overlap=2).collect()
+    }
+    assert got == {1: 2}
+    # min_overlap=1 also catches doc 2
+    got1 = {
+        r["doc_id"]
+        for r in benchmark_contamination(docs, benchmark, min_overlap=1).collect()
+    }
+    assert got1 == {1, 2}
+
+
+def test_text_quality_signals_hand_computed(spark):
+    """Gopher-style repetition/word-shape signals against hand-computed
+    values on a tiny corpus."""
+    from tutorial_apache_beam_spark.queries.llm import text_analysis_suite
+    import tempfile
+
+    rows = [
+        # 6 tokens: "ab ab ab cd cd ef" -> mean len 2.0, max 2,
+        # 4 3-grams ("ab ab ab","ab ab cd","ab cd cd","cd cd ef") all
+        # distinct -> dup frac 0.0; top token "ab" 3/6 = 0.5
+        (0, "ab ab ab cd cd ef", "en"),
+        # repetition: "x y x y x y" -> 4 3-grams, 2 distinct -> 0.5
+        (1, "x y x y x y", "en"),
+        (2, "", "en"),  # empty: zero tokens -> zeroed signals
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r for r in text_analysis_suite(spark, d).collect()
+        }
+    assert out[0]["mean_word_len"] == 2.0
+    assert out[0]["max_word_len"] == 2
+    assert out[0]["dup_3gram_frac"] == 0.0
+    assert out[0]["top_token_frac"] == 0.5
+    assert out[1]["dup_3gram_frac"] == 0.5
+    assert out[2]["mean_word_len"] == 0.0
+    assert out[2]["max_word_len"] == 0
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[2]["top_token_frac"] == 0.0

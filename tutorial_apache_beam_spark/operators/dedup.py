@@ -227,6 +227,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Documents sharing ≥ `min_overlap` distinct n-gram shingle hashes
+    with ANY benchmark document: (id, bench_hits) — the decontamination
+    pass a training-data pipeline runs so eval-set text never leaks into
+    the training corpus.
+
+    Scale: the benchmark shingle set is tiny relative to a 100 TB corpus
+    (eval suites are ~1e5 documents), so its distinct hash set broadcasts;
+    the corpus side is the same one-shuffle row-wise shingle pipeline as
+    every other near-dup operator, and the overlap count aggregates with
+    map-side partial counts. Nothing is all-pairs and there is no skew
+    key: work is O(corpus shingles + corpus∩benchmark hits).
+    """
+    bench_hashes = (
+        _shingle_rows(benchmark, text_col, id_col, n).select("h").distinct()
+    )
+    doc_hashes = _shingle_rows(docs, text_col, id_col, n)
+    return (
+        doc_hashes.join(F.broadcast(bench_hashes), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bench_hits"))
+        .filter(F.col("bench_hits") >= min_overlap)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -25,6 +25,7 @@ from tutorial_apache_beam_spark.functions.text import (
     stopword_count_sql,
     tokens,
     tokens_sql,
+    word_shingles,
     word_shingles_sql,
 )
 from tutorial_apache_beam_spark.operators.dedup import (
@@ -203,6 +204,11 @@ _SW_RATIO_COLS_SQL = ",\n           ".join(
 _LANGS = list(STOPWORDS)  # tie order: en, es, de, fr
 
 
+# 3-word shingles WITH duplicates (word_shingles_sql keeps every
+# occurrence; the near-dup CTEs list_distinct it) — the repetition signal
+# needs the raw multiplicity.
+_SH3 = word_shingles_sql("t.toks", 3)
+
 _TEXT_ANALYSIS_ORACLE = f"""
     WITH tok AS (SELECT doc_id, lang, text, {_TOK} AS toks FROM documents),
     scored AS (SELECT doc_id,
@@ -222,6 +228,18 @@ _TEXT_ANALYSIS_ORACLE = f"""
                  + CASE WHEN len(t.toks) = 0 THEN 0
                    ELSE ({stopword_count_sql('t.toks', 'en')}::DOUBLE / len(t.toks))
                    END * 0.5, 4)                                AS quality_score,
+           round(CASE WHEN len(t.toks) = 0 THEN 0
+                 ELSE list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE
+                      / len(t.toks) END, 4)                     AS mean_word_len,
+           coalesce(list_max(list_transform(t.toks, x -> length(x))), 0)
+                                                                AS max_word_len,
+           round(CASE WHEN len(t.toks) < 3 THEN 0
+                 ELSE 1.0 - len(list_distinct({_SH3}))::DOUBLE
+                      / len({_SH3}) END, 4)                     AS dup_3gram_frac,
+           round(CASE WHEN len(t.toks) = 0 THEN 0
+                 ELSE list_max(list_transform(list_distinct(t.toks),
+                        y -> len(list_filter(t.toks, x -> x = y))))::DOUBLE
+                      / len(t.toks) END, 4)                     AS top_token_frac,
            t.lang                                               AS labeled_lang,
            CASE
              WHEN s.doc_id IS NULL THEN NULL
@@ -250,17 +268,23 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     base = docs.select("doc_id", "lang", "text", t.alias("toks"))
     for lang in _LANGS:
+        # NULL for token-less docs (mirrors the oracle's `scored` CTE LEFT
+        # JOIN) — and under ANSI mode an unguarded /0 would throw.
         base = base.withColumn(
             f"sw_{lang}",
-            F.round(
-                stopword_count(F.col("toks"), lang).cast("double")
-                / F.size("toks"),
-                4,
+            F.when(F.size("toks") == 0, F.lit(None).cast("double")).otherwise(
+                F.round(
+                    stopword_count(F.col("toks"), lang).cast("double")
+                    / F.size("toks"),
+                    4,
+                )
             ),
         )
     n_tokens = F.size("toks")
     n_types = F.size(F.array_distinct("toks"))
     sw_en = stopword_count(F.col("toks"), "en")
+    tok_lens = F.transform(F.col("toks"), lambda x: F.length(x))
+    shingles3 = word_shingles(F.col("toks"), 3)
     detected = F.when(F.size("toks") == 0, F.lit(None).cast("string")).otherwise(
         F.when(
             (F.col("sw_en") >= F.col("sw_es"))
@@ -296,6 +320,42 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 0.5,
             4,
         ).alias("quality_score"),
+        # Gopher-style repetition / word-shape signals (public quality
+        # heuristics for training-data curation). All per-row array
+        # expressions over the ~doc-length token array — bounded work per
+        # row regardless of corpus size, no extra shuffle.
+        F.round(
+            F.when(n_tokens == 0, 0.0).otherwise(
+                F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast(
+                    "double"
+                )
+                / n_tokens
+            ),
+            4,
+        ).alias("mean_word_len"),
+        F.coalesce(F.array_max(tok_lens), F.lit(0)).alias("max_word_len"),
+        F.round(
+            F.when(n_tokens < 3, 0.0).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct(shingles3)).cast("double")
+                / F.size(shingles3)
+            ),
+            4,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.when(n_tokens == 0, 0.0).otherwise(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct("toks"),
+                        lambda y: F.size(
+                            F.filter(F.col("toks"), lambda x: x == y)
+                        ),
+                    )
+                ).cast("double")
+                / n_tokens
+            ),
+            4,
+        ).alias("top_token_frac"),
         F.col("lang").alias("labeled_lang"),
         detected.alias("detected_lang"),
     )
@@ -469,11 +529,21 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN khsh sa ON sa.doc_id = cand.id_a
         JOIN khsh sb ON sb.doc_id = cand.id_b)
       WHERE round(j, 4) >= 0.2),
-    dupes AS (SELECT DISTINCT id_b FROM pairs)
+    dupes AS (SELECT DISTINCT id_b FROM pairs),
+    bh AS (SELECT DISTINCT unnest(list_transform(
+               list_distinct({word_shingles_sql('toks', 3)}),
+               s -> {portable_hash64_sql('s')})) AS h
+           FROM tok WHERE doc_id % 97 = 0),
+    kinv AS (SELECT doc_id, unnest(hashes) AS h FROM khsh),
+    contaminated AS (
+      SELECT ki.doc_id FROM kinv ki JOIN bh USING (h)
+      GROUP BY ki.doc_id HAVING count(*) >= 2)
     SELECT s.doc_id, s.n_tokens, s.quality_score
     FROM scored s
     JOIN kept k ON s.doc_id = k.doc_id
     WHERE s.doc_id NOT IN (SELECT id_b FROM dupes)
+      AND s.doc_id % 97 <> 0
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,14 +551,20 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       language filter → length gate → quality score → exact dedup →
       near-dup removal (inverted-index Jaccard, keep-lowest-id) →
+      benchmark decontamination (docs sharing ≥2 distinct 3-gram
+      shingles with the held-out eval set — here `doc_id % 97 == 0` —
+      are removed, as are the eval docs themselves) →
       curated (doc_id, n_tokens, quality_score).
 
     Every stage is the corresponding engine operator; the oracle replays
     the whole chain in SQL. At 100 TB this is one lazy plan: a single
     text scan feeds scoring and shingling, dedup joins are equi-joins on
-    hashes, and only the pruned survivor set reaches the sink.
+    hashes, the benchmark shingle set broadcasts
+    (operators.dedup.benchmark_contamination), and only the pruned
+    survivor set reaches the sink.
     """
     from tutorial_apache_beam_spark.operators.dedup import (
+        benchmark_contamination,
         exact_dedup,
         ngram_jaccard_pairs,
     )
@@ -516,7 +592,14 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(kept, threshold=0.2, max_doc_freq=100)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = kept.join(dupes, "doc_id", "left_anti").select("doc_id")
-    return survivors.join(scored, "doc_id").select(
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = benchmark_contamination(
+        kept, benchmark, min_overlap=2
+    ).select("doc_id")
+    clean = survivors.filter(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return clean.join(scored, "doc_id").select(
         "doc_id", "n_tokens", "quality_score"
     )
 
