@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from tutorial_apache_beam_spark import registry
 from tests.conftest import SF_DIR
@@ -121,13 +122,19 @@ def test_q8_snowflake_broadcasts_and_pushes_region(spark):
 
 
 def test_ann_methods_have_no_unintended_cartesian(spark):
-    """The ANN gate's only nested-loop join is the exact tier's documented
-    broadcast of the tiny probe set; SRP and IVF candidate joins must be
-    hash joins on their bucket keys."""
+    """The ANN gate has NO nested-loop/cartesian joins at all: the exact
+    tier scores via a broadcast probe matrix inside mapInPandas (no join
+    operator), SRP and IVF candidate joins are hash joins on their bucket
+    keys, and the per-(method, probe) top-k ranks the union in ONE window
+    instead of one per tier."""
     df = registry.queries()["ann_topk_methods"](spark, SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    # exact tier: broadcast nested loop against the probe set (intended)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exact tier: Arrow-batched BLAS scan
+    assert "MapInPandas" in plan
     # srp/ivf candidate generation: equi-joins
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # single ranking exchange for all three tiers (WindowGroupLimit nodes
+    # are the rank-limit pushdown of that same window, not extra ones)
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1

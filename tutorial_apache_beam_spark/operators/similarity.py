@@ -11,10 +11,14 @@
                            Approximate (recall < 1), but the candidate join
                            is an equi-join on bucket id — no cross join.
 
-All vector math is `F.zip_with`/`F.aggregate` built-ins (JVM, codegen) —
-no Python in the row path. SRP hyperplane signs derive from the portable
-md5 hash (`srp_sign`) so bucket assignment is reproducible across sessions
-AND engines — a DuckDB oracle recomputes the identical buckets in SQL.
+All bulk vector math runs Arrow-vectorized in numpy (mapInPandas /
+pandas_udf batches): Spark's array higher-order functions evaluate
+interpreted (~1 µs per element, measured), which dominates any scoring
+loop — the einsum forms keep the oracle's sequential fold order so
+round(·, 4) agrees bit-for-bit. SRP hyperplane signs derive from the
+portable md5 hash (`srp_sign`) so bucket assignment is reproducible
+across sessions AND engines — a DuckDB oracle recomputes the identical
+buckets in SQL.
 """
 
 from __future__ import annotations
@@ -24,7 +28,10 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tutorial_apache_beam_spark.functions.vectors import as_double, cosine
+from tutorial_apache_beam_spark.functions.vectors import (
+    as_double,
+    cosine_pairs_udf,
+)
 
 # Frozen ±1 hyperplane matrices for SRP-LSH: HYPERPLANE_TABLES[t][p][d] for
 # hash table t, plane p, dimension d. Signs are the low bit of the portable
@@ -55,33 +62,8 @@ HYPERPLANE_TABLES: list[list[list[int]]] = [
 ]
 
 
-def cosine_topk(
-    corpus: DataFrame,
-    probes: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact top-k cosine neighbors per probe (excluding self).
-
-    Output: (probe_id, vec_id, cos) — ties broken by neighbor id.
-    Plan shape: broadcast-nested-loop of the tiny probe set against a
-    single scan of the corpus, then one shuffle keyed by probe for the
-    window top-k. Corpus is scanned once regardless of probe count.
-    """
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pv")
-    )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(p))
-        .filter(F.col(id_col) != F.col("probe_id"))
-        .select(
-            "probe_id",
-            id_col,
-            F.round(cosine(F.col("pv"), F.col("cv")), 4).alias("cos"),
-        )
-    )
+def _probe_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-probe top-k over (probe_id, id, cos) rows, ties by neighbor id."""
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col(id_col)
     )
@@ -90,6 +72,73 @@ def cosine_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (excluding self).
+
+    Output: (probe_id, vec_id, cos) — ties broken by neighbor id.
+    Plan shape: the probe set is bounded by contract, so it is collected
+    once and broadcast as a dense (probes × dim) matrix; a single
+    Arrow-batched `mapInPandas` scan of the corpus computes each batch's
+    (batch × probes) similarity block as one BLAS product — no join and
+    no corpus shuffle before the per-probe top-k window. The previous
+    broadcast-crossJoin + interpreted-HOF-cosine form paid ~1 µs per
+    array element (measured 1.2 s at 2000×20×64 on local[32]); the BLAS
+    block is milliseconds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    p_rows = probes.select(
+        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
+    ).collect()
+    out_schema = f"probe_id BIGINT, {id_col} BIGINT, cos DOUBLE"
+    if not p_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    p_ids = np.array([r["pid"] for r in p_rows], dtype=np.int64)
+    p_mat = np.array([list(r["pv"]) for r in p_rows], dtype=np.float64)
+    p_norm = np.sqrt(np.einsum("ij,ij->i", p_mat, p_mat))
+    p_norm[p_norm == 0] = 1.0
+    bc = corpus.sparkSession.sparkContext.broadcast((p_ids, p_mat, p_norm))
+
+    src = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+
+    def score(batches):
+        ids, pmat, pnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            # einsum (not BLAS matmul): plain sequential accumulation, the
+            # same fold order as the DuckDB oracle's list_dot_product, so
+            # round(cos, 4) can't flip at a boundary from summation order.
+            dots = np.einsum("ik,jk->ij", mat, pmat)
+            cn = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cn[cn == 0] = 1.0  # zero vectors have dots == 0 -> cos 0
+            sims = dots / np.outer(cn, pnorm)
+            n, m = sims.shape
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.tile(ids, n),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                    "cos": sims.ravel(),
+                }
+            )
+
+    scored = (
+        src.mapInPandas(score, out_schema)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, F.round(F.col("cos"), 4).alias("cos"))
+    )
+    return _probe_topk(scored, id_col, k) if rank else scored
 
 
 def embedding_neardup_pairs(
@@ -249,6 +298,7 @@ def srp_ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share the probe's SRP bucket in any of
     N_TABLES independent hash tables.
@@ -265,6 +315,7 @@ def srp_ann_topk(
         [F.col("probe_id")],
         "pv",
     )
+    pair_cos = cosine_pairs_udf()
     scored = (
         c.join(F.broadcast(p), ["table", "bucket"])
         .filter(F.col(id_col) != F.col("probe_id"))
@@ -273,17 +324,10 @@ def srp_ann_topk(
         .select(
             "probe_id",
             id_col,
-            F.round(cosine(as_double(F.col("pv")), as_double(F.col(vec_col))), 4).alias(
-                "cos"
-            ),
+            F.round(pair_cos(F.col("pv"), F.col(vec_col)), 4).alias("cos"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _probe_topk(scored, id_col, k) if rank else scored
 
 
 def _nearest_centroids(
@@ -452,6 +496,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    rank: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     centroid buckets (inverted file), search only the probe's `nprobe`
@@ -480,6 +525,7 @@ def ivf_ann_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
     ).join(probe_buckets, "probe_id")
+    pair_cos = cosine_pairs_udf()
     scored = (
         indexed.join(F.broadcast(p), "centroid_id")
         .filter(F.col(id_col) != F.col("probe_id"))
@@ -488,14 +534,7 @@ def ivf_ann_topk(
         .select(
             "probe_id",
             id_col,
-            F.round(cosine(as_double(F.col("pv")), as_double(F.col(vec_col))), 4).alias(
-                "cos"
-            ),
+            F.round(pair_cos(F.col("pv"), F.col(vec_col)), 4).alias("cos"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _probe_topk(scored, id_col, k) if rank else scored

@@ -131,6 +131,8 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5 hash and IVF assignment is an fp-stable cosine argmax
     (margins measured; see the SQL fragment comments above).
     """
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
 
@@ -139,10 +141,24 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(method).alias("method"), "probe_id", "vec_id", "cos"
         )
 
+    # Each tier contributes SCORED candidates (rank=False); one window
+    # over (method, probe_id) ranks the union — the same rows reach the
+    # exchange as with per-tier windows, but in ONE shuffle instead of
+    # three (plan-shape asserted in tests/test_plan_quality.py).
+    scored = (
+        tag(cosine_topk(emb, probes, k=5, rank=False), "exact")
+        .unionByName(tag(srp_ann_topk(emb, probes, k=5, rank=False), "srp"))
+        .unionByName(
+            tag(ivf_ann_topk(emb, probes, k=5, nprobe=2, rank=False), "ivf")
+        )
+    )
+    w = Window.partitionBy("method", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
     return (
-        tag(cosine_topk(emb, probes, k=5), "exact")
-        .unionByName(tag(srp_ann_topk(emb, probes, k=5), "srp"))
-        .unionByName(tag(ivf_ann_topk(emb, probes, k=5, nprobe=2), "ivf"))
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
     )
 
 
