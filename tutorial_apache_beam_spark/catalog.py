@@ -37,21 +37,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing types.
 
-    `events.ts` is written as parquet INT64 TIMESTAMP(NANOS); with
-    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long of
-    epoch-nanos. The fixture values are µs-granularity, so integer-dividing
-    by 1000 and stamping µs is lossless (`ts div 1000` stays in 64-bit
-    integer arithmetic — a double division would lose precision above 2^53).
+    `events.ts` has shipped in two physical forms across fixture
+    generations: parquet INT64 TIMESTAMP(NANOS) (arrives as epoch-nanos
+    long under `spark.sql.legacy.parquet.nanosAsLong=true`; µs-granular, so
+    `ts div 1000` in 64-bit integer arithmetic is lossless) and naive
+    TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ). Both are normalized to
+    TimestampType — the session TZ is pinned to UTC, so the NTZ→TZ cast is
+    an identity on values and every downstream plan sees the type it was
+    verified with.
     """
     if name == "events":
         # Self-sufficient: the conf is runtime-settable, and a harness-owned
         # SparkSession (e.g. the driver's correctness gate) won't have it.
-        # Without it the read fails with PARQUET_TYPE_ILLEGAL on the NANOS
-        # column before any row is touched.
+        # Without it a NANOS-form fixture fails with PARQUET_TYPE_ILLEGAL
+        # before any row is touched; harmless for the MICROS form.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

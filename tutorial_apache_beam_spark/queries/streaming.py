@@ -121,24 +121,23 @@ def _demo2_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING"
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    from tutorial_apache_beam_spark.catalog import load_table
+
+    # catalog.load_table normalizes ts to TimestampType regardless of the
+    # fixture's physical form, so the scratch files replayed below carry a
+    # plain timestamp and need no further conversion.
+    raw = load_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="demo2_update_replay_")
     try:
         late = F.col("event_id") % 3 == 0
         raw.filter(~late).coalesce(1).write.parquet(f"{tmp}/b0")
         raw.filter(late).coalesce(1).write.parquet(f"{tmp}/b1")
         sdf = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(raw.schema)
             .option("pathGlobFilter", "part-*")
             .option("recursiveFileLookup", "true")
             .option("maxFilesPerTrigger", "1")
             .parquet(tmp)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
         agg = tumbling_counts(
             sdf.withWatermark("ts", "31 days"), "ts", ["user_id"], "1 minute"

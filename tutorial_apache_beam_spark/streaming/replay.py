@@ -67,21 +67,23 @@ def stream_events(
     """The fixture `events` table as an unbounded source (file-stream
     replay of parquet — the batch/streaming unification seam).
 
-    Schema must be declared up front for a streaming source; `ts` arrives
-    as epoch-nanos long (nanosAsLong) and is converted exactly as the batch
-    catalog does, so streaming and batch plans see identical input.
+    Schema must be declared up front for a streaming source; it is taken
+    from a footer-only batch read of the same file so the replay adapts to
+    whichever physical form the fixture generation used (epoch-nanos long
+    or naive TIMESTAMP(MICROS)), and `ts` is normalized to TimestampType
+    exactly as the batch catalog does — streaming and batch plans see
+    identical input.
     """
     from pyspark.sql import functions as F
 
     # Same self-sufficiency guard as catalog.load_table: the file-stream
-    # source hits the same PARQUET_TYPE_ILLEGAL on the NANOS column if the
-    # session wasn't built by session.get_spark.
+    # source hits the same PARQUET_TYPE_ILLEGAL on a NANOS-form fixture if
+    # the session wasn't built by session.get_spark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING"
-    )
+    # Footer-only read: discovers the fixture's physical schema without
+    # scanning data.
+    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
     # The file source watches a directory; pathGlobFilter narrows it to the
     # events table inside the fixture dir.
     raw = (
@@ -89,4 +91,9 @@ def stream_events(
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
