@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
 
+# Parquet footer schemas per source path (fixtures are immutable).
+_SCHEMA_CACHE: dict[str, object] = {}
+
 # State-store partition count for replay runs. A streaming aggregation/join
 # runs one state-store task per shuffle partition PER MICRO-BATCH, and the
 # count is frozen into the checkpoint at first start — so it must be sized
@@ -82,8 +85,13 @@ def stream_events(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # Footer-only read: discovers the fixture's physical schema without
-    # scanning data.
-    schema = spark.read.parquet(f"{sf_dir}/{glob}").schema
+    # scanning data. Cached per source path — fixtures are immutable, and
+    # replay-heavy gates build several streams over the same files.
+    cache_key = f"{sf_dir}/{glob}"
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(cache_key).schema
+        _SCHEMA_CACHE[cache_key] = schema
     # The file source watches a directory; pathGlobFilter narrows it to the
     # events table inside the fixture dir.
     raw = (
