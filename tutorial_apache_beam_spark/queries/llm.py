@@ -35,6 +35,7 @@ from tutorial_apache_beam_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_pairs,
 )
+from tutorial_apache_beam_spark.operators.sampling import bucket_sql, threshold
 from tutorial_apache_beam_spark.registry import register
 
 # Shared oracle CTEs: tokenized + shingled + hashed documents (3-word
@@ -537,13 +538,25 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kinv AS (SELECT doc_id, unnest(hashes) AS h FROM khsh),
     contaminated AS (
       SELECT ki.doc_id FROM kinv ki JOIN bh USING (h)
-      GROUP BY ki.doc_id HAVING count(*) >= 2)
-    SELECT s.doc_id, s.n_tokens, s.quality_score
-    FROM scored s
-    JOIN kept k ON s.doc_id = k.doc_id
-    WHERE s.doc_id NOT IN (SELECT id_b FROM dupes)
-      AND s.doc_id % 97 <> 0
-      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      GROUP BY ki.doc_id HAVING count(*) >= 2),
+    curated AS (
+      SELECT s.doc_id, s.n_tokens, s.quality_score,
+             CASE WHEN s.quality_score >= 0.4 THEN 'high' ELSE 'mid' END AS tier
+      FROM scored s
+      JOIN kept k ON s.doc_id = k.doc_id
+      WHERE s.doc_id NOT IN (SELECT id_b FROM dupes)
+        AND s.doc_id % 97 <> 0
+        AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    mixed AS (
+      SELECT *,
+             (CASE WHEN tier = 'high' THEN 2 ELSE 0 END)
+             + (CASE WHEN {bucket_sql('doc_id', 'curriculum')}
+                      < {threshold(0.5)} THEN 1 ELSE 0 END) AS _copies
+      FROM curated)
+    SELECT doc_id, n_tokens, quality_score, tier,
+           CAST(u.epoch AS BIGINT) AS epoch
+    FROM mixed, UNNEST(range(_copies)) AS u(epoch)
+    WHERE _copies > 0
     """,
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,20 +567,27 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       benchmark decontamination (docs sharing ≥2 distinct 3-gram
       shingles with the held-out eval set — here `doc_id % 97 == 0` —
       are removed, as are the eval docs themselves) →
-      curated (doc_id, n_tokens, quality_score).
+      curriculum mixture (operators.sampling.stratified_mix): quality
+      tiers at the 0.4 score cut, 'high' upweighted 2.5x (two epoched
+      full copies + a hash-decided half), 'mid' downsampled to 0.5 —
+      → mixed (doc_id, n_tokens, quality_score, tier, epoch).
 
     Every stage is the corresponding engine operator; the oracle replays
-    the whole chain in SQL. At 100 TB this is one lazy plan: a single
-    text scan feeds scoring and shingling, dedup joins are equi-joins on
-    hashes, the benchmark shingle set broadcasts
-    (operators.dedup.benchmark_contamination), and only the pruned
-    survivor set reaches the sink.
+    the whole chain in SQL — including every per-document sampling
+    decision, which is portable-hash-derived and therefore bit-identical
+    in DuckDB (rand()-based sampling could never be oracle-checked). At
+    100 TB this is one lazy plan: a single text scan feeds scoring and
+    shingling, dedup joins are equi-joins on hashes, the benchmark
+    shingle set broadcasts (operators.dedup.benchmark_contamination),
+    the mixture stage is map-only, and only the pruned survivor set
+    reaches the sink.
     """
     from tutorial_apache_beam_spark.operators.dedup import (
         benchmark_contamination,
         exact_dedup,
         ngram_jaccard_pairs,
     )
+    from tutorial_apache_beam_spark.operators.sampling import stratified_mix
 
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
@@ -599,9 +619,22 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = survivors.filter(F.col("doc_id") % 97 != 0).join(
         contaminated, "doc_id", "left_anti"
     )
-    return clean.join(scored, "doc_id").select(
-        "doc_id", "n_tokens", "quality_score"
+    curated = (
+        clean.join(scored, "doc_id")
+        .select("doc_id", "n_tokens", "quality_score")
+        .withColumn(
+            "tier",
+            F.when(F.col("quality_score") >= 0.4, "high").otherwise("mid"),
+        )
     )
+    mixed = stratified_mix(
+        curated,
+        {"high": 2.5, "mid": 0.5},
+        stratum_col="tier",
+        key_col="doc_id",
+        salt="curriculum",
+    )
+    return mixed.withColumn("epoch", F.col("epoch").cast("long"))
 
 
 @register(
