@@ -320,3 +320,29 @@ def test_q22_global_sales_opportunity(spark, duck):
     assert_matches_oracle(
         q22_global_sales_opportunity(spark, SF_DIR), duck, Q22_ORACLE
     )
+
+
+Q20_ORACLE = """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(l_quantity) AS total_qty,
+         sum(CASE WHEN year(l_shipdate) = 1996
+                  THEN l_quantity ELSE 0 END) AS qty_1996
+  FROM lineitem JOIN red ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM ps WHERE total_qty > 2 * qty_1996)
+"""
+
+
+def test_q20_potential_promotion(spark, duck):
+    from tutorial_apache_beam_spark.queries.relational import (
+        q20_potential_promotion,
+    )
+
+    assert_matches_oracle(
+        q20_potential_promotion(spark, SF_DIR), duck, Q20_ORACLE
+    )

@@ -1017,6 +1017,47 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with promotable stock of a name-prefixed
+    part family — the nested semi-join chain (part-name prefix filter →
+    per-(part, supplier) availability-vs-period-demand predicate →
+    DISTINCT supplier semi-join). Fixtures lack partsupp, so a supplier's
+    all-time shipped quantity of the part stands in for ps_availqty:
+    'promotable' means all-time qty > 2x the 1996 demand ('red%' parts
+    stand in for Q20's 'forest%').
+
+    Scale shape: the part-family filter broadcasts onto the lineitem
+    scan, one grouped aggregate per (part, supplier) carries both sums
+    (no second fact pass), and the supplier join is a broadcast semi —
+    quantities are integral doubles, so the 2x compare is fp-exact on
+    both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    per_ps = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1996, F.col("l_quantity")
+                ).otherwise(0.0)
+            ).alias("qty_1996"),
+        )
+    )
+    promotable = (
+        per_ps.filter(F.col("total_qty") > 2 * F.col("qty_1996"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supplier.join(
+        promotable, supplier.s_suppkey == promotable.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
     multi-supplier order — the exists/not-exists pair, decorrelated into
