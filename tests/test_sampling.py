@@ -112,3 +112,38 @@ def test_stratified_mix_epochs(docs):
 def test_stratified_mix_no_shuffle(docs):
     plan = stratified_mix(docs, {"src4": 1.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"mix must be map-only, got:\n{plan}"
+
+
+def test_hash_sample_monotone_fractions(docs):
+    # Same salt: a smaller fraction's sample is a SUBSET of a larger
+    # one's (bucket thresholds nest) — ablation subsets scale
+    # deterministically instead of resampling.
+    small = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="m").select("doc_id").collect()}
+    large = {r["doc_id"] for r in hash_sample(docs, 0.6, salt="m").select("doc_id").collect()}
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_hash_sample_on_stream_matches_batch(spark):
+    # Map-only operators run unchanged on streaming plans (the
+    # unified-model property): draining a sampled stream yields exactly
+    # the batch sample.
+    from tutorial_apache_beam_spark.streaming.replay import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    sampled = hash_sample(
+        stream_events(spark, SF_DIR).select("event_id", "user_id"),
+        0.3,
+        key_col="event_id",
+        salt="st",
+    )
+    drained = run_stream_to_memory(sampled, spark, output_mode="append")
+    got = {r["event_id"] for r in drained.collect()}
+    events = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    want = {
+        r["event_id"]
+        for r in hash_sample(events, 0.3, key_col="event_id", salt="st").collect()
+    }
+    assert got == want and len(want) > 0
