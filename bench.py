@@ -160,10 +160,16 @@ def main() -> None:
                 cleanup()
             # Median over repeats for the headline (first run absorbs
             # codegen/JIT warm-up); min for the sweep (noise-robust
-            # achievable time at 2 samples, where a median degenerates to
-            # the mean).
+            # achievable time at 2 samples). For an even repeat count the
+            # LOWER middle is picked — the upper middle would report the
+            # max of 2, handing the result to exactly the outlier the
+            # median exists to absorb.
             samples.sort()
-            pick = samples[0] if stat == "min" else samples[len(samples) // 2]
+            pick = (
+                samples[0]
+                if stat == "min"
+                else samples[(len(samples) - 1) // 2]
+            )
             timings[name] = round(pick, 3)
 
     run(HEADLINE, repeats=HEADLINE_REPEATS)

@@ -147,3 +147,13 @@ def test_hash_sample_on_stream_matches_batch(spark):
         for r in hash_sample(events, 0.3, key_col="event_id", salt="st").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stratified_mix_sql_default_columns(docs, duck):
+    # The columns="*" default must not leak the _copies helper or
+    # duplicate the epoch alias.
+    weights = {"src5": 1.5, "src6": 0.25}
+    out = stratified_mix(docs, weights).withColumn(
+        "epoch", F.col("epoch").cast("long")
+    )
+    assert_matches_oracle(out, duck, stratified_mix_sql("documents", weights))

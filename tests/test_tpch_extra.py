@@ -195,7 +195,7 @@ WITH per_part AS (
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
   FROM lineitem GROUP BY 1)
 SELECT l_partkey, value FROM per_part
-WHERE value > 0.001 * (SELECT sum(value) FROM per_part)
+WHERE value > (SELECT round(0.001 * sum(value), 6) FROM per_part)
 """
 
 Q13_ORACLE = """

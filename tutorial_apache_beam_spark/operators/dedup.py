@@ -46,9 +46,14 @@ def _materialize_and_release(
     `unpersist()` the returned DataFrame when done with it.
     """
     result = result.persist()
-    result.count()
-    for df in intermediates:
-        df.unpersist()
+    try:
+        result.count()
+    finally:
+        # Release the caches even when materialization fails (task OOM /
+        # executor loss) — an exception must not leave the index-sized
+        # intermediates pinned for the session lifetime.
+        for df in intermediates:
+            df.unpersist()
     return result
 
 

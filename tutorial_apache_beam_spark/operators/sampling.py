@@ -143,6 +143,9 @@ def stratified_mix_sql(
         f"(CASE WHEN {bucket} < {threshold(w - int(w))} THEN 1 ELSE 0 END)"
         for s, w in weights.items()
     )
+    # The outer select re-lists the payload via EXCLUDE so the _copies
+    # helper never leaks — required for the columns="*" default, where a
+    # literal re-use of the column list would also emit _copies.
     return f"""
     WITH counted AS (
       SELECT {columns},
@@ -150,7 +153,7 @@ def stratified_mix_sql(
       FROM {table}
       WHERE {stratum_col} IN ({", ".join(f"'{s}'" for s in weights)})
     )
-    SELECT {columns}, CAST(u.epoch AS BIGINT) AS epoch
-    FROM counted, UNNEST(range(_copies)) AS u(epoch)
+    SELECT c.* EXCLUDE (_copies), CAST(u.epoch AS BIGINT) AS epoch
+    FROM counted c, UNNEST(range(_copies)) AS u(epoch)
     WHERE _copies > 0
     """

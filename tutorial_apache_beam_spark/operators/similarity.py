@@ -100,13 +100,22 @@ def cosine_topk(
     p_rows = probes.select(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
     ).collect()
-    out_schema = f"probe_id BIGINT, {id_col} BIGINT, cos DOUBLE"
+    # The id type follows the corpus (string content-hash ids work the
+    # same as integer ids); only the vectors must be numeric.
+    id_type = dict(corpus.dtypes).get(id_col, "bigint")
+    out_schema = f"probe_id {id_type}, {id_col} {id_type}, cos DOUBLE"
     if not p_rows:
         return corpus.sparkSession.createDataFrame([], out_schema)
-    p_ids = np.array([r["pid"] for r in p_rows], dtype=np.int64)
+    id_np = np.int64 if id_type in ("tinyint", "smallint", "int", "bigint") else object
+    p_ids = np.array([r["pid"] for r in p_rows], dtype=id_np)
     p_mat = np.array([list(r["pv"]) for r in p_rows], dtype=np.float64)
     p_norm = np.sqrt(np.einsum("ij,ij->i", p_mat, p_mat))
     p_norm[p_norm == 0] = 1.0
+    # The broadcast's lifetime is tied to the returned lazy plan (tasks
+    # re-read it on every execution), so it cannot be destroyed here; it
+    # is reclaimed by Spark's ContextCleaner once the caller drops the
+    # DataFrame. Probe/centroid matrices are KB-scale by contract, so a
+    # session accumulates at most bounded-small broadcasts between GCs.
     bc = corpus.sparkSession.sparkContext.broadcast((p_ids, p_mat, p_norm))
 
     src = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))

@@ -253,6 +253,34 @@ _TEXT_ANALYSIS_ORACLE = f"""
     """
 
 
+def _max_run_count(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array == the
+    count of the most frequent element.
+
+    One O(n) fold over the sorted array (accumulator: previous element,
+    current run, best run). The naive distinct x filter form is O(n^2)
+    per document — ~25M interpreted element evaluations for a 5k-token
+    document — which breaks the bounded-work-per-row claim at real
+    document lengths; sort+fold is O(n log n) and value-identical. The
+    DuckDB oracle keeps the quadratic spelling (it is the oracle; only
+    the value contract is shared). Empty arrays yield 0; the empty-string
+    sentinel can't collide because tokens are non-empty by construction.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc.best)
+
+
 def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis (merges round-1's `text_stats_quality` +
     `lang_id_heuristic`), one row per document — driver gate moved into
@@ -345,15 +373,7 @@ def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_3gram_frac"),
         F.round(
             F.when(n_tokens == 0, 0.0).otherwise(
-                F.array_max(
-                    F.transform(
-                        F.array_distinct("toks"),
-                        lambda y: F.size(
-                            F.filter(F.col("toks"), lambda x: x == y)
-                        ),
-                    )
-                ).cast("double")
-                / n_tokens
+                _max_run_count(F.array_sort("toks")).cast("double") / n_tokens
             ),
             4,
         ).alias("top_token_frac"),

@@ -919,7 +919,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global total is a one-row aggregate broadcast into the filter —
     two passes over the same grouped result, no second scan of the fact
     (the grouped frame is persisted through both uses by Catalyst's reuse
-    of the exchange).
+    of the exchange). The threshold is rounded to 6 decimals on both
+    engines (the q15/q17/q22 fp-parity rule): summation order differs
+    across engines, and a part whose value sits inside that noise of the
+    raw threshold would flip between them.
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
@@ -928,11 +931,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = per_part.agg(
-        F.sum("value").alias("_total")
+        F.round(0.001 * F.sum("value"), 6).alias("_threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > 0.001 * F.col("_total"))
+        .filter(F.col("value") > F.col("_threshold"))
         .select("l_partkey", "value")
     )
 

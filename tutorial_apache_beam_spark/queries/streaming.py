@@ -142,12 +142,11 @@ def _demo2_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = tumbling_counts(
             sdf.withWatermark("ts", "31 days"), "ts", ["user_id"], "1 minute"
         )
-        sink = run_stream_to_memory(agg, spark, output_mode="update")
-        # Materialize before deleting the scratch source files (the memory
-        # sink retains rows, but the first action must not re-list them).
-        sink = sink.persist()
-        sink.count()
-        return sink
+        # The memory sink holds its rows on the driver once the drain
+        # finishes — reads of the sink table never touch the scratch
+        # files, so no persist is needed before deleting them (a persist
+        # here would pin a second copy for the session lifetime).
+        return run_stream_to_memory(agg, spark, output_mode="update")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -57,13 +57,15 @@ def _load_all() -> None:
         return
     # Imported for their registration side effects. ORDER IS LOAD-BEARING:
     # the driver's correctness harness checks queries in registration order
-    # up to a bounded count, so the reference-core families (demo,
-    # streaming) register first and the one rows-only gate
-    # (ann_topk_variants, registered last by `similarity`) sits at the
-    # tail. The registry is trimmed to 51 gates total — round 1 declared 71
-    # and the driver checked only the first 50, leaving the whole streaming
-    # family unchecked; same-row gates are now merged (mapping in
-    # SURVEY.md §9).
+    # up to a bounded count (50), so the reference-core families (demo,
+    # streaming) register first. Since round 3 the registry holds exactly
+    # 50 gates, ALL oracle-backed and all inside the checked window —
+    # round 1 declared 71 and the driver checked only the first 50,
+    # leaving the whole streaming family unchecked; same-row gates were
+    # merged in round 2 and the last rows-only gate (ann_topk_variants)
+    # was replaced by the fully oracle-backed ann_topk_methods in round 3
+    # (mapping in SURVEY.md §9). Adding a 51st gate would push it outside
+    # the window — merge into an existing same-row gate instead.
     from tutorial_apache_beam_spark.queries import (  # noqa: F401
         demo,
         streaming,

@@ -55,7 +55,12 @@ def read_table(
 ) -> DataFrame:
     """Read `path` back in any native format. Text formats (json/csv)
     REQUIRE `schema` — their files carry no types, and inferSchema is a
-    banned extra pass. Columnar formats (parquet/orc) carry their own."""
+    banned extra pass. Columnar formats (parquet/orc) carry their own.
+
+    This is the format-PARAMETRIC roundtrip reader paired with
+    `write_table`; the primary per-format read surface (and the place the
+    schema-first policy is defined) is `sources/readers.py` — keep the
+    two consistent when the policy changes."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     if fmt in ("json", "csv") and schema is None:
@@ -68,9 +73,3 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
-
-
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """Columnar ORC batch scan — vectorized with pushdown/pruning, same as
-    parquet (`sources/readers.py:read_parquet`)."""
-    return spark.read.orc(path)
