@@ -189,3 +189,28 @@ def test_text_quality_signals_hand_computed(spark):
     assert out[2]["max_word_len"] == 0
     assert out[2]["dup_3gram_frac"] == 0.0
     assert out[2]["top_token_frac"] == 0.0
+
+
+def test_cosine_topk_string_ids(spark):
+    # The operator is id-type generic: string content-hash ids flow
+    # through scoring, self-exclusion, and ranking unchanged.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    named = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    probes = named.filter(F.col("vec_id").isin("doc-0", "doc-7"))
+    out = cosine_topk(named, probes, k=3)
+    rows = out.collect()
+    assert {r["probe_id"] for r in rows} == {"doc-0", "doc-7"}
+    assert all(isinstance(r["vec_id"], str) for r in rows)
+    assert all(r["vec_id"] != r["probe_id"] for r in rows)
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], []).append(r["cos"])
+    assert all(len(v) == 3 for v in per_probe.values())
+
+    # Same neighbors as the integer-id form, modulo the prefix.
+    base = cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(0, 7)), k=3
+    ).collect()
+    want = {(f"doc-{r['probe_id']}", f"doc-{r['vec_id']}") for r in base}
+    got = {(r["probe_id"], r["vec_id"]) for r in rows}
+    assert got == want
