@@ -32,7 +32,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "star_join_revenue_by_nation",
     "topk_orders",
-    "minhash_lsh_near_dups",
+    "lexical_neardup_pairs",
     "ann_topk_methods",
     "embedding_cosine_near_dups",
     "text_fingerprint_suite",

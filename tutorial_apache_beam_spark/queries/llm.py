@@ -80,9 +80,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(corpus)
 
 
-@register(
-    "ngram_jaccard_near_dups",
-    oracle=f"""
+_NGRAM_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     inv AS (SELECT doc_id, unnest(hashes) AS h FROM hsh),
     freq AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
@@ -100,8 +98,9 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN hsh sa ON sa.doc_id = cand.id_a
       JOIN hsh sb ON sb.doc_id = cand.id_b)
     WHERE jaccard >= 0.2
-    """,
-)
+    """
+
+
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.2 (inverted-index
     candidates, stop-shingle cap df ≤ 100)."""
@@ -128,9 +127,7 @@ def _band_struct_sql() -> str:
     return ", ".join(bands)
 
 
-@register(
-    "minhash_lsh_near_dups",
-    oracle=f"""
+_MINHASH_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     hashed AS (SELECT doc_id, hashes FROM hsh WHERE len(hashes) > 0),
     sig AS (SELECT doc_id,
@@ -152,8 +149,9 @@ def _band_struct_sql() -> str:
       JOIN hsh sa ON sa.doc_id = cand.id_a
       JOIN hsh sb ON sb.doc_id = cand.id_b)
     WHERE jaccard >= 0.2
-    """,
-)
+    """
+
+
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12)+LSH(4 bands × 3) candidates, exact-Jaccard ≥ 0.2 verify.
 
@@ -162,6 +160,36 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
+
+
+@register(
+    "lexical_neardup_pairs",
+    oracle=f"""
+    SELECT 'ngram' AS method, t.* FROM ({_NGRAM_ORACLE}) t
+    UNION ALL
+    SELECT 'minhash' AS method, t.* FROM ({_MINHASH_ORACLE}) t
+    """,
+)
+def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pair generation, method-tagged (round-3 merge of
+    the `ngram_jaccard_near_dups` + `minhash_lsh_near_dups` gates — both
+    emit (id_a, id_b, jaccard) pair rows over `documents`, so the merge is
+    a tagged union; SURVEY §9). Frees the driver-window slot spent on
+    `tpch_analog_sweep`. Both member functions stay callable for
+    bench/tests; coverage is unchanged — each branch's full
+    candidate-generation + exact-verify pipeline is hash-checked.
+
+    Scale: the two branches share the `documents` scan; each is an
+    equi-join candidate generator (inverted shingle index / LSH band
+    buckets) that never goes all-pairs.
+    """
+    ng = ngram_jaccard_near_dups(spark, sf_dir).select(
+        F.lit("ngram").alias("method"), "id_a", "id_b", "jaccard"
+    )
+    mh = minhash_lsh_near_dups(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard"
+    )
+    return ng.unionByName(mh)
 
 
 def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:

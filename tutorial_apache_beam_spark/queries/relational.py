@@ -1130,3 +1130,298 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog sweep: the 15 analog shapes that don't have individual
+# driver-window slots, driver-checked as ONE tagged-union gate.
+# ---------------------------------------------------------------------------
+
+# Per-analog DuckDB oracles (also the per-analog pytest oracles —
+# tests/test_tpch_extra.py imports this table, single source of truth).
+TPCH_EXTRA_ORACLES: dict[str, str] = {
+    "q2": """
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_name, s.s_acctbal
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT l_partkey AS p_partkey,
+           l_suppkey AS s_suppkey,
+           s_name,
+           round(s_acctbal, 2) AS s_acctbal
+    FROM ps p
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM ps q
+                       WHERE q.l_partkey = p.l_partkey)
+    """,
+    "q5": """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+    GROUP BY 1
+    """,
+    "q7": """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('CHINA', 'JAPAN')
+      AND sn.n_name IN ('CHINA', 'JAPAN')
+      AND cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    "q9": """
+    SELECT sn.n_name AS supp_nation,
+           year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE contains(p.p_name, 'red')
+    GROUP BY 1, 2
+    """,
+    "q10": """
+    WITH rev AS (
+      SELECT o.o_custkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           c.c_name,
+           round(rev.r, 2)        AS revenue,
+           round(c.c_acctbal, 2)  AS c_acctbal,
+           n.n_name               AS nation
+    FROM rev
+    JOIN customer c ON rev.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ORDER BY round(rev.r, 2) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "q11": """
+    WITH per_part AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+      FROM lineitem GROUP BY 1)
+    SELECT l_partkey, value FROM per_part
+    WHERE value > (SELECT round(0.001 * sum(value), 6) FROM per_part)
+    """,
+    "q13": """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+    "q14": """
+    SELECT round(100.0 * sum(CASE WHEN p.p_brand LIKE 'Brand#1%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "q15": """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q16": """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    )
+    SELECT p.p_brand, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    "q17": """
+    WITH brand AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#23'),
+    thresholds AS (
+      SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_threshold
+      FROM brand GROUP BY 1)
+    SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM brand b JOIN thresholds t ON b.l_partkey = t.l_partkey
+    WHERE b.l_quantity < t.qty_threshold
+    """,
+    "q19": """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "q20": """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS total_qty,
+             sum(CASE WHEN year(l_shipdate) = 1996
+                      THEN l_quantity ELSE 0 END) AS qty_1996
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM ps WHERE total_qty > 2 * qty_1996)
+    """,
+    "q21": """
+    WITH per_os AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '60 days'
+                      THEN 1 ELSE 0 END) AS any_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2),
+    per_o AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(any_late) AS n_late
+      FROM per_os GROUP BY 1)
+    SELECT s.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_os s JOIN per_o o ON s.l_orderkey = o.l_orderkey
+    WHERE s.any_late = 1 AND o.n_supp > 1 AND o.n_late = 1
+    GROUP BY 1
+    """,
+    "q22": """
+    WITH coded AS (
+      SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS INT) AS cntrycode
+      FROM customer WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 3)),
+    avg_bal AS (
+      SELECT round(avg(c_acctbal), 6) AS a FROM coded WHERE c_acctbal > 0)
+    SELECT cntrycode,
+           CAST(count(*) AS BIGINT)     AS numcust,
+           round(sum(c_acctbal), 2)     AS totacctbal
+    FROM coded c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+}
+
+# tag -> (query fn, key columns [stringified], numeric value columns).
+# Key columns are int/string-typed on both engines (never double), so the
+# CAST-to-string serialization is formatting-stable; value columns stay
+# typed DOUBLE so the driver's float canonicalization applies.
+TPCH_SWEEP_SPECS: dict[str, tuple] = {
+    "q2": (q2_min_cost_supplier, ["p_partkey", "s_suppkey", "s_name"], ["s_acctbal"]),
+    "q5": (q5_regional_volume, ["nation"], ["revenue"]),
+    "q7": (q7_bilateral_volume, ["supp_nation", "cust_nation", "ship_year"], ["volume"]),
+    "q9": (q9_product_profit, ["supp_nation", "o_year"], ["profit"]),
+    "q10": (q10_returned_items, ["c_custkey", "c_name", "nation"], ["revenue", "c_acctbal"]),
+    "q11": (q11_important_parts, ["l_partkey"], ["value"]),
+    "q13": (q13_customer_distribution, ["c_count"], ["custdist"]),
+    "q14": (q14_promo_revenue_share, [], ["promo_share_pct"]),
+    "q15": (q15_top_supplier, ["s_suppkey", "s_name"], ["total_revenue"]),
+    "q16": (q16_supplier_part_stats, ["p_brand", "p_size"], ["supplier_cnt"]),
+    "q17": (q17_small_quantity_revenue, [], ["avg_yearly"]),
+    "q19": (q19_disjunctive_revenue, [], ["revenue", "n_items"]),
+    "q20": (q20_potential_promotion, ["s_suppkey", "s_name"], []),
+    "q21": (q21_waiting_supplier, ["s_suppkey"], ["numwait"]),
+    "q22": (q22_global_sales_opportunity, ["cntrycode"], ["numcust", "totacctbal"]),
+}
+
+_SWEEP_WIDTH = 2  # max len(value columns) over the specs
+
+
+def _sweep_oracle() -> str:
+    parts = []
+    for tag, (_fn, keys, vals) in TPCH_SWEEP_SPECS.items():
+        if keys:
+            key = (
+                "concat_ws('|', "
+                + ", ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+                + ")"
+            )
+        else:
+            key = "''"
+        vcols = ", ".join(
+            f"CAST({vals[i]} AS DOUBLE) AS v{i + 1}"
+            if i < len(vals)
+            else f"CAST(NULL AS DOUBLE) AS v{i + 1}"
+            for i in range(_SWEEP_WIDTH)
+        )
+        parts.append(
+            f"SELECT '{tag}' AS q, {key} AS k, {vcols}\n"
+            f"FROM ({TPCH_EXTRA_ORACLES[tag]})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _sweep_branch(df: DataFrame, tag: str, keys: list, vals: list) -> DataFrame:
+    key = (
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        if keys
+        else F.lit("")
+    )
+    cols = [F.lit(tag).alias("q"), key.alias("k")]
+    for i in range(_SWEEP_WIDTH):
+        src = (
+            F.col(vals[i]).cast("double")
+            if i < len(vals)
+            else F.lit(None).cast("double")
+        )
+        cols.append(src.alias(f"v{i + 1}"))
+    return df.select(*cols)
+
+
+@register("tpch_analog_sweep", oracle=_sweep_oracle())
+def tpch_analog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 15 TPC-H analog shapes without individual driver-window slots
+    (q2 q5 q7 q9 q10 q11 q13 q14 q15 q16 q17 q19 q20 q21 q22), checked as
+    ONE tagged-union gate — with q1/q3/q4/q6/q8/q12/q18 individually
+    registered, every one of the 22 adapted TPC-H query shapes is now
+    DuckDB-oracle-verified by the driver, not just pytest.
+
+    Serialization contract (the union needs one schema): key columns —
+    always int- or string-typed — concat to `k` with '|'; numeric results
+    stay typed `DOUBLE v1..v2` (null-padded) so cross-engine float
+    canonicalization still applies. Each member keeps its full-schema
+    individual oracle in TPCH_EXTRA_ORACLES, pytest-checked per analog.
+
+    Scale: each branch is an independent Catalyst plan (broadcast dims,
+    single fact shuffles — see the member docstrings); the union is
+    evaluation-parallel, not a barrier.
+    """
+    dfs = [
+        _sweep_branch(fn(spark, sf_dir), tag, keys, vals)
+        for tag, (fn, keys, vals) in TPCH_SWEEP_SPECS.items()
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
