@@ -458,27 +458,146 @@ def doc_fingerprints_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content.join(sh, "doc_id").join(sim, "doc_id")
 
 
+def _pii_oracle() -> str:
+    from tutorial_apache_beam_spark.operators.pii import (
+        normalize_url_sql,
+        pii_counts_sql,
+        redact_pii_sql,
+    )
+
+    counts = ",\n           ".join(
+        f"{sql} AS {name}" for name, sql in pii_counts_sql("pii_text").items()
+    )
+    return f"""
+    WITH pbase AS (
+      SELECT doc_id,
+             concat_ws(' ', text,
+               'user' || CAST(doc_id AS VARCHAR)
+                      || '@Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM',
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'alt' || CAST(doc_id AS VARCHAR) || '@mail.org' END,
+               '+' || CAST(1 + doc_id % 99 AS VARCHAR)
+                   || '-' || CAST(200 + doc_id % 800 AS VARCHAR)
+                   || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR),
+               CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 29) % 256 AS VARCHAR)
+             ) AS pii_text,
+             concat('HTTPS://WWW.Example', CAST(doc_id % 7 AS VARCHAR),
+                    '.com:443/Path/', CAST(doc_id % 50 AS VARCHAR),
+                    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=t&x=1'
+                         WHEN doc_id % 3 = 1 THEN '?utm_medium=m'
+                         ELSE '' END,
+                    '#Frag') AS url
+      FROM documents),
+    pnorm AS (
+      SELECT doc_id,
+           {counts},
+           {portable_hash64_sql(redact_pii_sql("pii_text"))} AS redacted_fp,
+           {normalize_url_sql("url")} AS norm_url
+      FROM pbase)
+    SELECT *,
+           min(doc_id) OVER (PARTITION BY norm_url) AS url_canonical_id
+    FROM pnorm
+    """
+
+
+def pii_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction + URL normalization surface.
+
+    The fixture text is PII-free (verified: no '@', no dotted digit
+    runs), so deterministic synthetic PII is injected from doc_id —
+    1-2 emails (mixed-case host), a phone, a dotted-quad IP appended to
+    the text, plus a messy URL (uppercase scheme/host, default :443
+    port, utm_* tracking params, fragment). The operator chain then has
+    to find and scrub ALL of it: per-category match counts, the
+    portable fingerprint of the redacted text (proves the full redacted
+    string bit-for-bit without emitting it), the normalized URL, and
+    the lowest doc_id sharing that normalized URL (url_dedup's grouping
+    as a per-doc column).
+
+    All built-in regexp expression chains (operators/pii.py) — map-only
+    except the url-canonical window, which shuffles on the ~350-key
+    norm_url domain.
+    """
+    from tutorial_apache_beam_spark.operators.pii import (
+        normalize_url,
+        pii_counts,
+        redact_pii,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pii_text = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), s(did), F.lit("@Example"), s(did % 5), F.lit(".COM")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("alt"), s(did), F.lit("@mail.org")),
+        ),
+        F.concat(
+            F.lit("+"), s(1 + did % 99),
+            F.lit("-"), s(200 + did % 800),
+            F.lit("-"), s(1000 + did % 9000),
+        ),
+        F.concat(
+            s(did % 256), F.lit("."), s((did * 7) % 256),
+            F.lit("."), s((did * 13) % 256), F.lit("."), s((did * 29) % 256),
+        ),
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), s(did % 7),
+        F.lit(".com:443/Path/"), s(did % 50),
+        F.when(did % 3 == 0, F.lit("?utm_source=t&x=1"))
+        .when(did % 3 == 1, F.lit("?utm_medium=m"))
+        .otherwise(F.lit("")),
+        F.lit("#Frag"),
+    )
+    base = docs.select(
+        "doc_id", pii_text.alias("pii_text"), url.alias("url")
+    )
+    norm = base.select(
+        "doc_id",
+        *[c.alias(n) for n, c in pii_counts("pii_text").items()],
+        portable_hash64(redact_pii("pii_text")).alias("redacted_fp"),
+        normalize_url("url").alias("norm_url"),
+    )
+    return norm.withColumn(
+        "url_canonical_id", F.min("doc_id").over(Window.partitionBy("norm_url"))
+    )
+
+
 @register(
     "text_fingerprint_suite",
     oracle=f"""
     SELECT * FROM ({_TEXT_ANALYSIS_ORACLE}) ta
     JOIN ({_DOC_FINGERPRINTS_ORACLE}) fp USING (doc_id)
+    JOIN ({_pii_oracle()}) pu USING (doc_id)
     """,
 )
 def text_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis + fingerprints in ONE gate (merges
-    round-2's `text_analysis_suite` + `doc_fingerprints_suite` — both are
-    one-row-per-document over the same table, so the merge is an equi-join
-    on doc_id, not a union): token/char/punct counts, BPE-ish token count,
-    type-token ratio, quality score, stopword language ID, content/
-    min-shingle/SimHash fingerprints. Freed the driver-window slot now
-    spent on `q8_market_share`.
+    """Per-document text analysis + fingerprints + PII/URL hygiene in ONE
+    gate (merges round-2's `text_analysis_suite` + `doc_fingerprints_suite`
+    — both one-row-per-document over the same table, so the merge is an
+    equi-join on doc_id, not a union — and, since round 3, the
+    `pii_url_suite` redaction/normalization surface): token/char/punct
+    counts, BPE-ish token count, type-token ratio, quality score,
+    stopword language ID, content/min-shingle/SimHash fingerprints,
+    email/IP/phone redaction counts + redacted-text fingerprint,
+    normalized-URL dedup keying.
 
-    Scale: both sides are narrow map-only projections of the same scan;
-    Catalyst collapses the self-join on the doc_id shuffle key.
+    Scale: all three sides are narrow map-only projections of the same
+    scan (plus one small-domain window for the URL-canonical id);
+    Catalyst collapses the self-joins on the doc_id shuffle key.
     """
-    return text_analysis_suite(spark, sf_dir).join(
-        doc_fingerprints_suite(spark, sf_dir), "doc_id"
+    return (
+        text_analysis_suite(spark, sf_dir)
+        .join(doc_fingerprints_suite(spark, sf_dir), "doc_id")
+        .join(pii_url_suite(spark, sf_dir), "doc_id")
     )
 
 
