@@ -198,6 +198,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int = 100,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, candidates from an
     inverted shingle index (docs sharing ≥1 non-hot shingle).
@@ -206,8 +207,18 @@ def ngram_jaccard_pairs(
     self-join, and the verify set assembly all re-read them — without
     materialization Spark re-executes the tokenize+shingle+hash scan per
     use, which at 100 TB multiplies the most expensive stage.
+
+    `shingle_rows`: pre-computed (id, h) rows (from `_shingle_rows` with
+    the same n), already persisted by the CALLER — lets multi-method
+    pipelines (e.g. the ngram+minhash union gate) pay the tokenize+hash
+    scan once; ownership (unpersist) stays with the caller.
     """
-    inv = _shingle_rows(df, text_col, id_col, n).persist()
+    caller_owns = shingle_rows is not None
+    inv = (
+        shingle_rows
+        if caller_owns
+        else _shingle_rows(df, text_col, id_col, n).persist()
+    )
     # Drop stop-shingles: a shingle in f docs contributes O(f^2) pairs.
     hot = (
         inv.groupBy("h")
@@ -227,8 +238,9 @@ def ngram_jaccard_pairs(
         # broadcast plus both sides of the set join).
         .persist()
     )
+    released = (candidates,) if caller_owns else (inv, candidates)
     return _materialize_and_release(
-        _verified_pairs(candidates, inv, id_col, threshold), inv, candidates
+        _verified_pairs(candidates, inv, id_col, threshold), *released
     )
 
 
@@ -272,6 +284,7 @@ def minhash_lsh_pairs(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.2,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash(k) + LSH(bands) near-dup pairs with exact-Jaccard verify.
 
@@ -280,11 +293,19 @@ def minhash_lsh_pairs(
     bucket key; docs sharing any (band, bucket) become candidates. At
     scale the band join shuffles one row per doc per band — n·bands rows —
     versus n² for naive pairing; the verify join touches only candidates.
+
+    `shingle_rows`: caller-persisted (id, h) rows to share the
+    tokenize+hash scan across methods (see `ngram_jaccard_pairs`).
     """
     r = k // bands
+    caller_owns = shingle_rows is not None
     # Materialize the shingle-hash rows once: the signature aggregation,
     # the band self-join, and the verify set assembly all re-read them.
-    rows = _shingle_rows(df, text_col, id_col, n).persist()
+    rows = (
+        shingle_rows
+        if caller_owns
+        else _shingle_rows(df, text_col, id_col, n).persist()
+    )
     # Signature as k plain min-aggregates over the rows — codegen'd hash
     # aggregation with map-side partial minima (the array-HOF form runs
     # interpreted and pays the md5 scan per permutation).
@@ -322,8 +343,9 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()
     )
+    released = (candidates,) if caller_owns else (rows, candidates)
     return _materialize_and_release(
-        _verified_pairs(candidates, rows, id_col, threshold), rows, candidates
+        _verified_pairs(candidates, rows, id_col, threshold), *released
     )
 
 

@@ -179,16 +179,29 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench/tests; coverage is unchanged — each branch's full
     candidate-generation + exact-verify pipeline is hash-checked.
 
-    Scale: the two branches share the `documents` scan; each is an
-    equi-join candidate generator (inverted shingle index / LSH band
-    buckets) that never goes all-pairs.
+    Scale: the two branches share ONE persisted tokenize→shingle→hash
+    scan (the dominant stage at corpus scale — the `shingle_rows=`
+    sharing contract on both operators); each branch is an equi-join
+    candidate generator (inverted shingle index / LSH band buckets) that
+    never goes all-pairs. Branch results are materialized eagerly, so the
+    shared frame is released before the gate returns.
     """
-    ng = ngram_jaccard_near_dups(spark, sf_dir).select(
-        F.lit("ngram").alias("method"), "id_a", "id_b", "jaccard"
-    )
-    mh = minhash_lsh_near_dups(spark, sf_dir).select(
-        F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard"
-    )
+    from tutorial_apache_beam_spark.operators.dedup import _shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = _shingle_rows(docs, "text", "doc_id", 3).persist()
+    try:
+        ng = ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=100, shingle_rows=inv
+        ).select(F.lit("ngram").alias("method"), "id_a", "id_b", "jaccard")
+        mh = minhash_lsh_pairs(
+            docs, n=3, k=12, bands=4, threshold=0.2, shingle_rows=inv
+        ).select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
+    finally:
+        # Both branches are materialized (the operators count their
+        # verified pairs eagerly), so the shared scan can be released
+        # before the union plan is returned.
+        inv.unpersist()
     return ng.unionByName(mh)
 
 
