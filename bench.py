@@ -27,6 +27,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Representative of every operator family: streaming-equivalent windowed
 # agg (the reference's flagship), heavy scan+agg, star join, analytic
 # window, near-dup LSH, vector search, text stats, real streaming.
+#
+# Round-over-round comparability (r2 -> r3 gate changes): the
+# `minhash_lsh_near_dups` slot is now `lexical_neardup_pairs`, which
+# runs BOTH the ngram and minhash branches (≈2x the r2 slot's work over
+# one shared shingle scan); `streaming_demo2_modes` drains three modes
+# (was two); `streaming_interval_join` drains inner + left-outer (was
+# inner); `text_fingerprint_suite` adds the PII/URL surface;
+# `training_data_pipeline` added decontamination + curriculum stages in
+# r3 prep. Headline deltas on those rows are added coverage, not
+# regressions — compare per-family totals with this note in hand.
 HEADLINE = [
     "demo2_tumbling_counts",
     "q1_pricing_summary",

@@ -138,3 +138,28 @@ def test_ann_methods_have_no_unintended_cartesian(spark):
     # single ranking exchange for all three tiers (WindowGroupLimit nodes
     # are the rank-limit pushdown of that same window, not extra ones)
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+
+
+def test_pii_chain_stays_jvm_side(spark):
+    """PII redaction + URL normalization must be pure codegen expression
+    chains — a Python eval node in this per-document map stage would cap
+    corpus-curation throughput at the Arrow transfer rate."""
+    from tutorial_apache_beam_spark.queries.llm import pii_url_suite
+
+    plan = plan_of(pii_url_suite(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # one shuffle total: the url-canonical window (small norm_url domain)
+    assert plan.count("Exchange") <= 2  # window exchange (+AQE read)
+
+
+def test_chunking_adds_no_shuffle(spark):
+    """Token-window chunking is row-local: split_and_pack's only
+    exchange remains the shard-partitioned packing window."""
+    from tutorial_apache_beam_spark.operators.chunking import chunk_documents
+    from tests.conftest import SF_DIR as _sf
+
+    docs = spark.read.parquet(f"{_sf}/documents.parquet")
+    plan = plan_of(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

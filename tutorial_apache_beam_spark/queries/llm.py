@@ -879,12 +879,19 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "split_and_pack",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard, len({_TOK}) AS n_tokens
-      FROM documents
+def _split_pack_oracle() -> str:
+    from tutorial_apache_beam_spark.operators.chunking import (
+        chunk_fingerprints_sql,
+    )
+
+    n_chunks_sql, chunk_fps_sql = chunk_fingerprints_sql("toks", 64, 48)
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    t AS (
+      SELECT doc_id, doc_id % 8 AS shard, len(toks) AS n_tokens,
+             {n_chunks_sql} AS n_chunks,
+             {chunk_fps_sql} AS chunk_fps
+      FROM tk
     )
     SELECT d.doc_id,
            CAST({portable_hash64_sql('d.text')} % 100 AS INT) AS bucket,
@@ -893,13 +900,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            t.shard,
            t.n_tokens,
+           t.n_chunks,
+           t.chunk_fps,
            CAST(floor(coalesce(sum(t.n_tokens) OVER (
                     PARTITION BY t.shard ORDER BY t.doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / 4096.0) AS BIGINT) AS pack_id
     FROM documents d JOIN t ON d.doc_id = t.doc_id
-    """,
-)
+    """
+
+
+@register("split_and_pack", oracle=_split_pack_oracle())
 def split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set assembly in one gate (merges round-1's
     `dataset_split_assignment` + `pack_documents_by_token_budget`), one row
@@ -914,9 +925,18 @@ def split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       serialize onto one partition). A document's pack is
       floor(tokens-before-it / budget): contiguous offset-based packing,
       one shuffle, deterministic; packs overflow by at most one document —
-      the standard concat-then-chunk approximation.
+      the standard concat-then-chunk approximation;
+    - overlapping token-window chunking (size 64, stride 48 —
+      operators.chunking, round 3): per-doc chunk count + the '|'-joined
+      portable hash of every chunk's exact token content, so the oracle
+      verifies the full chunk layout bit-for-bit without emitting nested
+      arrays. Row-local, no shuffle.
     """
     from pyspark.sql import Window
+
+    from tutorial_apache_beam_spark.operators.chunking import (
+        chunk_fingerprints,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     bucket = (portable_hash64(F.col("text")) % 100).cast("int")
@@ -928,10 +948,14 @@ def split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+    toks = tokens(F.col("text"))
+    n_chunks, chunk_fps = chunk_fingerprints(toks, 64, 48)
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % 8).alias("shard"),
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        n_chunks.cast("bigint").alias("n_chunks"),
+        chunk_fps.alias("chunk_fps"),
     )
     w = (
         Window.partitionBy("shard")
@@ -940,6 +964,11 @@ def split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     packed = t.select(
-        "doc_id", "shard", "n_tokens", F.floor(cum_before / 4096.0).alias("pack_id")
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "n_chunks",
+        "chunk_fps",
+        F.floor(cum_before / 4096.0).alias("pack_id"),
     )
     return split.join(packed, "doc_id")
