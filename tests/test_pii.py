@@ -89,3 +89,37 @@ def test_url_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {r["norm_url"]: r["doc_id"] for r in url_dedup(df).collect()}
     assert out == {"https://a.com/x": 1, "https://b.com/y": 4}
+
+
+def test_quantize_vector_properties(spark):
+    """int8 quantization: whole numbers in [-127, 127], max-|x| maps to
+    ±127, zero vectors pass through, cosine is scale-invariant."""
+    from tutorial_apache_beam_spark.functions.vectors import (
+        cosine,
+        quantize_vector,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.003, 0.001, -0.002, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", quantize_vector(F.col("v")).alias("q")
+        ).collect()
+    }
+    assert out[1] == [64.0, -127.0, 32.0, 0.0]
+    assert max(abs(x) for x in out[2]) == 127.0
+    assert all(x == int(x) for x in out[2])
+    assert out[3] == [0.0, 0.0, 0.0, 0.0]
+    # scale cancellation: cos(q(a), q(b)) ~= cos(a, b) within quant error
+    a, b = [0.5, -1.0, 0.25, 0.1], [0.4, -0.9, 0.3, 0.2]
+    pair = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    r = pair.select(
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        cosine(quantize_vector(F.col("a")), quantize_vector(F.col("b"))).alias("cq"),
+    ).first()
+    assert abs(r["c"] - r["cq"]) < 0.01

@@ -77,11 +77,22 @@ _IVF_ASSIGN = f"""
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     p AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN ve
+                  ELSE list_transform(ve,
+                         x -> CAST(floor(x / m * 127 + 0.5) AS DOUBLE)) END AS ve
+      FROM (SELECT vec_id, ve,
+                   list_max(list_transform(ve, x -> abs(x))) AS m FROM v) t),
     {_SRP_BUCKETS.strip().rstrip()},
     {_IVF_ASSIGN.strip().rstrip()},
     exact_scored AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, {_COS} AS cos
       FROM p a JOIN v b ON b.vec_id <> a.vec_id),
+    q8_scored AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, {_COS} AS cos
+      FROM (SELECT * FROM qv WHERE vec_id % 100 = 0) a
+      JOIN qv b ON b.vec_id <> a.vec_id),
     srp_cand AS (
       SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS vec_id
       FROM buckets pb JOIN buckets cb
@@ -107,6 +118,7 @@ _IVF_ASSIGN = f"""
                PARTITION BY method, probe_id
                ORDER BY cos DESC, vec_id) AS rn
       FROM (SELECT 'exact' AS method, * FROM exact_scored
+            UNION ALL SELECT 'q8' AS method, * FROM q8_scored
             UNION ALL SELECT 'srp' AS method, * FROM srp_scored
             UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored))
     SELECT method, probe_id, vec_id, cos FROM ranked WHERE rn <= 5
@@ -120,6 +132,10 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - exact: brute force — one corpus scan × broadcast probes (the
       verification tier at any scale where |probes|·|corpus| is viable);
+    - q8:    int8-quantized brute force (round 3) — the memory-bandwidth
+      tier: per-vector symmetric quantization (scale cancels in cosine),
+      4x smaller vectors, integer-exact dots so the score is
+      deterministic cross-engine (`functions.vectors.quantize_vector`);
     - srp:   sign-random-projection LSH — candidates share a (table,
       bucket) key in any of the independent hash tables; the equi-join
       shuffles N_TABLES·(|corpus|+|probes|) rows, never the pair space;
@@ -127,14 +143,21 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       vector), nprobe=2 — broadcast centroid assignment, candidate join
       pruned by the bucket fan-out.
 
-    All three tiers are DuckDB-oracle-checked: SRP buckets derive from the
-    portable md5 hash and IVF assignment is an fp-stable cosine argmax
-    (margins measured; see the SQL fragment comments above).
+    All four tiers are DuckDB-oracle-checked: SRP buckets derive from the
+    portable md5 hash, IVF assignment is an fp-stable cosine argmax
+    (margins measured; see the SQL fragment comments above), and q8
+    scores are integer-derived.
     """
     from pyspark.sql import Window
 
+    from tutorial_apache_beam_spark.functions.vectors import quantize_vector
+
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
+    emb_q8 = emb.select(
+        "vec_id", quantize_vector(F.col("embedding")).alias("embedding")
+    )
+    probes_q8 = emb_q8.filter(F.col("vec_id") % 100 == 0)
 
     def tag(df: DataFrame, method: str) -> DataFrame:
         return df.select(
@@ -147,6 +170,9 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three (plan-shape asserted in tests/test_plan_quality.py).
     scored = (
         tag(cosine_topk(emb, probes, k=5, rank=False), "exact")
+        .unionByName(
+            tag(cosine_topk(emb_q8, probes_q8, k=5, rank=False), "q8")
+        )
         .unionByName(tag(srp_ann_topk(emb, probes, k=5, rank=False), "srp"))
         .unionByName(
             tag(ivf_ann_topk(emb, probes, k=5, nprobe=2, rank=False), "ivf")
