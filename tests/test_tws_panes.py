@@ -1,0 +1,221 @@
+"""State-v2 pane operator (streaming/tws.py) tests.
+
+Two layers:
+- `test_tws_matches_state_v1_panes` replays the same out-of-order
+  batches through BOTH stateful APIs and compares row-for-row — it
+  needs transformWithState's protobuf wire protocol, so it skips in
+  containers without `google.protobuf` (this one).
+- The processor-logic tests drive `PaneCountProcessor` directly against
+  a fake handle/state/timer — the pane semantics (delta emission, pane
+  ordinals, inline pruning, timer re-arm) are pure pandas logic and are
+  fully covered without the wire protocol.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.streaming.stateful import (
+    discarding_pane_counts,
+)
+from tutorial_apache_beam_spark.streaming.tws import (
+    PaneCountProcessor,
+    tws_pane_counts,
+)
+
+BASE_EPOCH = 1704067230  # 2024-01-01 00:00:30 UTC
+RAW_SCHEMA = "event_time BIGINT, user_id BIGINT"
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_HAS_PROTOBUF = importlib.util.find_spec("google") is not None
+
+
+# --- processor-logic layer (no Spark needed) --------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.value = None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def clear(self):
+        self.value = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeState()
+        self.timers: list[int] = []
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+
+class _FakeTimerValues:
+    def __init__(self, watermark_ms):
+        self._wm = watermark_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return -1
+
+
+def _batch(win_starts_s):
+    return pd.DataFrame(
+        {"window_start": [pd.Timestamp(s, unit="s") for s in win_starts_s]}
+    )
+
+
+def _emit(proc, key, pdf, watermark_ms):
+    out = list(
+        proc.handleInputRows(key, iter([pdf]), _FakeTimerValues(watermark_ms))
+    )
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def test_processor_emits_deltas_with_pane_ordinals():
+    proc = PaneCountProcessor(60_000)
+    h = _FakeHandle()
+    proc.init(h)
+    w0 = 1704067200  # window [00:00, 00:01)
+
+    out1 = _emit(proc, (7,), _batch([w0, w0, w0]), watermark_ms=0)
+    assert out1["pane_count"].tolist() == [3]
+    assert out1["pane_index"].tolist() == [0]
+
+    # Same window again: only the delta, next ordinal.
+    out2 = _emit(proc, (7,), _batch([w0, w0]), watermark_ms=0)
+    assert out2["pane_count"].tolist() == [2]
+    assert out2["pane_index"].tolist() == [1]
+
+    # Two windows in one batch: one pane row each, sorted by window.
+    out3 = _emit(proc, (7,), _batch([w0, w0 + 60]), watermark_ms=0)
+    assert out3["pane_count"].tolist() == [1, 1]
+    assert out3["pane_index"].tolist() == [2, 0]
+    # timer re-armed each batch at the newest open window's end
+    assert h.timers == [(w0 + 60) * 1000] * 2 + [(w0 + 120) * 1000]
+
+
+def test_processor_prunes_expired_windows_and_clears_on_timer():
+    proc = PaneCountProcessor(60_000)
+    h = _FakeHandle()
+    proc.init(h)
+    w0 = 1704067200
+
+    _emit(proc, (7,), _batch([w0]), watermark_ms=0)
+    # Watermark passed w0's end: its pane index is pruned, so a re-fire
+    # of a NEW window starts at ordinal 0 and state holds only that one.
+    out = _emit(proc, (7,), _batch([w0 + 120]), watermark_ms=(w0 + 90) * 1000)
+    assert out["pane_index"].tolist() == [0]
+    assert h.state.value[0] == [(w0 + 120) * 1000]
+
+    # Timer fires after the last window expired: state fully cleared.
+    list(
+        proc.handleExpiredTimer(
+            (7,), _FakeTimerValues((w0 + 300) * 1000), None
+        )
+    )
+    assert h.state.value is None
+
+
+# --- end-to-end parity layer (needs protobuf wire protocol) -----------------
+
+
+def _write(src_dir, name, rows):
+    (src_dir / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _drain(spark, src, ckpt, sink, op):
+    stream = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .json(str(src))
+        .select(F.timestamp_seconds("event_time").alias("ts"), "user_id")
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(sink))
+
+
+def _rows(df):
+    return sorted(
+        (
+            r["window_start"].isoformat(),
+            r["user_id"],
+            r["pane_count"],
+            r["pane_index"],
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs google.protobuf (absent in container)",
+)
+def test_tws_matches_state_v1_panes(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH + i, "user_id": 7} for i in range(3)
+    ])
+    _write(src, "b1.json", [
+        {"event_time": BASE_EPOCH + 10 + i, "user_id": 7} for i in range(2)
+    ] + [
+        {"event_time": BASE_EPOCH + 5, "user_id": 9}
+    ])
+    _write(src, "b2.json", [
+        {"event_time": BASE_EPOCH + 60, "user_id": 7},
+        {"event_time": BASE_EPOCH + 11, "user_id": 9},
+    ])
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+    try:
+        v2 = _rows(
+            _drain(
+                spark, src, tmp_path / "ck2", tmp_path / "out2", tws_pane_counts
+            )
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    v1 = _rows(
+        _drain(
+            spark,
+            src,
+            tmp_path / "ck1",
+            tmp_path / "out1",
+            discarding_pane_counts,
+        )
+    )
+    assert v1 == v2

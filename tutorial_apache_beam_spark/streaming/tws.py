@@ -1,0 +1,167 @@
+"""Discarding-pane counts on the state-v2 API (transformWithStateInPandas).
+
+Functional twin of `streaming.stateful.discarding_pane_counts`
+(Beam's `.discardingFiredPanes()` + `Count.perKey()`, reference
+`Demo2.java:149-160`), rebuilt on Spark 4's arbitrary-state v2 API:
+typed state variables (`ValueState`) + explicit event-time timers via
+`StatefulProcessorHandle`, instead of the single opaque
+`GroupState` blob of `applyInPandasWithState`.
+
+Why both exist: state v1 is the broadly-deployed API; v2 is where
+Spark's stateful streaming is heading (multiple named state variables,
+state TTL, `handleExpiredTimer` as a first-class callback) and requires
+the RocksDB state-store provider — the provider a 100 TB cluster runs
+anyway (HDFS-backed snapshots, changelog checkpointing). Keeping the two
+implementations output-identical is itself a test of the engine's pane
+semantics (asserted in tests/test_tws_panes.py).
+
+Scale design is inherited from the v1 operator: state keyed by USER
+(one Python invocation per user per micro-batch, not per window-key),
+open windows held as parallel arrays in one ValueState, inline pruning
+of expired windows, and ONE re-armed event-time timer per key for
+idle-key cleanup.
+
+Environment gate: transformWithState's Python worker speaks protobuf to
+the JVM state server; in containers without `google.protobuf` the query
+crashes at start, so the end-to-end parity test skips there
+(tests/test_tws_panes.py) and the processor's pane logic is covered
+directly against a fake handle instead. On a real cluster (protobuf +
+RocksDB provider) the operator runs as-is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+from tutorial_apache_beam_spark.streaming.stateful import (
+    OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    _duration_ms,
+)
+
+
+class PaneCountProcessor(StatefulProcessor):
+    """Per-user pane emitter: each micro-batch's rows for a (window, user)
+    are one pane; emits the batch-local delta with a monotonically
+    increasing pane_index (Beam PaneInfo.index analog)."""
+
+    def __init__(self, window_ms: int) -> None:
+        self._window_ms = window_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._panes = handle.getValueState("panes", STATE_SCHEMA)
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timer_values: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        frames = [b for b in rows if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        (user_id,) = key
+
+        stored = self._panes.get()
+        win_ms, pane_idx = stored if stored is not None else ([], [])
+        open_windows = dict(zip(win_ms, pane_idx))
+
+        watermark_ms = timer_values.getCurrentWatermarkInMs()
+        if watermark_ms > 0:
+            open_windows = {
+                w: i
+                for w, i in open_windows.items()
+                if w + self._window_ms > watermark_ms
+            }
+
+        counts = pdf.groupby("window_start", sort=True).size()
+        out: dict[str, list] = {
+            "window_start": [],
+            "user_id": [],
+            "pane_count": [],
+            "pane_index": [],
+        }
+        for window_start, n in counts.items():
+            w_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            idx = open_windows.get(w_ms, 0)
+            out["window_start"].append(window_start)
+            out["user_id"].append(user_id)
+            out["pane_count"].append(int(n))
+            out["pane_index"].append(idx)
+            open_windows[w_ms] = idx + 1
+
+        self._panes.update(
+            (list(open_windows.keys()), list(open_windows.values()))
+        )
+        # One re-armed idle-cleanup timer per key, at the newest open
+        # window's end (must sit beyond the current watermark).
+        newest_end = (
+            max(open_windows) + self._window_ms if open_windows else 0
+        )
+        self._handle.registerTimer(max(newest_end, watermark_ms + 1))
+        yield pd.DataFrame(out)
+
+    def handleExpiredTimer(
+        self,
+        key: tuple[Any, ...],
+        timer_values: TimerValues,
+        expired_timer_info: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        """Watermark passed the newest window this key had open: if no
+        window survived inline pruning, drop the whole entry."""
+        stored = self._panes.get()
+        watermark_ms = timer_values.getCurrentWatermarkInMs()
+        if stored is not None:
+            alive = [
+                w for w in stored[0] if w + self._window_ms > watermark_ms
+            ]
+            if not alive:
+                self._panes.clear()
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def tws_pane_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """`discarding_pane_counts` on the state-v2 API — identical contract:
+    one row per (window, key, firing), `pane_count` = delta since the
+    previous firing, `pane_index` = firing ordinal.
+
+    Requires `spark.sql.streaming.stateStore.providerClass` =
+    RocksDBStateStoreProvider (the transformWithState backend).
+    """
+    bucketed = (
+        events.withColumn(
+            "window_start", F.window(F.col(ts_col), window_duration).start
+        )
+        .withWatermark("window_start", watermark_delay)
+        .select("window_start", key_col)
+    )
+    return bucketed.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=PaneCountProcessor(_duration_ms(window_duration)),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+        eventTimeColumnName="window_start",
+    )
