@@ -263,24 +263,40 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p
     WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
       AND p.ts < (SELECT w FROM wm)
+    UNION ALL
+    SELECT 'full_outer' AS join_type, * FROM m
+    UNION ALL
+    SELECT 'full_outer' AS join_type,
+           p.event_id, CAST(NULL AS BIGINT), p.user_id, CAST(NULL AS BIGINT)
+    FROM p
+    WHERE p.event_id NOT IN (SELECT purchase_id FROM m)
+      AND p.ts < (SELECT w FROM wm)
+    UNION ALL
+    SELECT 'full_outer' AS join_type,
+           CAST(NULL AS BIGINT), c.event_id, c.user_id, CAST(NULL AS BIGINT)
+    FROM c
+    WHERE c.event_id NOT IN (SELECT click_id FROM m)
+      AND c.ts + INTERVAL '10 minutes' < (SELECT w FROM wm)
     """,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream event-time interval join, inner AND left-outer, in one
-    tagged gate: purchases ⋈ clicks by the same user within the preceding
-    10 minutes.
+    """Stream-stream event-time interval join — inner, left-outer AND
+    full-outer (round 3) — in one tagged gate: purchases ⋈ clicks by the
+    same user within the preceding 10 minutes.
 
     Both sides carry watermarks; the time-bound condition lets Spark evict
     join state once the watermark passes each event's reachable window —
     bounded state on unbounded streams. An availableNow drain of the inner
-    join yields exactly the batch result. The left-outer drain additionally
-    emits one null-extended row per match-less purchase once no matching
-    click can still arrive — verified emission rule (exact at sf0.001 and
-    sf0.01): p_ts < global watermark = min(max p_ts, max c_ts) − delay,
-    which the oracle computes with scalar subqueries. Purchases newer than
-    the final watermark stay withheld (their state is still live when the
-    bounded drain ends) — the streaming-vs-batch outer-join delta, stated
-    exactly.
+    join yields exactly the batch result. The outer drains additionally
+    emit one null-extended row per unmatched event once no partner can
+    still arrive — emission rules verified exact at sf0.001 and sf0.01
+    against W = min(max p_ts, max c_ts) − delay (scalar subqueries in the
+    oracle): unmatched purchases fire at p_ts < W (a purchase's reachable
+    clicks precede it), unmatched clicks at c_ts + 10min < W (a click's
+    reachable purchases extend 10 minutes past it — the state-eviction
+    bound). Events newer than the final watermark stay withheld (their
+    state is still live when the bounded drain ends) — the
+    streaming-vs-batch outer-join delta, stated exactly.
     """
 
     def sides():
@@ -327,8 +343,22 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="append",
     )
-    return inner.select(F.lit("inner").alias("join_type"), "*").unionByName(
-        outer.select(F.lit("left_outer").alias("join_type"), "*")
+    p3, c3 = sides()
+    full_cols = [
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
+    ]
+    full = run_stream_to_memory(
+        p3.join(c3, cond(p3, c3), "fullOuter").select(*full_cols),
+        spark,
+        output_mode="append",
+    )
+    return (
+        inner.select(F.lit("inner").alias("join_type"), "*")
+        .unionByName(outer.select(F.lit("left_outer").alias("join_type"), "*"))
+        .unionByName(full.select(F.lit("full_outer").alias("join_type"), "*"))
     )
 
 
