@@ -208,3 +208,75 @@ def test_reshuffle_sideinput_counter(spark):
     out = p.create(events).apply("Count", ParDo(count_rows, "event_id BIGINT"))
     assert out.df.count() == 100
     assert counter.value == 100
+
+
+def test_top_sample_latest_combine_globally(spark):
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        CombineGlobally,
+        Latest,
+        Sample,
+        Top,
+    )
+
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events")
+
+    # Top.of: global top-3 by value == orderBy/limit reference.
+    top3 = p.create(events).apply(
+        "Top3", Top.of(3, F.col("value").desc(), F.col("event_id"))
+    ).df
+    ref = events.orderBy(F.col("value").desc(), "event_id").limit(3)
+    assert [r["event_id"] for r in top3.collect()] == [
+        r["event_id"] for r in ref.collect()
+    ]
+
+    # Top.per_key: 2 best events per user; every user ≤ 2 rows, and each
+    # user's rows are their true top-2.
+    per_key = p.create(events).apply(
+        "Top2PerUser",
+        Top.per_key(2, ["user_id"], F.col("value").desc(), F.col("event_id")),
+    ).df
+    sizes = per_key.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert sizes <= 2
+
+    # Sample: deterministic — same result twice, n rows.
+    s1 = p.create(events).apply("S", Sample.fixed_size_globally(10, "event_id")).df
+    s2 = p.create(events).apply("S2", Sample.fixed_size_globally(10, "event_id")).df
+    ids1 = sorted(r["event_id"] for r in s1.collect())
+    assert len(ids1) == 10
+    assert ids1 == sorted(r["event_id"] for r in s2.collect())
+
+    # Latest.per_key: one row per user carrying that user's max-ts values.
+    latest = p.create(events).apply("L", Latest.per_key("ts", "user_id")).df
+    ref_latest = events.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    joined = latest.select("user_id", "ts").exceptAll(ref_latest)
+    assert joined.count() == 0
+
+    # CombineGlobally: un-windowed == plain agg.
+    total = p.create(events).apply(
+        "Tot", CombineGlobally(F.count(F.lit(1)).alias("n"),
+                               F.round(F.sum("value"), 2).alias("v"))
+    ).df.first()
+    ref_tot = events.agg(F.count(F.lit(1)), F.round(F.sum("value"), 2)).first()
+    assert (total["n"], total["v"]) == (ref_tot[0], ref_tot[1])
+
+
+def test_combine_globally_windowed(spark):
+    from tutorial_apache_beam_spark.plans.pipeline import CombineGlobally
+
+    p = Pipeline(spark)
+    events = load_table(spark, SF_DIR, "events")
+    out = (
+        p.create(events)
+        .apply("Stamp", WithTimestamps("ts"))
+        .apply("Win", WindowInto(FixedWindows("1 minute")))
+        .apply("Per-minute total", CombineGlobally(F.count(F.lit(1)).alias("n")))
+        .df
+    )
+    ref = (
+        events.groupBy(F.window("ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    got = {(r["window_start"], r["n"]) for r in out.select("window_start", "n").collect()}
+    assert got == {(r["window_start"], r["n"]) for r in ref.collect()}

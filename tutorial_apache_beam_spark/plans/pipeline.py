@@ -30,7 +30,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -378,6 +378,124 @@ class Mean:
                 return [F.avg(value_col).alias("mean")]
 
         return _Mean(list(key_cols))
+
+
+class Top:
+    """Beam Top: largest/smallest n (globally or per key).
+
+    Global top-n plans as TakeOrderedAndProject (per-partition top-n then
+    a single-reduce merge — no full sort); per-key top-n is the
+    row_number-over-window pattern, one shuffle on the keys (Spark 3.5+
+    prunes it to per-partition heaps via WindowGroupLimit).
+    """
+
+    @staticmethod
+    def of(n: int, *order: Column) -> PTransform:
+        class _Top(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                return pcoll._with(pcoll.df.orderBy(*order).limit(n))
+
+        return _Top()
+
+    @staticmethod
+    def per_key(n: int, key_cols: list[str], *order: Column) -> PTransform:
+        class _TopPerKey(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                w = Window.partitionBy(*key_cols).orderBy(*order)
+                out = (
+                    pcoll.df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= n)
+                    .drop("_rn")
+                )
+                return pcoll._with(out)
+
+        return _TopPerKey()
+
+
+class Sample:
+    """Beam Sample.fixedSizeGlobally — but DETERMINISTIC: rows are ranked
+    by the portable hash of a caller-named id column (salted), not rand(),
+    so retries/re-runs pick identical samples (the repo-wide sampling
+    rule, operators/sampling.py). Plans as TakeOrdered — no full sort.
+    """
+
+    @staticmethod
+    def fixed_size_globally(
+        n: int, id_col: str, salt: str = "sample"
+    ) -> PTransform:
+        from tutorial_apache_beam_spark.functions.hashing import (
+            portable_hash64,
+        )
+
+        class _Sample(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                rank = portable_hash64(
+                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+                )
+                out = (
+                    pcoll.df.withColumn("_rk", rank)
+                    .orderBy("_rk")
+                    .limit(n)
+                    .drop("_rk")
+                )
+                return pcoll._with(out)
+
+        return _Sample()
+
+
+class Latest:
+    """Beam Latest.perKey: the row with the max timestamp per key (ties by
+    the ordering of max_by — deterministic when the caller adds a
+    tiebreak column). One hash aggregation with map-side partial maxima."""
+
+    @staticmethod
+    def per_key(ts_col: str, *key_cols: str) -> PTransform:
+        class _Latest(PTransform):
+            def expand(self, pcoll: PCollection) -> PCollection:
+                others = [
+                    c
+                    for c in pcoll.df.columns
+                    if c not in key_cols and c != ts_col
+                ]
+                aggs = [F.max(ts_col).alias(ts_col)] + [
+                    F.max_by(c, ts_col).alias(c) for c in others
+                ]
+                return pcoll._with(
+                    pcoll.df.groupBy(*key_cols).agg(*aggs)
+                )
+
+        return _Latest()
+
+
+class CombineGlobally(PTransform):
+    """Beam CombineGlobally: aggregate the whole PCollection to one row.
+
+    Two-phase automatically (partial per partition, final single-reduce);
+    with a windowing context active, combines per window instead —
+    mirroring Beam's windowed global combine.
+    """
+
+    def __init__(self, *agg_exprs: Column):
+        self.agg_exprs = list(agg_exprs)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        spec = pcoll.spec
+        if spec.window_fn is not None:
+            bucket = spec.window_fn.bucket(F.col(spec.ts_col))
+            struct_col = (
+                "session_window"
+                if isinstance(spec.window_fn, Sessions)
+                else "window"
+            )
+            out = pcoll.df.groupBy(bucket).agg(*self.agg_exprs)
+            out = out.select(
+                F.col(f"{struct_col}.start").alias("window_start"),
+                F.col(f"{struct_col}.end").alias("window_end"),
+                *[c for c in out.columns if c != struct_col],
+            )
+        else:
+            out = pcoll.df.agg(*self.agg_exprs)
+        return pcoll._with(out)
 
 
 class Flatten(PTransform):
