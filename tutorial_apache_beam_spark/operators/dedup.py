@@ -204,9 +204,19 @@ def ngram_jaccard_pairs(
     inverted shingle index (docs sharing ≥1 non-hot shingle).
 
     The shingle rows are persisted: the hot-shingle count, the candidate
-    self-join, and the verify set assembly all re-read them — without
-    materialization Spark re-executes the tokenize+shingle+hash scan per
-    use, which at 100 TB multiplies the most expensive stage.
+    join, the per-doc sizes, and the hot-set assembly all re-read them —
+    without materialization Spark re-executes the tokenize+shingle+hash
+    scan per use, which at 100 TB multiplies the most expensive stage.
+
+    Verify is COUNTING-based (round 3): |A∩B| falls out of the inverted
+    join itself — `groupBy(pair).count()` over shared non-hot shingles
+    (the same shuffle the old DISTINCT paid), plus an exact correction
+    for hot shingles via small per-doc hot arrays; |A∪B| = |A|+|B|−|A∩B|
+    from per-doc counts. No full `collect_set` shingle arrays are ever
+    assembled and no candidate-id semi-join runs — memory per verify row
+    follows the pair count, not document sizes. (The MinHash path still
+    uses `_verified_pairs`: its candidates come from band buckets, so
+    shared-shingle counts aren't a byproduct there.)
 
     `shingle_rows`: pre-computed (id, h) rows (from `_shingle_rows` with
     the same n), already persisted by the CALLER — lets multi-method
@@ -229,19 +239,57 @@ def ngram_jaccard_pairs(
     pruned = inv.join(F.broadcast(hot), "h", "left_anti")
     a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
     b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
-    candidates = (
+    # Shared NON-HOT shingle count per pair — the candidate set and the
+    # bulk of the intersection in one aggregation.
+    shared = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        # Persisted: read three times by the verify stage (candidate-id
-        # broadcast plus both sides of the set join).
-        .persist()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared_pruned"))
     )
-    released = (candidates,) if caller_owns else (inv, candidates)
-    return _materialize_and_release(
-        _verified_pairs(candidates, inv, id_col, threshold), *released
+    # Per-doc totals (inv rows are distinct by construction) and per-doc
+    # HOT shingle arrays (small: only shingles with df > max_doc_freq).
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot_sets = (
+        inv.join(F.broadcast(hot), "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("_hot"))
     )
+    side = sizes.join(hot_sets, id_col, "left")
+    sa = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_n_a"),
+        F.col("_hot").alias("_hot_a"),
+    )
+    sb = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("_n_b"),
+        F.col("_hot").alias("_hot_b"),
+    )
+    empty = F.array().cast("array<bigint>")
+    inter = F.col("_shared_pruned") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("_hot_a"), empty),
+            F.coalesce(F.col("_hot_b"), empty),
+        )
+    )
+    verified = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    released = () if caller_owns else (inv,)
+    return _materialize_and_release(verified, *released)
 
 
 def benchmark_contamination(
