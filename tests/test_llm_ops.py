@@ -214,3 +214,28 @@ def test_cosine_topk_string_ids(spark):
     want = {(f"doc-{r['probe_id']}", f"doc-{r['vec_id']}") for r in base}
     got = {(r["probe_id"], r["vec_id"]) for r in rows}
     assert got == want
+
+
+def test_ngram_containment_flags_excerpts(spark):
+    """A short doc made of another doc's text must clear containment even
+    though its Jaccard vs the long doc is tiny."""
+    from tutorial_apache_beam_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(200))
+    excerpt = " ".join(f"tok{i}" for i in range(40, 60))  # 20 tokens inside
+    other = " ".join(f"z{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    # excerpt ⊂ long: containment(2→1) == 1.0; the reverse direction is
+    # ~18/198 and must NOT appear; unrelated docs must not appear.
+    assert cont == {(2, 1): 1.0}
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses the excerpt at the same threshold

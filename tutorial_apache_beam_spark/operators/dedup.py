@@ -509,3 +509,83 @@ def streaming_simhash_dedup(
         .withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["simhash"])
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    shingle_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT: |A∩B| / |A|.
+
+    Jaccard misses the quote/excerpt case — a short document wholly
+    contained in a long one scores low because the union is dominated by
+    the long side. Containment ≥ `threshold` flags "id_a is mostly inside
+    id_b" regardless of the size ratio (the direction matters: both
+    orientations are emitted when they clear the threshold).
+
+    Same machinery as `ngram_jaccard_pairs`' counting verify: the
+    intersection comes out of the inverted-index join's pair counts plus
+    the hot-shingle correction — no set assembly, no all-pairs. Output:
+    (id_a, id_b, containment) where containment = |A∩B| / |A|.
+    """
+    caller_owns = shingle_rows is not None
+    inv = (
+        shingle_rows
+        if caller_owns
+        else _shingle_rows(df, text_col, id_col, n).persist()
+    )
+    hot = (
+        inv.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("h")
+    )
+    pruned = inv.join(F.broadcast(hot), "h", "left_anti")
+    a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") != F.col("id_b"))  # both directions
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared_pruned"))
+    )
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot_sets = (
+        inv.join(F.broadcast(hot), "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("_hot"))
+    )
+    side = sizes.join(hot_sets, id_col, "left")
+    sa = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_n_a"),
+        F.col("_hot").alias("_hot_a"),
+    )
+    sb = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_hot").alias("_hot_b"),
+    )
+    empty = F.array().cast("array<bigint>")
+    inter = F.col("_shared_pruned") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("_hot_a"), empty),
+            F.coalesce(F.col("_hot_b"), empty),
+        )
+    )
+    verified = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_inter", inter)
+        .withColumn(
+            "containment", F.round(F.col("_inter") / F.col("_n_a"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    released = () if caller_owns else (inv,)
+    return _materialize_and_release(verified, *released)
