@@ -32,8 +32,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # `minhash_lsh_near_dups` slot is now `lexical_neardup_pairs`, which
 # runs BOTH the ngram and minhash branches (≈2x the r2 slot's work over
 # one shared shingle scan); `streaming_demo2_modes` drains three modes
-# (was two); `streaming_interval_join` drains inner + left-outer (was
-# inner); `text_fingerprint_suite` adds the PII/URL surface;
+# (was two); `streaming_interval_join` drains inner + left-outer +
+# full-outer (was inner only); `text_fingerprint_suite` adds the
+# PII/URL surface; `split_and_pack` adds chunk fingerprints;
+# `ann_topk_methods` adds the q8 quantized tier;
 # `training_data_pipeline` added decontamination + curriculum stages in
 # r3 prep. Headline deltas on those rows are added coverage, not
 # regressions — compare per-family totals with this note in hand.
