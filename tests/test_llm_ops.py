@@ -239,3 +239,27 @@ def test_ngram_containment_flags_excerpts(spark):
     assert cont == {(2, 1): 1.0}
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # Jaccard misses the excerpt at the same threshold
+
+
+def test_semantic_dup_clusters(spark):
+    """Embedding-space transitive clusters: A~B and B~C land in one
+    component with min-id canonical, even without an A~C edge."""
+    from tutorial_apache_beam_spark.operators.similarity import (
+        semantic_dup_clusters,
+    )
+
+    base = [1.0] + [0.0] * 7
+    tilt = [0.97, 0.24] + [0.0] * 6   # cos(base,tilt) ~= 0.97
+    tilt2 = [0.88, 0.47] + [0.0] * 6  # cos(tilt,tilt2) ~= 0.97, cos(base,tilt2)=0.88
+    ortho = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, tilt), (3, tilt2), (4, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: (r["component"], r["is_canonical"])
+        for r in semantic_dup_clusters(df, threshold=0.9).collect()
+    }
+    # 1-2-3 chain collapses to component 1 (2~1 and 3~2 edges; 3~1 is
+    # below threshold); 4 is isolated and absent.
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False)}

@@ -547,3 +547,45 @@ def ivf_ann_topk(
         )
     )
     return _probe_topk(scored, id_col, k) if rank else scored
+
+
+def semantic_dup_clusters(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup: transitive clusters over the exact-cosine near-dup
+    graph — the embedding-space analog of `queries.llm.near_dup_clusters`
+    (SemDeDup-style pipelines cluster by embedding similarity, then keep
+    one representative per cluster).
+
+    Composition of two scale-safe stages: `embedding_neardup_pairs`
+    (blocked BLAS pair generation — movement O(n·(B+1)/2), no driver
+    collect) feeding `connected_components` (size-guarded union-find /
+    distributed min-label propagation). Output: (id, component,
+    is_canonical) — canonical = the min id of its cluster; singleton
+    vectors don't appear (they are trivially canonical).
+    """
+    from tutorial_apache_beam_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = embedding_neardup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        comps = connected_components(pairs.select("id_a", "id_b"))
+        out = comps.select(
+            F.col("vertex").alias(id_col),
+            "component",
+            (F.col("vertex") == F.col("component")).alias("is_canonical"),
+        )
+        # Materialize before releasing the edge list (graph.py leaves
+        # caller-persisted inputs untouched; evicting them un-materialized
+        # would force a full pair-pipeline recompute per downstream use).
+        out = out.persist()
+        out.count()
+    finally:
+        pairs.unpersist()
+    return out
