@@ -23,6 +23,7 @@ from tutorial_apache_beam_spark.operators.windowing import tumbling_counts
 from tutorial_apache_beam_spark.registry import register
 from tutorial_apache_beam_spark.streaming.replay import (
     run_stream_to_memory,
+    run_streams_to_memory,
     stream_events,
 )
 
@@ -78,20 +79,28 @@ def streaming_demo2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       The generous 31-day allowed lateness admits the whole backfill
       (fixture spans ~30 days); production picks the real lateness bound.
     """
-    complete = run_stream_to_memory(
-        tumbling_counts(stream_events(spark, sf_dir), "ts", ["user_id"], "1 minute"),
+    # complete + append are independent drains of the same source — start
+    # both, await both (the update half replays a staged two-batch
+    # directory and stays separate).
+    complete, append = run_streams_to_memory(
+        [
+            (
+                tumbling_counts(
+                    stream_events(spark, sf_dir), "ts", ["user_id"], "1 minute"
+                ),
+                "complete",
+            ),
+            (
+                tumbling_counts(
+                    stream_events(spark, sf_dir).withWatermark("ts", "2 minutes"),
+                    "ts",
+                    ["user_id"],
+                    "1 minute",
+                ),
+                "append",
+            ),
+        ],
         spark,
-        output_mode="complete",
-    )
-    append = run_stream_to_memory(
-        tumbling_counts(
-            stream_events(spark, sf_dir).withWatermark("ts", "2 minutes"),
-            "ts",
-            ["user_id"],
-            "1 minute",
-        ),
-        spark,
-        output_mode="append",
     )
     update_sink = _demo2_update_replay(spark, sf_dir)
     key = ["window_start", "window_end", "user_id"]
@@ -334,15 +343,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     ]
     p1, c1 = sides()
-    inner = run_stream_to_memory(
-        p1.join(c1, cond(p1, c1)).select(*out_cols), spark, output_mode="append"
-    )
     p2, c2 = sides()
-    outer = run_stream_to_memory(
-        p2.join(c2, cond(p2, c2), "leftOuter").select(*out_cols),
-        spark,
-        output_mode="append",
-    )
     p3, c3 = sides()
     full_cols = [
         "purchase_id",
@@ -350,10 +351,16 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     ]
-    full = run_stream_to_memory(
-        p3.join(c3, cond(p3, c3), "fullOuter").select(*full_cols),
+    # The three drains are independent queries — start them all, await
+    # all (run_streams_to_memory): wall time is the slowest drain, not
+    # the sum of three ~equal ones.
+    inner, outer, full = run_streams_to_memory(
+        [
+            (p1.join(c1, cond(p1, c1)).select(*out_cols), "append"),
+            (p2.join(c2, cond(p2, c2), "leftOuter").select(*out_cols), "append"),
+            (p3.join(c3, cond(p3, c3), "fullOuter").select(*full_cols), "append"),
+        ],
         spark,
-        output_mode="append",
     )
     return (
         inner.select(F.lit("inner").alias("join_type"), "*")

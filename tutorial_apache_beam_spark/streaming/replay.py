@@ -64,6 +64,44 @@ def run_stream_to_memory(
     return spark.table(qname)
 
 
+def run_streams_to_memory(
+    plans: list[tuple[DataFrame, str]],
+    spark: SparkSession,
+    state_partitions: int | None = None,
+) -> list[DataFrame]:
+    """Drain several independent streaming plans CONCURRENTLY into memory
+    sinks; return their result tables in order.
+
+    Structured Streaming runs each query on its own micro-batch thread,
+    so independent availableNow drains overlap instead of paying their
+    ~1 s fixed startup (checkpoint init, file listing) serially — a
+    multi-mode/multi-join gate drains in max() rather than sum() of its
+    members. Queries are all STARTED before any is awaited; the
+    shuffle-partition override is applied for the whole start window
+    (each query captures the conf at its own start).
+    """
+    parts = STREAM_STATE_PARTITIONS if state_partitions is None else state_partitions
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    names, queries = [], []
+    try:
+        for streaming_df, output_mode in plans:
+            qname = f"replay_{next(_counter)}"
+            names.append(qname)
+            queries.append(
+                streaming_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(qname)
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return [spark.table(n) for n in names]
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
