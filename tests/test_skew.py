@@ -47,3 +47,36 @@ def test_salted_agg_spreads_hot_key(spark):
     salted = skewed.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
     n_buckets = salted.select("user_id", "_salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_salted_shuffle_join_matches_plain_join(spark):
+    from tutorial_apache_beam_spark.operators.skew import salted_shuffle_join
+    from tutorial_apache_beam_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    users = (
+        events.groupBy("user_id")
+        .count()
+        .select("user_id", F.col("count").alias("user_events"))
+    )
+    plain = events.join(users, ["user_id"]).select(
+        "event_id", "user_id", "user_events"
+    )
+    salted = salted_shuffle_join(
+        events, users, ["user_id"], salt_col="event_id", salt_buckets=8
+    ).select("event_id", "user_id", "user_events")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # left join with unmatched rows also survives salting
+    some_users = users.filter(F.col("user_id") % 3 == 0)
+    plain_l = events.join(some_users, ["user_id"], "left")
+    salted_l = salted_shuffle_join(
+        events, some_users, ["user_id"], salt_col="event_id",
+        salt_buckets=8, how="left",
+    )
+    assert plain_l.count() == salted_l.count()
+    assert (
+        plain_l.filter(F.col("user_events").isNull()).count()
+        == salted_l.filter(F.col("user_events").isNull()).count()
+    )

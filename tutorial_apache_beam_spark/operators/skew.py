@@ -11,6 +11,9 @@ as plan rewrites:
 - `salted_broadcast_left`: for joins, broadcasting the small side already
   sidesteps skew entirely (no shuffle of the big side) — provided here as
   the explicitly-named idiom.
+- `salted_shuffle_join`: when the partner side is too big to broadcast —
+  salt the big side, replicate the partner per salt bucket, join on
+  (keys + salt); a hot key spreads over `salt_buckets` tasks.
 
 AQE's `skewJoin` handles *join* skew adaptively at runtime; aggregation
 skew still benefits from explicit salting because the partial aggregate
@@ -68,3 +71,43 @@ def salted_broadcast_left(
     side at all (broadcast hash join) — the first-choice skew remedy when
     the small side fits in executor memory."""
     return big.join(F.broadcast(small), on, how)
+
+
+def salted_shuffle_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join for when the hot-key side's partner is TOO
+    BIG to broadcast: salt the big side, replicate the partner once per
+    salt bucket, join on (keys + salt).
+
+    A hot join key's rows land in `salt_buckets` different shuffle
+    partitions instead of one straggler task; the partner side grows by
+    the replication factor — worth it exactly when partner_size ×
+    salt_buckets ≪ big side's hot-partition size. (Prefer
+    `salted_broadcast_left` when the partner broadcasts, and AQE's
+    runtime skew-join split when post-shuffle partition stats suffice —
+    this explicit rewrite covers the planner-opaque cases, e.g. skew
+    hidden behind a preceding aggregation.)
+
+    `salt_col`: a stable big-side attribute (e.g. the row's event id);
+    the salt is its portable hash mod `salt_buckets` — deterministic, so
+    results are replayable and oracle-comparable (rand() salting is not).
+    Identical results to `big.join(small, on, how)` for inner/left joins:
+    each big row joins exactly the partner replica carrying its salt.
+    """
+    from tutorial_apache_beam_spark.functions.hashing import portable_hash64
+
+    salt = F.pmod(
+        portable_hash64(F.col(salt_col).cast("string")), F.lit(salt_buckets)
+    ).cast("int")
+    salted_big = big.withColumn("_salt", salt)
+    replicas = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_big.join(replicas, [*on, "_salt"], how).drop("_salt")
