@@ -73,10 +73,37 @@ def test_pii_counts(spark):
         ("https://a.com/p?x=1&utm_campaign=c&y=2", "https://a.com/p?x=1&y=2"),
         ("https://a.com/p?x=1&utm_term=t", "https://a.com/p?x=1"),
         ("https://a.com/p?utm_medium=m", "https://a.com/p"),
+        # port stripping is scheme-aware and authority-only:
+        ("https://a.com/doc:443/x", "https://a.com/doc:443/x"),
+        ("http://a.com:443/x", "http://a.com:443/x"),  # not http's default
+        ("https://a.com:80/x", "https://a.com:80/x"),  # not https' default
+        # scheme-less inputs pass through unchanged (never collapse)
+        ("example.com/a", "example.com/a"),
+        ("other.org/b", "other.org/b"),
     ],
 )
 def test_normalize_url(spark, raw, expected):
     assert _one(spark, raw, normalize_url("s")) == expected
+
+
+def test_normalize_url_sql_twin_matches(spark, duck):
+    """The DuckDB twin must normalize the same inputs identically."""
+    from tutorial_apache_beam_spark.operators.pii import normalize_url_sql
+
+    cases = [
+        "HTTP://WWW.Ex.COM:80/",
+        "https://A.com:443/P/Q?x=1#frag",
+        "https://a.com/doc:443/x",
+        "http://a.com:443/x",
+        "https://a.com/p?utm_source=s&x=1",
+        "example.com/a",
+    ]
+    for raw in cases:
+        spark_val = _one(spark, raw, normalize_url("s"))
+        duck_val = duck.execute(
+            f"SELECT {normalize_url_sql(repr(raw))}"
+        ).fetchone()[0]
+        assert spark_val == duck_val, raw
 
 
 def test_url_dedup_keeps_lowest_id(spark):

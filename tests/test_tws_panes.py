@@ -35,7 +35,10 @@ ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
-_HAS_PROTOBUF = importlib.util.find_spec("google") is not None
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no google namespace package at all
+    _HAS_PROTOBUF = False
 
 
 # --- processor-logic layer (no Spark needed) --------------------------------

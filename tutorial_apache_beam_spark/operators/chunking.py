@@ -91,12 +91,14 @@ def chunk_fingerprints_sql(
     token-less-document case; `list_slice` is 1-based inclusive like
     Spark `slice(x, start, length)` re-expressed as [s+1, s+size].
     """
+    from tutorial_apache_beam_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
     starts = f"range(0, greatest(len({toks_expr}), 0), {stride})"
     chunk = f"list_slice({toks_expr}, s + 1, s + {size})"
-    fp = (
-        f"CAST(('0x' || substring(md5(array_to_string({chunk}, ' ')), 1, 15))"
-        f"::BIGINT AS VARCHAR)"
-    )
+    chunk_text = f"array_to_string({chunk}, ' ')"
+    fp = f"CAST({portable_hash64_sql(chunk_text)} AS VARCHAR)"
     n = f"len({starts})"
     joined = f"array_to_string(list_transform({starts}, s -> {fp}), '|')"
     return n, joined

@@ -229,6 +229,40 @@ def ngram_jaccard_pairs(
         if caller_owns
         else _shingle_rows(df, text_col, id_col, n).persist()
     )
+    stats = _counting_pair_stats(
+        inv, id_col, max_doc_freq, both_directions=False
+    )
+    verified = (
+        stats.withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    released = () if caller_owns else (inv,)
+    return _materialize_and_release(verified, *released)
+
+
+def _counting_pair_stats(
+    inv: DataFrame, id_col: str, max_doc_freq: int, both_directions: bool
+) -> DataFrame:
+    """Shared counting-verify machinery for the inverted-index family:
+    (id_a, id_b, _inter, _n_a, _n_b) per candidate pair, where `_inter`
+    is the EXACT |A∩B| (shared non-hot shingle count from the candidate
+    join itself + a hot-array correction) and `_n_*` are the full per-doc
+    distinct shingle counts. Jaccard and containment are one expression
+    away; keeping the pipeline here means a fix to the hot-shingle
+    correction or the candidate pruning applies to both metrics.
+
+    `both_directions=False` emits each unordered pair once (id_a < id_b,
+    the symmetric-metric form); True emits both orientations (asymmetric
+    metrics like containment).
+    """
     # Drop stop-shingles: a shingle in f docs contributes O(f^2) pairs.
     hot = (
         inv.groupBy("h")
@@ -239,11 +273,16 @@ def ngram_jaccard_pairs(
     pruned = inv.join(F.broadcast(hot), "h", "left_anti")
     a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
     b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
+    pair_filter = (
+        F.col("id_a") != F.col("id_b")
+        if both_directions
+        else F.col("id_a") < F.col("id_b")
+    )
     # Shared NON-HOT shingle count per pair — the candidate set and the
     # bulk of the intersection in one aggregation.
     shared = (
         a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_filter)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared_pruned"))
     )
@@ -273,23 +312,12 @@ def ngram_jaccard_pairs(
             F.coalesce(F.col("_hot_b"), empty),
         )
     )
-    verified = (
+    return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("_inter", inter)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter")
-                / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "_inter", "_n_a", "_n_b")
     )
-    released = () if caller_owns else (inv,)
-    return _materialize_and_release(verified, *released)
 
 
 def benchmark_contamination(
@@ -539,49 +567,11 @@ def ngram_containment_pairs(
         if caller_owns
         else _shingle_rows(df, text_col, id_col, n).persist()
     )
-    hot = (
-        inv.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_doc_freq)
-        .select("h")
-    )
-    pruned = inv.join(F.broadcast(hot), "h", "left_anti")
-    a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
-    b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
-    shared = (
-        a.join(b, "h")
-        .filter(F.col("id_a") != F.col("id_b"))  # both directions
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_shared_pruned"))
-    )
-    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    hot_sets = (
-        inv.join(F.broadcast(hot), "h")
-        .groupBy(id_col)
-        .agg(F.collect_set("h").alias("_hot"))
-    )
-    side = sizes.join(hot_sets, id_col, "left")
-    sa = side.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_n").alias("_n_a"),
-        F.col("_hot").alias("_hot_a"),
-    )
-    sb = side.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_hot").alias("_hot_b"),
-    )
-    empty = F.array().cast("array<bigint>")
-    inter = F.col("_shared_pruned") + F.size(
-        F.array_intersect(
-            F.coalesce(F.col("_hot_a"), empty),
-            F.coalesce(F.col("_hot_b"), empty),
-        )
+    stats = _counting_pair_stats(
+        inv, id_col, max_doc_freq, both_directions=True
     )
     verified = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("_inter", inter)
-        .withColumn(
+        stats.withColumn(
             "containment", F.round(F.col("_inter") / F.col("_n_a"), 4)
         )
         .filter(F.col("containment") >= threshold)

@@ -97,10 +97,15 @@ def normalize_url(col: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    # Strip the DEFAULT port only, scheme-aware, from the authority alone
+    # (a ':443' inside the path must survive; http://a.com:443 is a
+    # DIFFERENT origin than http://a.com and must not merge).
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(
+            host
+        )
+    )
     out = F.concat(scheme, F.lit("://"), host, rest)
-    # default ports (host was lowercased already)
-    out = F.regexp_replace(out, r":80(/|\?|$)", "$1")
-    out = F.regexp_replace(out, r":443(/|\?|$)", "$1")
     # fragment
     out = F.regexp_replace(out, r"#.*$", "")
     # utm params: mid-query ("utm_x=1&") then trailing ("?utm_x=1" / "&utm_x=1")
@@ -109,7 +114,11 @@ def normalize_url(col: Column | str) -> Column:
     # dangling separators / trailing slash
     out = F.regexp_replace(out, r"\?$", "")
     out = F.regexp_replace(out, r"/$", "")
-    return out
+    # Scheme-less inputs (no '://') have nothing to normalize against —
+    # pass them through unchanged rather than collapsing them all to the
+    # constant '://' (which would make url_dedup silently merge unrelated
+    # rows).
+    return F.when(scheme == "", url).otherwise(out)
 
 
 def normalize_url_sql(expr: str) -> str:
@@ -117,15 +126,18 @@ def normalize_url_sql(expr: str) -> str:
     scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     host = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
     rest = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
     out = f"concat({scheme}, '://', {host}, {rest})"
-    out = f"regexp_replace({out}, ':80(/|\\?|$)', '\\1', 'g')"
-    out = f"regexp_replace({out}, ':443(/|\\?|$)', '\\1', 'g')"
     out = f"regexp_replace({out}, '#.*$', '', 'g')"
     out = f"regexp_replace({out}, '{_TRACKING_PARAM}&', '', 'g')"
     out = f"regexp_replace({out}, '[?&]{_TRACKING_PARAM}$', '', 'g')"
     out = f"regexp_replace({out}, '\\?$', '', 'g')"
     out = f"regexp_replace({out}, '/$', '', 'g')"
-    return out
+    return f"CASE WHEN {scheme} = '' THEN {expr} ELSE {out} END"
 
 
 def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:

@@ -575,7 +575,10 @@ def semantic_dup_clusters(
         df, threshold=threshold, id_col=id_col, vec_col=vec_col
     ).persist()
     try:
-        comps = connected_components(pairs.select("id_a", "id_b"))
+        # Pass the persisted frame directly (it already carries id_a/id_b)
+        # — a .select() projection would reset storageLevel to NONE and
+        # make connected_components persist a second copy of the edges.
+        comps = connected_components(pairs)
         out = comps.select(
             F.col("vertex").alias(id_col),
             "component",

@@ -102,8 +102,19 @@ def salted_shuffle_join(
     """
     from tutorial_apache_beam_spark.functions.hashing import portable_hash64
 
+    # Replicating the partner makes right/full-outer WRONG (each
+    # unmatched partner row would surface once per salt bucket).
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti",
+    ):
+        raise ValueError(
+            f"salted_shuffle_join supports inner/left joins, not {how!r}"
+        )
+    # NULL salt_col must still salt deterministically (a NULL hash would
+    # make the (keys + salt) equi-join silently drop the row).
     salt = F.pmod(
-        portable_hash64(F.col(salt_col).cast("string")), F.lit(salt_buckets)
+        portable_hash64(F.coalesce(F.col(salt_col).cast("string"), F.lit(""))),
+        F.lit(salt_buckets),
     ).cast("int")
     salted_big = big.withColumn("_salt", salt)
     replicas = small.withColumn(

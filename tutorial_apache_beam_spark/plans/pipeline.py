@@ -329,23 +329,34 @@ class _PerKeyAgg(PTransform):
         raise NotImplementedError
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        spec = pcoll.spec
-        if spec.window_fn is not None:
-            bucket = spec.window_fn.bucket(F.col(spec.ts_col))
-            grouped = pcoll.df.groupBy(bucket, *self.key_cols)
-            out = grouped.agg(*self.agg_exprs())
-            struct_col = (
-                "session_window" if isinstance(spec.window_fn, Sessions) else "window"
-            )
-            out = out.select(
-                F.col(f"{struct_col}.start").alias("window_start"),
-                F.col(f"{struct_col}.end").alias("window_end"),
-                *self.key_cols,
-                *[c for c in out.columns if c not in (struct_col, *self.key_cols)],
-            )
-        else:
-            out = pcoll.df.groupBy(*self.key_cols).agg(*self.agg_exprs())
-        return pcoll._with(out)
+        return pcoll._with(
+            _windowed_group_agg(pcoll, self.key_cols, self.agg_exprs())
+        )
+
+
+def _windowed_group_agg(
+    pcoll: PCollection, key_cols: list[str], agg_exprs: list[Column]
+) -> DataFrame:
+    """Group by (window bucket if a windowing context is active, plus any
+    key columns) and unwrap the window struct to flat
+    window_start/window_end columns — the ONE place that knows which
+    struct name (`window` vs `session_window`) Spark emits. Every
+    windowed combiner (Count/Sum/Mean.perKey, CombinePerKey,
+    GroupByKey, CombineGlobally) routes through here."""
+    spec = pcoll.spec
+    if spec.window_fn is None:
+        return pcoll.df.groupBy(*key_cols).agg(*agg_exprs)
+    bucket = spec.window_fn.bucket(F.col(spec.ts_col))
+    out = pcoll.df.groupBy(bucket, *key_cols).agg(*agg_exprs)
+    struct_col = (
+        "session_window" if isinstance(spec.window_fn, Sessions) else "window"
+    )
+    return out.select(
+        F.col(f"{struct_col}.start").alias("window_start"),
+        F.col(f"{struct_col}.end").alias("window_end"),
+        *key_cols,
+        *[c for c in out.columns if c not in (struct_col, *key_cols)],
+    )
 
 
 class Count:
@@ -479,23 +490,9 @@ class CombineGlobally(PTransform):
         self.agg_exprs = list(agg_exprs)
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        spec = pcoll.spec
-        if spec.window_fn is not None:
-            bucket = spec.window_fn.bucket(F.col(spec.ts_col))
-            struct_col = (
-                "session_window"
-                if isinstance(spec.window_fn, Sessions)
-                else "window"
-            )
-            out = pcoll.df.groupBy(bucket).agg(*self.agg_exprs)
-            out = out.select(
-                F.col(f"{struct_col}.start").alias("window_start"),
-                F.col(f"{struct_col}.end").alias("window_end"),
-                *[c for c in out.columns if c != struct_col],
-            )
-        else:
-            out = pcoll.df.agg(*self.agg_exprs)
-        return pcoll._with(out)
+        if pcoll.spec.window_fn is None:
+            return pcoll._with(pcoll.df.agg(*self.agg_exprs))
+        return pcoll._with(_windowed_group_agg(pcoll, [], self.agg_exprs))
 
 
 class Flatten(PTransform):
@@ -686,24 +683,9 @@ class GroupByKey(PTransform):
         agg = F.collect_list(self.value_col)
         if self.sort_values:
             agg = F.array_sort(agg)
-        spec = pcoll.spec
-        if spec.window_fn is not None:
-            bucket = spec.window_fn.bucket(F.col(spec.ts_col))
-            out = pcoll.df.groupBy(bucket, *self.key_cols).agg(
-                agg.alias("values")
-            )
-            struct_col = (
-                "session_window" if isinstance(spec.window_fn, Sessions) else "window"
-            )
-            out = out.select(
-                F.col(f"{struct_col}.start").alias("window_start"),
-                F.col(f"{struct_col}.end").alias("window_end"),
-                *self.key_cols,
-                "values",
-            )
-        else:
-            out = pcoll.df.groupBy(*self.key_cols).agg(agg.alias("values"))
-        return pcoll._with(out)
+        return pcoll._with(
+            _windowed_group_agg(pcoll, self.key_cols, [agg.alias("values")])
+        )
 
 
 class CombinePerKey(_PerKeyAgg):
