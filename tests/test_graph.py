@@ -73,6 +73,29 @@ def test_local_and_distributed_paths_agree(spark):
     assert local == distributed and len(local) == 10
 
 
+def test_byte_budget_routes_wide_edges_to_distributed(spark):
+    """Pathologically wide endpoints (multi-KB string ids) must overflow
+    the probe's BYTE budget even when the row count is tiny, falling
+    through to the distributed loop — with identical results."""
+    wide = "x" * 4096
+    rows = [(f"{wide}{a}", f"{wide}{b}") for a, b in [(1, 2), (2, 3), (5, 6)]]
+    edges = spark.createDataFrame(rows, "id_a STRING, id_b STRING")
+    out = connected_components(
+        edges,
+        # ~8 KB/row estimated; budget of one row forces the overflow.
+        local_edge_byte_budget=8 * 1024,
+        shuffle_partitions=2,
+    )
+    comps = {r.vertex: r.component for r in out.collect()}
+    assert comps == {
+        f"{wide}1": f"{wide}1",
+        f"{wide}2": f"{wide}1",
+        f"{wide}3": f"{wide}1",
+        f"{wide}5": f"{wide}5",
+        f"{wide}6": f"{wide}5",
+    }
+
+
 def test_local_path_empty_edges(spark):
     empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
     assert connected_components(empty).count() == 0

@@ -261,6 +261,25 @@ def test_top_sample_latest_combine_globally(spark):
     assert (total["n"], total["v"]) == (ref_tot[0], ref_tot[1])
 
 
+def test_latest_per_key_tied_timestamps_emit_one_real_row(spark):
+    """With tied max timestamps, Latest.per_key must emit one REAL input
+    row, never a column mix of two tied rows (the struct-atomic max_by
+    guarantee)."""
+    from tutorial_apache_beam_spark.plans.pipeline import Latest
+
+    rows = [
+        (1, 10, "a", 100.0),
+        (1, 10, "b", 200.0),  # tied ts=10: winner must be (a,100) or (b,200)
+        (2, 5, "c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts INT, tag STRING, val DOUBLE")
+    p = Pipeline(spark)
+    out = {r["k"]: (r["tag"], r["val"]) for r in
+           p.create(df).apply("L", Latest.per_key("ts", "k")).df.collect()}
+    assert out[1] in {("a", 100.0), ("b", 200.0)}
+    assert out[2] == ("c", 1.0)
+
+
 def test_combine_globally_windowed(spark):
     from tutorial_apache_beam_spark.plans.pipeline import CombineGlobally
 

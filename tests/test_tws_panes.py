@@ -60,14 +60,24 @@ class _FakeState:
 
 class _FakeHandle:
     def __init__(self):
-        self.state = _FakeState()
-        self.timers: list[int] = []
+        self.states: dict[str, _FakeState] = {}
+        self.timers: list[int] = []  # live (registered, undeleted) timers
+        self.registered: list[int] = []  # every registration, in order
 
     def getValueState(self, name, schema):
-        return self.state
+        return self.states.setdefault(name, _FakeState())
 
     def registerTimer(self, ts):
         self.timers.append(ts)
+        self.registered.append(ts)
+
+    def deleteTimer(self, ts):
+        if ts in self.timers:
+            self.timers.remove(ts)
+
+    @property
+    def state(self):
+        return self.states["panes"]
 
 
 class _FakeTimerValues:
@@ -113,8 +123,11 @@ def test_processor_emits_deltas_with_pane_ordinals():
     out3 = _emit(proc, (7,), _batch([w0, w0 + 60]), watermark_ms=0)
     assert out3["pane_count"].tolist() == [1, 1]
     assert out3["pane_index"].tolist() == [2, 0]
-    # timer re-armed each batch at the newest open window's end
-    assert h.timers == [(w0 + 60) * 1000] * 2 + [(w0 + 120) * 1000]
+    # Registered once per distinct target; batch 2's target was unchanged
+    # so it re-registered nothing, and batch 3's re-arm DELETED batch 1's
+    # pending timer — exactly ONE live timer per key survives.
+    assert h.registered == [(w0 + 60) * 1000, (w0 + 120) * 1000]
+    assert h.timers == [(w0 + 120) * 1000]
 
 
 def test_processor_prunes_expired_windows_and_clears_on_timer():

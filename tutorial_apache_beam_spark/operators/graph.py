@@ -48,6 +48,17 @@ def _components_local(edge_rows, src: str, dst: str) -> list[tuple[int, int]]:
     return [(v, find(v)) for v in parent]
 
 
+def _row_bytes(value) -> int:
+    """Rough serialized size of one edge endpoint (guard heuristic)."""
+    if value is None:
+        return 1
+    if isinstance(value, str):
+        return len(value.encode("utf-8", errors="replace"))
+    if isinstance(value, (bytes, bytearray)):
+        return len(value)
+    return 8  # ints/floats/timestamps
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -55,6 +66,7 @@ def connected_components(
     max_iter: int = 20,
     shuffle_partitions: int | None = None,
     local_edge_threshold: int = 1_000_000,
+    local_edge_byte_budget: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
@@ -64,8 +76,11 @@ def connected_components(
     Two execution strategies, same result (the broadcast-join-threshold
     philosophy applied to graphs):
 
-    - **small graphs** (≤ `local_edge_threshold` edges, checked with a
-      limit-probe that never counts the full set): collect the EDGE LIST
+    - **small graphs** (≤ `local_edge_threshold` edges AND an estimated
+      ≤ `local_edge_byte_budget` bytes of (src, dst) endpoints — a
+      1024-row sample sizes the rows, so wide string ids shrink the
+      effective row cap; checked with a limit-probe that never counts
+      the full set): collect the EDGE LIST
       (already the reduced output of the near-dup pipeline, orders of
       magnitude smaller than the corpus) and run union-find on the driver
       in milliseconds. A near-dup graph over even billions of documents
@@ -96,12 +111,32 @@ def connected_components(
         # must not re-run the (expensive) upstream pair generation.
         if own_persist:
             edges = edges.persist()
+        # The driver probe is bounded in BYTES, not just rows: a small
+        # sample estimates per-row size (endpoints may be wide string doc
+        # ids, not longs) and shrinks the effective row cap so the
+        # collect never exceeds `local_edge_byte_budget` in expectation.
+        endpoints = edges.select(F.col(src), F.col(dst))
+        sample = endpoints.limit(1024).collect()
+        if sample:
+            avg_bytes = max(
+                1,
+                sum(
+                    _row_bytes(r[src]) + _row_bytes(r[dst]) + 16
+                    for r in sample
+                )
+                // len(sample),
+            )
+            effective_threshold = min(
+                local_edge_threshold, local_edge_byte_budget // avg_bytes
+            )
+        else:
+            effective_threshold = local_edge_threshold
         edge_rows = (
-            edges.select(F.col(src), F.col(dst))
-            .limit(local_edge_threshold + 1)
-            .collect()
+            sample
+            if len(sample) < 1024
+            else endpoints.limit(effective_threshold + 1).collect()
         )
-        if len(edge_rows) <= local_edge_threshold:
+        if len(edge_rows) <= effective_threshold:
             if own_persist:
                 edges.unpersist()
             # Output vertex type follows the input edge columns (string doc

@@ -104,21 +104,28 @@ def salted_shuffle_join(
 
     # Replicating the partner makes right/full-outer WRONG (each
     # unmatched partner row would surface once per salt bucket).
+    # 'semi'/'anti' are Spark aliases for the safe left-side forms.
     if how.lower().replace("_", "") not in (
-        "inner", "left", "leftouter", "leftsemi", "leftanti",
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti",
     ):
         raise ValueError(
             f"salted_shuffle_join supports inner/left joins, not {how!r}"
         )
+    # The working column must not collide with a real input column on
+    # either side (withColumn would silently overwrite it; a same-named
+    # partner column would corrupt the equi-join keys).
+    salt_name = "_salt"
+    while salt_name in big.columns or salt_name in small.columns:
+        salt_name = f"_{salt_name}"
     # NULL salt_col must still salt deterministically (a NULL hash would
     # make the (keys + salt) equi-join silently drop the row).
     salt = F.pmod(
         portable_hash64(F.coalesce(F.col(salt_col).cast("string"), F.lit(""))),
         F.lit(salt_buckets),
     ).cast("int")
-    salted_big = big.withColumn("_salt", salt)
+    salted_big = big.withColumn(salt_name, salt)
     replicas = small.withColumn(
-        "_salt",
+        salt_name,
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
-    return salted_big.join(replicas, [*on, "_salt"], how).drop("_salt")
+    return salted_big.join(replicas, [*on, salt_name], how).drop(salt_name)

@@ -34,6 +34,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _temp_col_name(stem: str, existing: list[str]) -> str:
+    """A working-column name guaranteed absent from ``existing`` (user
+    frames may legitimately contain `_rn`/`_rk`-style names)."""
+    name = f"_{stem}"
+    while name in existing:
+        name = f"_{name}"
+    return name
+
+
 # ---------------------------------------------------------------------------
 # Window functions (Beam WindowFn equivalents)
 # ---------------------------------------------------------------------------
@@ -413,10 +422,11 @@ class Top:
         class _TopPerKey(PTransform):
             def expand(self, pcoll: PCollection) -> PCollection:
                 w = Window.partitionBy(*key_cols).orderBy(*order)
+                rn = _temp_col_name("rn", pcoll.df.columns)
                 out = (
-                    pcoll.df.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") <= n)
-                    .drop("_rn")
+                    pcoll.df.withColumn(rn, F.row_number().over(w))
+                    .filter(F.col(rn) <= n)
+                    .drop(rn)
                 )
                 return pcoll._with(out)
 
@@ -443,11 +453,12 @@ class Sample:
                 rank = portable_hash64(
                     F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
                 )
+                rk = _temp_col_name("rk", pcoll.df.columns)
                 out = (
-                    pcoll.df.withColumn("_rk", rank)
-                    .orderBy("_rk")
+                    pcoll.df.withColumn(rk, rank)
+                    .orderBy(rk)
                     .limit(n)
-                    .drop("_rk")
+                    .drop(rk)
                 )
                 return pcoll._with(out)
 
@@ -455,9 +466,14 @@ class Sample:
 
 
 class Latest:
-    """Beam Latest.perKey: the row with the max timestamp per key (ties by
-    the ordering of max_by — deterministic when the caller adds a
-    tiebreak column). One hash aggregation with map-side partial maxima."""
+    """Beam Latest.perKey: the row with the max timestamp per key.
+
+    All non-key columns are aggregated ATOMICALLY through one
+    ``max_by(struct(*others), ts)`` so the output is always a single real
+    input row — independent per-column max_by calls could stitch together
+    columns from different timestamp-tied rows. Which tied row wins is
+    still engine-chosen, but it is one row. One hash aggregation with
+    map-side partial maxima."""
 
     @staticmethod
     def per_key(ts_col: str, *key_cols: str) -> PTransform:
@@ -468,12 +484,25 @@ class Latest:
                     for c in pcoll.df.columns
                     if c not in key_cols and c != ts_col
                 ]
-                aggs = [F.max(ts_col).alias(ts_col)] + [
-                    F.max_by(c, ts_col).alias(c) for c in others
-                ]
-                return pcoll._with(
-                    pcoll.df.groupBy(*key_cols).agg(*aggs)
+                if not others:
+                    return pcoll._with(
+                        pcoll.df.groupBy(*key_cols).agg(
+                            F.max(ts_col).alias(ts_col)
+                        )
+                    )
+                tmp = _temp_col_name("latest", pcoll.df.columns)
+                packed = pcoll.df.groupBy(*key_cols).agg(
+                    F.max(ts_col).alias(ts_col),
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in others]), F.col(ts_col)
+                    ).alias(tmp),
                 )
+                out = packed.select(
+                    *key_cols,
+                    ts_col,
+                    *[F.col(f"{tmp}.{c}").alias(c) for c in others],
+                )
+                return pcoll._with(out)
 
         return _Latest()
 

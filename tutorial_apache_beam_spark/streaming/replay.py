@@ -97,6 +97,16 @@ def run_streams_to_memory(
             )
         for q in queries:
             q.awaitTermination()
+    except BaseException:
+        # A failed .start() or awaitTermination() must not leak the
+        # already-running sibling queries (and their memory-sink tables)
+        # into the session.
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return [spark.table(n) for n in names]

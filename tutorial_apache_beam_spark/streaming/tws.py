@@ -63,6 +63,10 @@ class PaneCountProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         self._panes = handle.getValueState("panes", STATE_SCHEMA)
+        # Last registered cleanup-timer timestamp, so each batch can
+        # delete the previous timer instead of accumulating one live
+        # timer per batch on a hot key.
+        self._timer_ts = handle.getValueState("timer_ts", "last_ms BIGINT")
 
     def handleInputRows(
         self,
@@ -107,12 +111,22 @@ class PaneCountProcessor(StatefulProcessor):
         self._panes.update(
             (list(open_windows.keys()), list(open_windows.values()))
         )
-        # One re-armed idle-cleanup timer per key, at the newest open
-        # window's end (must sit beyond the current watermark).
+        # ONE live idle-cleanup timer per key, at the newest open
+        # window's end (must sit beyond the current watermark): delete
+        # the previously registered timer before re-arming, otherwise a
+        # hot key accumulates one timer per micro-batch.
         newest_end = (
             max(open_windows) + self._window_ms if open_windows else 0
         )
-        self._handle.registerTimer(max(newest_end, watermark_ms + 1))
+        target = max(newest_end, watermark_ms + 1)
+        prev = self._timer_ts.get()
+        prev_ms = prev[0] if prev is not None else None
+        if prev_ms != target:
+            if prev_ms is not None and prev_ms > watermark_ms:
+                # Still pending (unfired) — remove it.
+                self._handle.deleteTimer(prev_ms)
+            self._handle.registerTimer(target)
+            self._timer_ts.update((target,))
         yield pd.DataFrame(out)
 
     def handleExpiredTimer(
@@ -131,6 +145,7 @@ class PaneCountProcessor(StatefulProcessor):
             ]
             if not alive:
                 self._panes.clear()
+                self._timer_ts.clear()
         return iter([])
 
     def close(self) -> None:
