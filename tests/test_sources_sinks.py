@@ -122,6 +122,151 @@ def test_retention_drops_old_partitions(spark, tmp_path):
     assert after.agg(F.min("dt")).collect()[0][0] >= date(2024, 1, 24)
 
 
+def _delete_last_commit_marker(ckpt):
+    """Remove the newest checkpoint commit marker AND its Hadoop
+    ChecksumFileSystem shadow (`.N.crc`) — leaving the orphan CRC behind
+    makes the restarted query's own commit rename fail."""
+    commits = sorted(
+        (p for p in (ckpt / "commits").iterdir() if not p.name.startswith(".")),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    crc = last.parent / f".{last.name}.crc"
+    last.unlink()
+    if crc.exists():
+        crc.unlink()
+
+
+def _drain_write_parquet(spark, src, out, ckpt, exactly_once, files_per_trigger=1):
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Pipeline,
+        WriteParquet,
+    )
+
+    rows = (
+        spark.readStream.schema("v BIGINT")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(str(src))
+    )
+    p = Pipeline(spark)
+    p.create(rows).apply(
+        "Sink",
+        WriteParquet(
+            str(out),
+            checkpoint=str(ckpt),
+            available_now=True,
+            exactly_once=exactly_once,
+        ),
+    )
+    p.run().wait_until_finish()
+
+
+def test_write_parquet_exactly_once_after_mid_drain_crash(spark, tmp_path):
+    """Crash-recovery for the checkpointed WriteParquet sink (K1): kill
+    the drain in the worst window — the batch's table files are written
+    but its checkpoint commit marker is not — then restart from the same
+    checkpoint and require exactly-once output.
+
+    The crash window is reproduced faithfully rather than by luck:
+    deleting `commits/<last>` from the checkpoint leaves offsets/<last>
+    in place, which is byte-for-byte the on-disk state a crash between
+    the foreachBatch return and the epoch commit leaves behind; on
+    restart Spark re-executes that batch from its pinned offsets."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for b in range(3):  # one file per micro-batch via maxFilesPerTrigger=1
+        (src / f"f{b}.json").write_text(
+            "\n".join(
+                json.dumps({"v": v}) for v in range(b * 100, b * 100 + 100)
+            )
+            + "\n"
+        )
+
+    _drain_write_parquet(spark, src, out, ckpt, exactly_once=True)
+    assert spark.read.parquet(str(out)).count() == 300
+
+    # Simulate the crash: last batch's data landed, commit marker lost.
+    _delete_last_commit_marker(ckpt)
+
+    _drain_write_parquet(spark, src, out, ckpt, exactly_once=True)
+    spark.catalog.clearCache()
+    result = spark.read.parquet(str(out))
+    assert result.count() == 300  # replayed batch replaced, not appended
+    assert result.groupBy("v").count().filter("count > 1").count() == 0
+    assert sorted(r["v"] for r in result.collect()) == list(range(300))
+
+
+def test_write_parquet_default_append_duplicates_in_crash_window(
+    spark, tmp_path
+):
+    """The default (at-least-once) sink DOES duplicate in that same crash
+    window — documenting why the exactly_once grade exists and proving
+    the crash simulation actually exercises the window."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for b in range(2):
+        (src / f"f{b}.json").write_text(
+            "\n".join(
+                json.dumps({"v": v}) for v in range(b * 10, b * 10 + 10)
+            )
+            + "\n"
+        )
+
+    _drain_write_parquet(spark, src, out, ckpt, exactly_once=False)
+    _delete_last_commit_marker(ckpt)
+    _drain_write_parquet(spark, src, out, ckpt, exactly_once=False)
+    assert spark.read.parquet(str(out)).count() == 30  # 10 duplicated
+
+
+def test_write_parquet_exactly_once_partitioned(spark, tmp_path):
+    """exactly_once + partition_by: staged partition subdirs survive the
+    rename, the table stays partition-discoverable, and a replayed batch
+    self-replaces inside its partitions."""
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Pipeline,
+        WriteParquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"v": i, "g": i % 2}) for i in range(20)) + "\n"
+    )
+
+    def run():
+        rows = spark.readStream.schema("v BIGINT, g BIGINT").json(str(src))
+        p = Pipeline(spark)
+        p.create(rows).apply(
+            "Sink",
+            WriteParquet(
+                str(out),
+                checkpoint=str(ckpt),
+                partition_by=["g"],
+                available_now=True,
+                exactly_once=True,
+            ),
+        )
+        p.run().wait_until_finish()
+
+    run()
+    first = spark.read.parquet(str(out))
+    assert first.count() == 20
+    assert sorted(first.select("g").distinct().toPandas()["g"]) == [0, 1]
+
+    _delete_last_commit_marker(ckpt)
+    run()
+    spark.catalog.clearCache()
+    again = spark.read.parquet(str(out))
+    assert again.count() == 20
+    assert again.groupBy("v").count().filter("count > 1").count() == 0
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """A restarted query resumes from its checkpoint: the second run
     processes only files that arrived after the first, and the sink holds

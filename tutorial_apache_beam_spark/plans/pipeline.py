@@ -547,13 +547,98 @@ class Distinct(PTransform):
 # ---------------------------------------------------------------------------
 
 
+def _commit_batch_exactly_once(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    partition_by: list[str] | None,
+) -> None:
+    """Idempotent per-batch commit: stage → self-clean → prefixed rename.
+
+    Stages the batch under `<path>/_staging-<id>` (leading underscore =
+    invisible to Spark/Hive readers of `path`), deletes any `bid<id>-*`
+    files a previous PARTIAL attempt of this batch left in the table,
+    then renames the staged files in under that prefix (preserving
+    partition subdirs). Every crash window replays safely:
+
+    - during staging: the retry's overwrite rebuilds the staging dir;
+    - between delete and the last rename, or after rename but before the
+      epoch's checkpoint commit: the retry deletes exactly this batch's
+      files (never another batch's — `bid1-` is not a prefix of
+      `bid10-`'s name) and renames identical content again.
+
+    Renames are per-file metadata ops on HDFS-like stores; on object
+    stores they are copies, where a transactional table format is the
+    production-grade alternative. All FS access goes through Hadoop's
+    FileSystem API so the sink works on any supported scheme.
+    """
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(hconf)
+
+    staging = HPath(f"{path}/_staging-{batch_id}")
+    w = batch_df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{path}/_staging-{batch_id}")
+
+    prefix = f"bid{batch_id}-"
+    if fs.exists(root):
+        stale = []
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            if p.getName().startswith(prefix):
+                stale.append(p)
+        for p in stale:
+            fs.delete(p, False)
+
+    qual_staging = fs.makeQualified(staging).toString()
+    moves = []
+    it = fs.listFiles(staging, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS and friends
+        rel = fs.makeQualified(p).toString()[len(qual_staging) + 1 :]
+        moves.append((p, rel[: -len(name)].rstrip("/"), name))
+    for p, rel_dir, name in moves:
+        dest_dir = root if not rel_dir else HPath(f"{path}/{rel_dir}")
+        fs.mkdirs(dest_dir)
+        fs.rename(p, HPath(dest_dir, prefix + name))
+    fs.delete(staging, True)
+
+
 class WriteParquet(PTransform):
     """Append sink (reference BigQuery WRITE_APPEND analog — SURVEY K1/K2).
 
-    Batch: immediate append write. Streaming: checkpointed exactly-once
-    file sink (idempotent by checkpoint, replacing the reference's
-    per-insert retry policy). `partition_by` reproduces the reference's
-    day-partitioned target tables.
+    Batch: immediate append write. Streaming: checkpointed foreachBatch
+    append (replacing the reference's per-insert retry policy,
+    Demo1.java:96-97). Two delivery grades:
+
+    - default (`exactly_once=False`): plain per-batch append. Source
+      progress is checkpointed per epoch, so a restarted query never
+      re-reads processed input; only a crash BETWEEN the batch's append
+      and its checkpoint commit can duplicate that one batch
+      (at-least-once — the grade of the reference's BigQuery
+      STREAMING_INSERTS + transient-retry).
+    - `exactly_once=True`: each batch stages to a hidden `_staging-<id>`
+      dir, then moves its files into the table prefixed `bid<id>-`; a
+      replayed batch first deletes its own previous files. Batch replay
+      is therefore a full self-replacement — exactly-once across
+      crash/restart (a file source pins each batch's input in the
+      checkpoint offsets log, so the replayed batch is bit-identical).
+
+    `partition_by` reproduces the reference's day-partitioned target
+    tables. The built-in streaming file sink is deliberately NOT used:
+    its _spark_metadata transaction log makes Spark readers ignore any
+    file not written through it, so the sink could never be compacted,
+    retention-pruned, or batch-appended to (e.g. the demo2
+    drain-finalize flush).
     """
 
     def __init__(
@@ -563,28 +648,18 @@ class WriteParquet(PTransform):
         partition_by: list[str] | None = None,
         output_mode: str = "append",
         available_now: bool = False,
+        exactly_once: bool = False,
     ):
         self.path = path
         self.checkpoint = checkpoint
         self.partition_by = partition_by
         self.output_mode = output_mode
         self.available_now = available_now
+        self.exactly_once = exactly_once
 
     def expand(self, pcoll: PCollection) -> PCollection:
         df = pcoll.df
         if df.isStreaming:
-            # foreachBatch plain appends, NOT the built-in file sink: the
-            # file sink's _spark_metadata transaction log makes Spark
-            # readers ignore any file not written through it, so the sink
-            # could never be compacted, retention-pruned, or batch-appended
-            # to (e.g. the demo2 drain-finalize flush). Source progress is
-            # still checkpointed per epoch — a restarted query never
-            # re-reads processed input; only a crash INSIDE a batch can
-            # duplicate its rows (at-least-once), which matches the
-            # reference's BigQuery STREAMING_INSERTS + transient-retry
-            # semantics (Demo1.java:96-97). Exactly-once upgrades are the
-            # overwrite-by-batch-id pattern (tests/test_sources_sinks.py)
-            # or a transactional table format.
             path, partition_by = self.path, self.partition_by
 
             def _append_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -593,8 +668,13 @@ class WriteParquet(PTransform):
                     w = w.partitionBy(*partition_by)
                 w.parquet(path)
 
+            def _exactly_once_batch(batch_df: DataFrame, batch_id: int) -> None:
+                _commit_batch_exactly_once(
+                    batch_df, batch_id, path, partition_by
+                )
+
             writer = df.writeStream.outputMode(self.output_mode).foreachBatch(
-                _append_batch
+                _exactly_once_batch if self.exactly_once else _append_batch
             )
             if self.checkpoint is not None:
                 # Passing None through would make start() throw an opaque
