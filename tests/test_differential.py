@@ -1,0 +1,198 @@
+"""Differential fuzzing: random inputs through high-traffic operators on
+BOTH engines (Spark implementation vs its DuckDB oracle twin), compared
+exactly (VERDICT r3 item 7).
+
+The fixed fixtures can't reach edge classes — empty docs, NULL keys,
+DST-adjacent and pre-epoch timestamps, degenerate URLs — so each suite
+generates 100+ seeded-random cases covering them. Cases are batched into
+ONE Spark job + one DuckDB query per suite (the repo's property-test
+rule: a job per tiny example swamps the suite in scheduler overhead;
+determinism comes from the fixed seed, reproduction from the case list
+itself rather than hypothesis shrinking).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _utc(y, mo, d, h=0, mi=0, s=0, us=0):
+    return datetime(y, mo, d, h, mi, s, us, tzinfo=timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Tumbling-window bucketing (W2/W6) vs DuckDB time_bucket
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_tumbling_window_counts_match_duckdb(spark):
+    """150 random (ts, user) events — including DST-transition instants
+    (bucketing is UTC and must not care), sub-second precision, year and
+    leap-day boundaries, and NULL group keys — produce identical
+    per-(window, user) counts in Spark's window() and DuckDB's
+    time_bucket. Minute-divisible intervals only: both engines' bucket
+    origins (epoch vs 2000-01-03) are minute-aligned, so buckets agree.
+    """
+    rng = random.Random(1204)
+    anchors = [
+        _utc(2024, 3, 10, 6, 59, 30),    # US spring-forward (07:00 UTC)
+        _utc(2024, 10, 27, 0, 59, 59),   # EU fall-back (01:00 UTC)
+        _utc(2023, 12, 31, 23, 59, 59),  # year boundary
+        _utc(2024, 2, 29, 12, 0, 0),     # leap day
+        _utc(2024, 1, 15, 9, 30, 0),     # plain weekday
+    ]
+    cases = []
+    for i in range(150):
+        base = anchors[i % len(anchors)]
+        ts = base + timedelta(
+            seconds=rng.randint(-120, 120), microseconds=rng.randint(0, 999999)
+        )
+        user = rng.choice([None, 1, 2, 3, 7])
+        cases.append((i, ts, user))
+
+    sdf = spark.createDataFrame(
+        cases, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT"
+    )
+    got = {
+        (r["ws"], r["user_id"], r["n"])
+        for r in sdf.groupBy(
+            F.window("ts", "1 minute").start.alias("ws"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    pdf = pd.DataFrame(cases, columns=["event_id", "ts", "user_id"])
+    con = duckdb.connect()
+    con.register("events_fuzz", pdf)
+    want = {
+        (r[0].to_pydatetime() if hasattr(r[0], "to_pydatetime") else r[0],
+         None if pd.isna(r[1]) else int(r[1]), int(r[2]))
+        for r in con.execute(
+            """
+            SELECT time_bucket(INTERVAL 1 minute, ts) AS ws,
+                   user_id, count(*)::BIGINT AS n
+            FROM events_fuzz GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard near-dup verify (dedup family) vs the shingle oracle
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_ngram_jaccard_pairs_match_duckdb(spark):
+    """120 random documents from a tiny vocabulary (forcing real shingle
+    collisions), plus empty / one-token / two-token docs (below the
+    3-gram threshold), repeated-token runs, and unicode tokens: the
+    Spark inverted-index + counting-verify pipeline and the DuckDB
+    list-intersection oracle must emit the identical pair set with
+    identical rounded Jaccard values."""
+    from tutorial_apache_beam_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "délta", "epsilon", "zeta", "eta"]
+    docs = []
+    for i in range(120):
+        kind = i % 6
+        if kind == 0:
+            text = ""  # empty doc: no shingles, never pairs
+        elif kind == 1:
+            text = " ".join(rng.choices(vocab, k=rng.randint(1, 2)))
+        elif kind == 2:
+            text = " ".join([rng.choice(vocab)] * rng.randint(3, 8))
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(3, 12)))
+        docs.append((i, text))
+
+    sdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            sdf, threshold=0.2, max_doc_freq=100
+        ).collect()
+    }
+
+    from tutorial_apache_beam_spark.queries.llm import _NGRAM_ORACLE
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        (r[0], r[1], r[2]) for r in con.execute(_NGRAM_ORACLE).fetchall()
+    }
+    con.close()
+    assert got == want
+    # sanity: the generator actually produced near-dup pairs to verify
+    assert len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# 3. URL normalization (pii) vs its SQL twin
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_normalize_url_matches_duckdb(spark):
+    """200 random URL-shaped strings — mixed-case schemes/hosts, default
+    and explicit ports, ':443' inside the PATH (must survive), utm_*
+    params in every position, fragments, dangling '?', trailing '/',
+    scheme-less strings, empty string, NULL — normalize identically in
+    the Spark expression chain and the DuckDB SQL twin."""
+    from tutorial_apache_beam_spark.operators.pii import (
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+    hosts = ["Example.COM", "a.b.co", "x.io:80", "x.io:443", "x.io:8080"]
+    paths = ["", "/", "/Path/Sub", "/p:443/q", "/%7Euser"]
+    queries = [
+        "", "?a=1", "?utm_source=x", "?a=1&utm_medium=y", "?utm_a=1&b=2",
+        "?a=1&utm_b=2&c=3", "?",
+    ]
+    frags = ["", "#frag", "#a?b=1"]
+    cases: list[str | None] = [None, "", "no scheme here", "mailto:x@y.z"]
+    while len(cases) < 200:
+        s = rng.choice(schemes)
+        u = (
+            (f"{s}://" if s else "")
+            + rng.choice(hosts)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags)
+        )
+        cases.append(u)
+
+    sdf = spark.createDataFrame([(i, u) for i, u in enumerate(cases)],
+                                "i BIGINT, url STRING")
+    got = {
+        r["i"]: r["norm"]
+        for r in sdf.select("i", normalize_url("url").alias("norm")).collect()
+    }
+
+    pdf = pd.DataFrame({"i": range(len(cases)), "url": cases})
+    con = duckdb.connect()
+    con.register("urls_fuzz", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {normalize_url_sql('url')} AS norm FROM urls_fuzz"
+        ).fetchall()
+    }
+    con.close()
+    mismatches = {
+        i: (got[i], want[i], cases[i]) for i in got if got[i] != want[i]
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])

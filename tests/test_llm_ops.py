@@ -102,6 +102,7 @@ def test_ivf_kmeans_centroids_recall_at_least_sampled(spark):
     quantization quality both methods actually provide.
     """
     from tutorial_apache_beam_spark.operators.similarity import (
+        ann_recall_vs_exact,
         cosine_topk,
         ivf_ann_topk,
         kmeans_centroids,
@@ -109,19 +110,19 @@ def test_ivf_kmeans_centroids_recall_at_least_sampled(spark):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 7)
-    exact = {
-        (r["probe_id"], r["vec_id"]) for r in cosine_topk(emb, probes, k=5).collect()
-    }
+    exact = cosine_topk(emb, probes, k=5).persist()
 
     def recall(ann_df):
-        got = {(r["probe_id"], r["vec_id"]) for r in ann_df.collect()}
-        return len(got & exact) / len(exact)
+        row = ann_recall_vs_exact(exact, ann_df).first()
+        assert row["n_exact"] > 0
+        return row["recall"]
 
     sampled = recall(ivf_ann_topk(emb, probes, k=5, nprobe=2))
     trained_cents = kmeans_centroids(emb, n_centroids=4, iters=3)
     trained = recall(
         ivf_ann_topk(emb, probes, k=5, nprobe=2, centroids=trained_cents)
     )
+    exact.unpersist()
     assert trained >= sampled, (trained, sampled)
     assert trained > 0.2, trained
 

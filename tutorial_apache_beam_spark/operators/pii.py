@@ -137,7 +137,13 @@ def normalize_url_sql(expr: str) -> str:
     out = f"regexp_replace({out}, '[?&]{_TRACKING_PARAM}$', '', 'g')"
     out = f"regexp_replace({out}, '\\?$', '', 'g')"
     out = f"regexp_replace({out}, '/$', '', 'g')"
-    return f"CASE WHEN {scheme} = '' THEN {expr} ELSE {out} END"
+    # NULL input must stay NULL: DuckDB's concat() treats NULL arguments
+    # as '' (unlike Spark's, which propagates), so without this guard a
+    # NULL url would normalize to the constant '://' on the oracle side.
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN {scheme} = '' THEN {expr} ELSE {out} END"
+    )
 
 
 def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
