@@ -152,6 +152,22 @@ def test_processor_prunes_expired_windows_and_clears_on_timer():
     assert h.state.value is None
 
 
+@pytest.mark.skipif(
+    _HAS_PROTOBUF, reason="only meaningful where protobuf is absent"
+)
+def test_tws_degrades_loudly_without_protobuf(spark):
+    """Without google.protobuf the operator must fail at plan time with a
+    clear remediation message, not at query start with an opaque worker
+    crash (VERDICT r3 item 3's degrade-loudly branch)."""
+    from datetime import datetime
+
+    events = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1)], "ts TIMESTAMP, user_id BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="discarding_pane_counts"):
+        tws_pane_counts(events)
+
+
 # --- end-to-end parity layer (needs protobuf wire protocol) -----------------
 
 

@@ -7,6 +7,77 @@ from __future__ import annotations
 
 from tutorial_apache_beam_spark import registry
 
+# Gate lineage across rounds (VERDICT r3 item 8): every current gate whose
+# definition is NOT identical to its round-1 registration, mapped to the
+# gates whose bench slots it absorbed and the work it added since. Bench
+# comparisons across rounds must read a renamed/merged gate's time against
+# the SUM of its predecessors' slots, minus/plus the noted added work.
+# Gates absent from this table are unchanged since round 1 (same name,
+# same definition, same bench slot).
+LINEAGE: list[tuple[str, str, str]] = [
+    # (current gate, replaces [round], added work since the predecessors)
+    ("ann_topk_methods",
+     "cosine_topk_bruteforce [r2]; ann_topk_variants [r2] "
+     "(itself srp_ann_topk + ivf_ann_topk [r1])",
+     "r3: int8-quantized q8 tier; ALL tiers oracle-checked (variants were "
+     "rows-only)"),
+    ("text_fingerprint_suite",
+     "text_analysis_suite [r2] (text_stats_quality + lang_id_heuristic "
+     "[r1]); doc_fingerprints_suite [r2] (document_fingerprints + "
+     "simhash_fingerprints [r1])",
+     "r3: PII redaction + URL normalization columns"),
+    ("lexical_neardup_pairs",
+     "ngram_jaccard_near_dups [r1]; minhash_lsh_near_dups [r1]",
+     "r3 merge: both branches share ONE persisted shingle-hash scan"),
+    ("tpch_analog_sweep",
+     "NEW in r3 (15 analogs were pytest-only)",
+     "q2 q5 q7 q9 q10 q11 q13 q14 q15 q16 q17 q19 q20 q21 q22 in one "
+     "tagged-union gate"),
+    ("q8_market_share",
+     "NEW in r3 (was pytest-only)", "promoted onto a freed slot"),
+    ("demo1_malformed_split",
+     "demo1_drop_malformed + demo1_dead_letter_split [r1]", "—"),
+    ("sliding_session_windows",
+     "sliding_window_value_sum + session_window_counts [r1]", "—"),
+    ("streaming_demo2_modes",
+     "streaming_demo2_counts + streaming_demo2_append [r1]",
+     "r3: update-mode two-batch late-firing replay (third drain)"),
+    ("customer_set_ops",
+     "semi_join_customers_with_orders + anti_join_customers_without_orders "
+     "+ set_ops_customer_years [r1]", "—"),
+    ("topk_orders", "global_top_orders + top_orders_per_customer [r1]", "—"),
+    ("window_function_surface",
+     "rank_customers_by_balance + lag_lead_event_values + "
+     "running_revenue_per_customer [r1]", "—"),
+    ("multi_dim_aggregates",
+     "rollup_revenue_by_flag_status + cube_orders_by_status_priority + "
+     "grouping_sets_revenue + pivot_qty_by_flag_status + "
+     "unpivot_part_measures [r1]", "—"),
+    ("distinct_agg_having_suppliers",
+     "distinct_agg_per_supplier + having_filter_big_suppliers [r1]", "—"),
+    ("event_aggregate_surface",
+     "stats_aggregates_per_type + collection_functions_per_user [r1]", "—"),
+    ("json_map_functions",
+     "json_props_extraction + map_functions_on_props [r1]", "—"),
+    ("multimodal_pipeline",
+     "multimodal_decode_metadata + multimodal_frame_samples [r1, "
+     "frame-samples was rows-only]", "r2: frame-count invariant oracle"),
+    ("split_and_pack",
+     "dataset_split_assignment + pack_documents_by_token_budget [r1]",
+     "r3: hash-verified token-window chunking"),
+    ("sink_roundtrip_retention",
+     "NEW in r2 (K1/K2 were pytest-only)", "—"),
+    ("near_dup_clusters", "near_dup_clusters [r1, rows-only]",
+     "r2: recursive-CTE transitive-closure oracle"),
+    ("streaming_interval_join", "streaming_interval_join [r2, inner only]",
+     "r3: + left-outer + full-outer concurrent drains (3x the r2 work)"),
+    ("training_data_pipeline", "training_data_pipeline [r1]",
+     "r3: + decontamination + curriculum stages"),
+    ("(dropped)", "approx_distinct_users [r1]",
+     "HLL sketch values are engine-specific, never hash-comparable; moved "
+     "to error-bound pytest (tests/test_sketches.py)"),
+]
+
 
 def main() -> None:
     qs = registry.queries()
@@ -33,6 +104,20 @@ def main() -> None:
     print()
     print(f"Total: {len(qs)} queries — {n_oracle} oracle-checked, "
           f"{len(qs) - n_oracle} rows-only.")
+    print()
+    print("## Gate lineage across rounds (bench-slot equivalences)")
+    print()
+    print(
+        "Round-over-round bench comparisons must read a merged/renamed "
+        "gate's time against the SUM of its predecessors' slots, adjusted "
+        "by the added work noted. Gates not listed are unchanged since "
+        "round 1 (same name, definition, and bench slot)."
+    )
+    print()
+    print("| current gate | replaces [round] | added work since |")
+    print("|---|---|---|")
+    for gate, replaces, added in LINEAGE:
+        print(f"| `{gate}` | {replaces} | {added} |")
 
 
 if __name__ == "__main__":

@@ -166,6 +166,25 @@ def tws_pane_counts(
     Requires `spark.sql.streaming.stateStore.providerClass` =
     RocksDBStateStoreProvider (the transformWithState backend).
     """
+    # Degrade LOUDLY, at plan-construction time: without google.protobuf
+    # the query would otherwise crash at start() with an opaque Python
+    # worker traceback. (The runtime dependency is PySpark's
+    # transformWithState wire protocol, not this module's logic.)
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        raise RuntimeError(
+            "tws_pane_counts needs the state-v2 API "
+            "(transformWithStateInPandas), whose Python worker speaks "
+            "protobuf to the JVM state server — and google.protobuf is "
+            "not installed in this environment. Install protobuf (any "
+            "pure-Python wheel suffices), or use the output-identical "
+            "state-v1 operator: streaming.stateful.discarding_pane_counts."
+        )
     bucketed = (
         events.withColumn(
             "window_start", F.window(F.col(ts_col), window_duration).start
