@@ -199,6 +199,19 @@ def main() -> None:
             stat="min",
         )
 
+    # sf-scaling check (VERDICT r3 item 1): the LLM dedup/ANN/pipeline
+    # family timed at the base SF and at a generated 10x fixture — each
+    # gate's time_ratio should stay well under ~10 (sub-linear is expected:
+    # fixed per-query overhead amortizes). Disable: SPARK_GRAFT_SCALE_CHECK=0.
+    sf_scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        try:
+            from tools.scale_stress import sf_scaling_section
+
+            sf_scaling = sf_scaling_section(spark, runs=1)
+        except Exception as exc:  # never fail the bench over the extra check
+            sf_scaling = {"error": f"{type(exc).__name__}: {exc}"}
+
     total = round(sum(timings[n] for n in HEADLINE), 3)
     families: dict[str, float] = {}
     for name, sec in timings.items():
@@ -220,6 +233,7 @@ def main() -> None:
                     "demo2_stream_input_mib": stream_mib,
                     "all_queries_total": round(sum(timings.values()), 3),
                     "family_totals": families,
+                    "sf_scaling": sf_scaling,
                 },
             }
         )
