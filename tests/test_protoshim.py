@@ -1,0 +1,225 @@
+"""Unit tests for the vendored protobuf runtime (vendor/protoshim).
+
+The e2e proof is tests/test_tws_panes.py::test_tws_matches_state_v1_panes
+(the shim carrying transformWithState's live wire protocol against the
+JVM); these tests pin the codec-level behaviors that e2e run relies on,
+so a shim regression fails fast with a named invariant instead of a
+hung streaming query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
+
+ensure_protobuf_runtime()
+
+from google.protobuf import _shim  # noqa: E402
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm  # noqa: E402
+
+
+# --- wire primitives --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "value",
+    [0, 1, 127, 128, 300, 2**32 - 1, 2**63 - 1, -1, -5000, -(2**63)],
+)
+def test_varint_roundtrip_signed64(value):
+    encoded = _shim.encode_varint(value)
+    decoded, pos = _shim.decode_varint(encoded, 0)
+    assert pos == len(encoded)
+    assert _shim._to_signed64(decoded) == value
+
+
+def test_negative_varint_is_ten_bytes():
+    # protobuf requires negative int32/int64 as 64-bit two's complement
+    assert len(_shim.encode_varint(-1)) == 10
+
+
+@pytest.mark.parametrize("value", [0, 1, -1, 2, -2, 2**31, -(2**31)])
+def test_zigzag_roundtrip(value):
+    assert _shim._zigzag_decode(_shim._zigzag_encode(value) & _shim._MASK64) == value
+
+
+def test_known_encoding_matches_protobuf_spec():
+    # https://protobuf.dev/programming-guides/encoding/ worked example:
+    # field 1 (varint) = 150  ->  08 96 01
+    msg = sm.RegisterTimer(expiryTimestampMs=150)
+    assert msg.SerializeToString() == bytes.fromhex("089601")
+
+
+# --- message semantics ------------------------------------------------------
+
+
+def test_oneof_assignment_clears_siblings():
+    call = sm.StatefulProcessorCall(
+        getValueState=sm.StateCallCommand(stateName="a")
+    )
+    call.setHandleState = sm.SetHandleState(state=sm.CREATED)
+    data = call.SerializeToString()
+    parsed = sm.StatefulProcessorCall()
+    parsed.ParseFromString(data)
+    assert parsed.WhichOneof("method") == "setHandleState"
+    assert parsed.setHandleState.state == sm.CREATED
+
+
+def test_empty_oneof_member_still_serializes_its_tag():
+    # RemoveImplicitKey has no fields; the JVM discriminates the oneof by
+    # the presence of the (zero-length) member — it must hit the wire.
+    req = sm.ImplicitGroupingKeyRequest(removeImplicitKey=sm.RemoveImplicitKey())
+    data = req.SerializeToString()
+    assert len(data) > 0
+    parsed = sm.ImplicitGroupingKeyRequest()
+    parsed.ParseFromString(data)
+    assert parsed.WhichOneof("method") == "removeImplicitKey"
+
+
+def test_nested_vivification_serializes_only_after_mutation():
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "panes"
+    baseline = cmd.SerializeToString()
+    _ = cmd.ttl  # read-only access must NOT add the ttl field to the wire
+    assert cmd.SerializeToString() == baseline
+    cmd.ttl.durationMs = 7  # mutation must
+    assert cmd.SerializeToString() != baseline
+    parsed = sm.StateCallCommand()
+    parsed.ParseFromString(cmd.SerializeToString())
+    assert parsed.ttl.durationMs == 7
+
+
+def test_explicitly_set_default_scalar_roundtrips():
+    msg = sm.SetHandleState(state=sm.PRE_INIT)  # enum value 0
+    parsed = sm.SetHandleState()
+    parsed.ParseFromString(msg.SerializeToString())
+    assert parsed.state == sm.PRE_INIT
+
+
+def test_repeated_message_and_scalar_parse():
+    resp = sm.StateResponseWithTimer(
+        statusCode=0,
+        timer=[
+            sm.TimerInfo(key=b"k1", timestampMs=111),
+            sm.TimerInfo(key=b"k2", timestampMs=222),
+        ],
+        requireNextFetch=True,
+    )
+    parsed = sm.StateResponseWithTimer()
+    parsed.ParseFromString(resp.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in parsed.timer] == [
+        (b"k1", 111),
+        (b"k2", 222),
+    ]
+    assert parsed.requireNextFetch is True
+
+    lst = sm.StateResponseWithListGet(value=[b"a", b"", b"ccc"])
+    parsed2 = sm.StateResponseWithListGet()
+    parsed2.ParseFromString(lst.SerializeToString())
+    assert list(parsed2.value) == [b"a", b"", b"ccc"]
+
+
+def test_unknown_fields_are_skipped():
+    # field 15 (unused in Get) as varint, then a known message after it
+    payload = (
+        _shim.encode_tag(15, _shim.WIRETYPE_VARINT)
+        + _shim.encode_varint(99)
+        + sm.StateResponse(statusCode=3, errorMessage="boom").SerializeToString()
+    )
+    # Parse the unknown-prefixed buffer as StateResponse: field 15 skipped,
+    # then statusCode/errorMessage parsed normally.
+    parsed = sm.StateResponse()
+    parsed.ParseFromString(payload)
+    assert parsed.statusCode == 3
+    assert parsed.errorMessage == "boom"
+
+
+def test_negative_int32_field_roundtrip():
+    msg = sm.StateResponse(statusCode=-2, errorMessage="x")
+    parsed = sm.StateResponse()
+    parsed.ParseFromString(msg.SerializeToString())
+    assert parsed.statusCode == -2
+
+
+def test_utf8_string_roundtrip():
+    msg = sm.ParseStringSchema(schema="näïve ünïcode ☃")
+    parsed = sm.ParseStringSchema()
+    parsed.ParseFromString(msg.SerializeToString())
+    assert parsed.schema == "näïve ünïcode ☃"
+
+
+def test_packed_scalar_parse():
+    # The shim must accept packed repeated scalars (canonical proto3
+    # encoders pack numeric repeated fields). Build a packed buffer by
+    # hand against a repeated-varint descriptor from the descriptor test
+    # fixture below.
+    fd = _shim.parse_file_descriptor(_TEST_FDP)
+    cls = _shim.make_message_class(
+        fd.message_types_by_name["Packed"], __name__
+    )
+    inner = b"".join(_shim.encode_varint(v) for v in (3, 270, 86942))
+    buf = (
+        _shim.encode_tag(1, _shim.WIRETYPE_LENGTH_DELIMITED)
+        + _shim.encode_varint(len(inner))
+        + inner
+    )
+    msg = cls()
+    msg.ParseFromString(buf)
+    assert list(msg.vals) == [3, 270, 86942]
+
+
+def _fdp_field(name: str, number: int, ftype: int, label: int) -> bytes:
+    """Hand-encode a FieldDescriptorProto (fields: name=1, number=3,
+    label=4, type=5)."""
+    out = bytearray()
+    nb = name.encode()
+    out += _shim.encode_tag(1, 2) + _shim.encode_varint(len(nb)) + nb
+    out += _shim.encode_tag(3, 0) + _shim.encode_varint(number)
+    out += _shim.encode_tag(4, 0) + _shim.encode_varint(label)
+    out += _shim.encode_tag(5, 0) + _shim.encode_varint(ftype)
+    return bytes(out)
+
+
+def _fdp_message(name: str, *fields: bytes) -> bytes:
+    out = bytearray()
+    nb = name.encode()
+    out += _shim.encode_tag(1, 2) + _shim.encode_varint(len(nb)) + nb
+    for f in fields:
+        out += _shim.encode_tag(2, 2) + _shim.encode_varint(len(f)) + f
+    return bytes(out)
+
+
+def _fdp_file(name: str, *messages: bytes) -> bytes:
+    out = bytearray()
+    nb = name.encode()
+    out += _shim.encode_tag(1, 2) + _shim.encode_varint(len(nb)) + nb
+    for m in messages:
+        out += _shim.encode_tag(4, 2) + _shim.encode_varint(len(m)) + m
+    return bytes(out)
+
+
+_TEST_FDP = _fdp_file(
+    "protoshim_test.proto",
+    _fdp_message(
+        "Packed",
+        _fdp_field("vals", 1, _shim.TYPE_INT64, _shim.LABEL_REPEATED),
+    ),
+)
+
+
+def test_descriptor_parse_of_pyspark_blob():
+    d = sm.StateRequest.DESCRIPTOR
+    assert d.full_name.endswith("StateRequest")
+    assert d.fields_by_name["version"].number == 1
+    assert "method" in d.oneofs_by_name
+    # every oneof member resolves to a concrete message class
+    for f in d.oneofs_by_name["method"].fields:
+        assert f.message_type._concrete_class is not None
+
+
+def test_shim_defers_to_native_runtime():
+    # In this container the shim is active; the marker proves which one.
+    import google.protobuf as gp
+
+    assert ensure_protobuf_runtime() in ("native", "shim")
+    assert hasattr(gp, "__version__")

@@ -2,9 +2,10 @@
 
 Two layers:
 - `test_tws_matches_state_v1_panes` replays the same out-of-order
-  batches through BOTH stateful APIs and compares row-for-row — it
-  needs transformWithState's protobuf wire protocol, so it skips in
-  containers without `google.protobuf` (this one).
+  batches through BOTH stateful APIs and compares row-for-row. It needs
+  transformWithState's protobuf wire protocol; conftest activates the
+  vendored pure-Python runtime (vendor/protoshim) where the real wheel
+  is absent, so this e2e runs even in this container.
 - The processor-logic tests drive `PaneCountProcessor` directly against
   a fake handle/state/timer — the pane semantics (delta emission, pane
   ordinals, inline pruning, timer re-arm) are pure pandas logic and are
@@ -152,15 +153,20 @@ def test_processor_prunes_expired_windows_and_clears_on_timer():
     assert h.state.value is None
 
 
-@pytest.mark.skipif(
-    _HAS_PROTOBUF, reason="only meaningful where protobuf is absent"
-)
-def test_tws_degrades_loudly_without_protobuf(spark):
-    """Without google.protobuf the operator must fail at plan time with a
-    clear remediation message, not at query start with an opaque worker
-    crash (VERDICT r3 item 3's degrade-loudly branch)."""
+def test_tws_degrades_loudly_without_protobuf(spark, monkeypatch):
+    """When neither google.protobuf nor the vendored shim can activate,
+    the operator must fail at plan time with a clear remediation message,
+    not at query start with an opaque worker crash (VERDICT r3 item 3's
+    degrade-loudly branch). The shim always imports in-repo, so the
+    failure is simulated by stubbing the activation hook."""
     from datetime import datetime
 
+    import tutorial_apache_beam_spark.protoshim as protoshim
+
+    def _boom(spark=None):
+        raise ImportError("simulated: no protobuf runtime")
+
+    monkeypatch.setattr(protoshim, "ensure_protobuf_runtime", _boom)
     events = spark.createDataFrame(
         [(datetime(2024, 1, 1), 1)], "ts TIMESTAMP, user_id BIGINT"
     )
@@ -208,7 +214,8 @@ def _rows(df):
 
 @pytest.mark.skipif(
     not _HAS_PROTOBUF,
-    reason="transformWithState needs google.protobuf (absent in container)",
+    reason="transformWithState needs a google.protobuf runtime "
+    "(neither the real wheel nor vendor/protoshim activated)",
 )
 def test_tws_matches_state_v1_panes(spark, tmp_path):
     src = tmp_path / "src"

@@ -21,12 +21,14 @@ open windows held as parallel arrays in one ValueState, inline pruning
 of expired windows, and ONE re-armed event-time timer per key for
 idle-key cleanup.
 
-Environment gate: transformWithState's Python worker speaks protobuf to
-the JVM state server; in containers without `google.protobuf` the query
-crashes at start, so the end-to-end parity test skips there
-(tests/test_tws_panes.py) and the processor's pane logic is covered
-directly against a fake handle instead. On a real cluster (protobuf +
-RocksDB provider) the operator runs as-is.
+Runtime dependency: transformWithState's Python worker speaks protobuf
+to the JVM state server. Where the real `google.protobuf` wheel is
+absent (this sandbox), `tws_pane_counts` activates the vendored
+pure-Python runtime (`vendor/protoshim`, via `protoshim.
+ensure_protobuf_runtime`) so the operator runs end-to-end anyway — the
+parity test `tests/test_tws_panes.py::test_tws_matches_state_v1_panes`
+executes the full wire protocol against the RocksDB provider. On a real
+cluster (protobuf installed) the shim is bypassed automatically.
 """
 
 from __future__ import annotations
@@ -166,25 +168,25 @@ def tws_pane_counts(
     Requires `spark.sql.streaming.stateStore.providerClass` =
     RocksDBStateStoreProvider (the transformWithState backend).
     """
-    # Degrade LOUDLY, at plan-construction time: without google.protobuf
-    # the query would otherwise crash at start() with an opaque Python
-    # worker traceback. (The runtime dependency is PySpark's
-    # transformWithState wire protocol, not this module's logic.)
-    import importlib.util
+    # The state-v2 Python worker speaks protobuf to the JVM state server.
+    # Try the vendored pure-Python runtime (vendor/protoshim) when the
+    # real wheel is absent; degrade LOUDLY at plan-construction time only
+    # if neither is usable — otherwise the query would crash at start()
+    # with an opaque Python worker traceback.
+    from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
 
     try:
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        has_protobuf = False
-    if not has_protobuf:
+        ensure_protobuf_runtime(spark=events.sparkSession)
+    except ImportError as exc:
         raise RuntimeError(
             "tws_pane_counts needs the state-v2 API "
             "(transformWithStateInPandas), whose Python worker speaks "
-            "protobuf to the JVM state server — and google.protobuf is "
-            "not installed in this environment. Install protobuf (any "
-            "pure-Python wheel suffices), or use the output-identical "
-            "state-v1 operator: streaming.stateful.discarding_pane_counts."
-        )
+            "protobuf to the JVM state server — and neither google.protobuf "
+            "nor the vendored protoshim runtime could be activated "
+            f"({exc}). Install protobuf (any pure-Python wheel suffices), "
+            "or use the output-identical state-v1 operator: "
+            "streaming.stateful.discarding_pane_counts."
+        ) from exc
     bucketed = (
         events.withColumn(
             "window_start", F.window(F.col(ts_col), window_duration).start
