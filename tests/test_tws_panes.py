@@ -21,11 +21,13 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from tutorial_apache_beam_spark.streaming.batching import group_into_batches
 from tutorial_apache_beam_spark.streaming.stateful import (
     discarding_pane_counts,
 )
 from tutorial_apache_beam_spark.streaming.tws import (
     PaneCountProcessor,
+    tws_group_into_batches,
     tws_pane_counts,
 )
 
@@ -258,3 +260,94 @@ def test_tws_matches_state_v1_panes(spark, tmp_path):
         )
     )
     assert v1 == v2
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_group_into_batches_matches_state_v1(spark, tmp_path):
+    """GroupIntoBatches parity across the two stateful APIs: identical
+    (user_id, batch_seq, batch_size) rows and identical per-key element
+    multisets. Batch MEMBERSHIP may differ when intra-key arrival order
+    differs after the shuffle, so it is deliberately not compared."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # user 7: 3 + 4 + 2 elements at batch_size=4 -> batches 4,4,1 (last
+    # flushed by the remainder timer); user 9: 2 + 1 -> one partial 3.
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH + i, "user_id": 7, "event_id": i}
+        for i in range(3)
+    ] + [
+        {"event_time": BASE_EPOCH + i, "user_id": 9, "event_id": 100 + i}
+        for i in range(2)
+    ])
+    _write(src, "b1.json", [
+        {"event_time": BASE_EPOCH + 60 + i, "user_id": 7, "event_id": 10 + i}
+        for i in range(4)
+    ] + [
+        {"event_time": BASE_EPOCH + 60, "user_id": 9, "event_id": 150}
+    ])
+    _write(src, "b2.json", [
+        {"event_time": BASE_EPOCH + 600 + i, "user_id": 7, "event_id": 20 + i}
+        for i in range(2)
+    ])
+
+    schema = "event_time BIGINT, user_id BIGINT, event_id BIGINT"
+
+    def drain(op, ckpt, sink, rocksdb):
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .json(str(src))
+                .select(
+                    F.timestamp_seconds("event_time").alias("ts"),
+                    "user_id",
+                    "event_id",
+                )
+                .withWatermark("ts", "0 seconds")
+            )
+            q = (
+                op(stream, batch_size=4)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(str(sink))
+
+        if not rocksdb:
+            return run()
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, ROCKSDB)
+        try:
+            return run()
+        finally:
+            if old is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old)
+
+    v2 = drain(tws_group_into_batches, tmp_path / "ck2", tmp_path / "o2", True)
+    v1 = drain(group_into_batches, tmp_path / "ck1", tmp_path / "o1", False)
+
+    def shape(df):
+        return sorted(
+            (r["user_id"], r["batch_seq"], r["batch_size"])
+            for r in df.collect()
+        )
+
+    def elements(df):
+        out: dict[int, list[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["user_id"], []).extend(r["element_ids"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert shape(v1) == shape(v2)
+    assert elements(v1) == elements(v2)
+    # the timer-flush partial is the LAST batch per key (gate invariant)
+    assert (7, 2, 1) in shape(v2) or (7, 2, 2) in shape(v2)

@@ -13,10 +13,10 @@ counter per key in the state store and an event-time timeout that flushes
 the remainder once the watermark passes the buffered data — exactly Beam's
 state/timer implementation, on Spark's state store. (Spark 4's
 `transformWithStateInPandas` is the successor API for this operator —
-ListState instead of a buffer-in-one-row, explicit timers — but its state
-protocol needs the `protobuf` package, not present in this environment, so
-the engine standardizes on the applyInPandasWithState form that runs
-everywhere.)
+ListState instead of a buffer-in-one-row, explicit timers; the engine
+ships that form too as `streaming.tws.tws_group_into_batches`, with
+output parity asserted in tests/test_tws_panes.py. This v1 form remains
+the default because it runs on every state-store provider.)
 
 Scale notes: state per key is the ≤ n pending element ids, cleared on every
 full batch, sharded across the cluster by the grouping key like any

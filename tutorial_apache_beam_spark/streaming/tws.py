@@ -131,16 +131,17 @@ class PaneCountProcessor(StatefulProcessor):
             self._timer_ts.update((target,))
         yield pd.DataFrame(out)
 
+    # Keyword-exact signature — see BatchingProcessor.handleExpiredTimer.
     def handleExpiredTimer(
         self,
         key: tuple[Any, ...],
-        timer_values: TimerValues,
-        expired_timer_info: ExpiredTimerInfo,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
     ) -> Iterator[pd.DataFrame]:
         """Watermark passed the newest window this key had open: if no
         window survived inline pruning, drop the whole entry."""
         stored = self._panes.get()
-        watermark_ms = timer_values.getCurrentWatermarkInMs()
+        watermark_ms = timerValues.getCurrentWatermarkInMs()
         if stored is not None:
             alive = [
                 w for w in stored[0] if w + self._window_ms > watermark_ms
@@ -152,6 +153,146 @@ class PaneCountProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+class BatchingProcessor(StatefulProcessor):
+    """State-v2 twin of `streaming.batching.group_into_batches` (Beam's
+    `GroupIntoBatches.ofSize(n)`): buffers element ids per key in a
+    ListState, emits full batches of exactly n, and flushes the partial
+    remainder via an event-time timer once the watermark moves past the
+    data already seen.
+
+    Where the v1 form packs the whole buffer into one state row
+    (`pending ARRAY<BIGINT>` inside applyInPandasWithState's single
+    state tuple), this uses the v2 API's native ListState — one state
+    row per pending element, so appends don't rewrite the whole buffer
+    (RocksDB merge-append at cluster scale) — plus a ValueState for the
+    batch sequence counter and the single live cleanup timer.
+
+    Output parity contract with the v1 operator (asserted in
+    tests/test_tws_panes.py): identical (user_id, batch_seq, batch_size)
+    rows and identical per-key element multisets. Batch MEMBERSHIP may
+    legitimately differ between the two when a micro-batch's rows for a
+    key arrive in a different order after the shuffle — neither Beam nor
+    Spark guarantees intra-key arrival order.
+    """
+
+    def __init__(self, batch_size: int) -> None:
+        self._batch_size = batch_size
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._pending = handle.getListState("pending", "element_id BIGINT")
+        # seq: next batch ordinal; last_ms: the one live timer's target
+        self._meta = handle.getValueState("meta", "seq INT, last_ms BIGINT")
+
+    def _emit(self, user_id, elements: list[int], seq: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_seq": [seq],
+                "batch_size": [len(elements)],
+                "element_ids": [elements],
+            }
+        )
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timer_values: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        meta = self._meta.get()
+        seq, last_timer = meta if meta is not None else (0, None)
+        pending = (
+            [int(t[0]) for t in self._pending.get()]
+            if self._pending.exists()
+            else []
+        )
+        for pdf in rows:
+            pending.extend(int(v) for v in pdf["element_id"])
+        while len(pending) >= self._batch_size:
+            full, pending = (
+                pending[: self._batch_size],
+                pending[self._batch_size :],
+            )
+            yield self._emit(user_id, full, seq)
+            seq += 1
+        if pending:
+            self._pending.put([(e,) for e in pending])
+        else:
+            self._pending.clear()
+        # ONE live remainder-flush timer per key, just past the current
+        # watermark (v1: state.setTimeoutTimestamp(watermark + 1)).
+        watermark_ms = timer_values.getCurrentWatermarkInMs()
+        target = max(watermark_ms, 0) + 1
+        if last_timer != target:
+            if last_timer is not None and last_timer > watermark_ms:
+                self._handle.deleteTimer(last_timer)
+            self._handle.registerTimer(target)
+        self._meta.update((seq, target))
+
+    # NOTE: parameter names must match PySpark's invocation exactly — the
+    # framework calls handleExpiredTimer(key=..., timerValues=...,
+    # expiredTimerInfo=...) by KEYWORD (stateful_processor_util.py), so
+    # snake_case names here are a runtime TypeError, not a style choice.
+    def handleExpiredTimer(
+        self,
+        key: tuple[Any, ...],
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        """Watermark passed the buffered data: flush the remainder as the
+        key's final (possibly partial) batch and drop all state."""
+        (user_id,) = key
+        meta = self._meta.get()
+        pending = (
+            [int(t[0]) for t in self._pending.get()]
+            if self._pending.exists()
+            else []
+        )
+        self._pending.clear()
+        self._meta.clear()
+        if pending:
+            seq = meta[0] if meta is not None else 0
+            yield self._emit(user_id, pending, seq)
+
+    def close(self) -> None:
+        pass
+
+
+def tws_group_into_batches(
+    events: DataFrame,
+    key_col: str = "user_id",
+    element_col: str = "event_id",
+    batch_size: int = 64,
+) -> DataFrame:
+    """`group_into_batches` on the state-v2 API — identical contract:
+    (user_id, batch_seq, batch_size, element_ids) rows, only the timer
+    flush may emit a partial batch.
+
+    Requires the RocksDB state-store provider (transformWithState
+    backend) and a protobuf runtime (`protoshim.ensure_protobuf_runtime`
+    activates the vendored one automatically).
+    """
+    from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
+    from tutorial_apache_beam_spark.streaming.batching import OUTPUT_SCHEMA
+
+    ensure_protobuf_runtime(spark=events.sparkSession)
+    cols = [
+        F.col(key_col).alias("user_id"),
+        F.col(element_col).alias("element_id"),
+    ]
+    if "ts" in events.columns:
+        cols.append(F.col("ts"))
+    keyed = events.select(*cols)
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BatchingProcessor(batch_size),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
 
 
 def tws_pane_counts(
