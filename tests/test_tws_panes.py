@@ -28,6 +28,7 @@ from tutorial_apache_beam_spark.streaming.stateful import (
 from tutorial_apache_beam_spark.streaming.tws import (
     PaneCountProcessor,
     tws_group_into_batches,
+    tws_ingest_dedup,
     tws_pane_counts,
 )
 
@@ -351,3 +352,125 @@ def test_tws_group_into_batches_matches_state_v1(spark, tmp_path):
     assert elements(v1) == elements(v2)
     # the timer-flush partial is the LAST batch per key (gate invariant)
     assert (7, 2, 1) in shape(v2) or (7, 2, 2) in shape(v2)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_ingest_dedup_admits_first_only(spark, tmp_path):
+    """MapState seen-set dedup (ttl=None → timeMode None, so the
+    availableNow drain self-terminates): across micro-batches, each
+    (user, fingerprint) is emitted exactly once — equal to the batch
+    DISTINCT over the same replay."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH, "user_id": 7, "event_id": 1},
+        {"event_time": BASE_EPOCH + 1, "user_id": 7, "event_id": 1},
+        {"event_time": BASE_EPOCH + 2, "user_id": 7, "event_id": 2},
+        {"event_time": BASE_EPOCH + 3, "user_id": 9, "event_id": 1},
+    ])
+    _write(src, "b1.json", [
+        {"event_time": BASE_EPOCH + 10, "user_id": 7, "event_id": 2},
+        {"event_time": BASE_EPOCH + 11, "user_id": 7, "event_id": 3},
+        {"event_time": BASE_EPOCH + 12, "user_id": 9, "event_id": 1},
+    ])
+    _write(src, "b2.json", [
+        {"event_time": BASE_EPOCH + 20, "user_id": 7, "event_id": 1},
+        {"event_time": BASE_EPOCH + 21, "user_id": 9, "event_id": 4},
+    ])
+    schema = "event_time BIGINT, user_id BIGINT, event_id BIGINT"
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+    try:
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            tws_ingest_dedup(stream, ttl=None)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    got = sorted(
+        (r["user_id"], r["fingerprint"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"])
+        for r in spark.read.schema(schema)
+        .json(str(src))
+        .select("user_id", "event_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_ingest_dedup_ttl_mode_smoke(spark, tmp_path):
+    """The production configuration (TTL → timeMode=ProcessingTime, which
+    exercises the TTLConfig wire path and Spark's TTL validation). In
+    that mode Spark reschedules batches continuously (timers COULD
+    fire), so neither availableNow nor processAllAvailable() ever sees
+    a terminal no-new-data state — the query is driven by polling the
+    sink for the expected rows, then stopped."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH, "user_id": 7, "event_id": 1},
+        {"event_time": BASE_EPOCH + 1, "user_id": 7, "event_id": 1},
+        {"event_time": BASE_EPOCH + 2, "user_id": 7, "event_id": 2},
+    ])
+    schema = "event_time BIGINT, user_id BIGINT, event_id BIGINT"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+    got = None
+    try:
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            tws_ingest_dedup(stream, ttl="1 hour")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_ttl_smoke")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                rows = spark.table("tws_ttl_smoke").collect()
+                if len(rows) >= 2:
+                    got = sorted((r["user_id"], r["fingerprint"]) for r in rows)
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.catalog.dropTempView("tws_ttl_smoke")
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    assert got == [(7, 1), (7, 2)]

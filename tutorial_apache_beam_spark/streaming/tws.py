@@ -295,6 +295,104 @@ def tws_group_into_batches(
     )
 
 
+class IngestDedupProcessor(StatefulProcessor):
+    """State-v2 ingest-time exact dedup: per key, a MapState holds the
+    set of content fingerprints already admitted (fingerprint → admit
+    count), so only a fingerprint's FIRST arrival is emitted.
+
+    Counterpart of `operators.dedup.streaming_ingest_dedup`
+    (dropDuplicatesWithinWatermark): where that bounds state by the
+    WATERMARK horizon, this bounds it by a state-TTL horizon — a
+    processing-time retention window on the seen-set, which is the shape
+    an always-on ingest service wants (dedup against "what I admitted in
+    the last N hours", independent of event-time skew). State is sharded
+    by the grouping key like any streaming aggregation; per-key size is
+    one map entry per distinct fingerprint inside the TTL window, and
+    the store expires entries without any timer bookkeeping here.
+    """
+
+    def __init__(self, ttl_ms: int | None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getMapState(
+            "seen", "fp BIGINT", "admits BIGINT", self._ttl_ms
+        )
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timer_values: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        fresh: list[int] = []
+        for pdf in rows:
+            for fp in pdf["fingerprint"]:
+                fp = int(fp)
+                k = (fp,)
+                if self._seen.containsKey(k):
+                    prior = self._seen.getValue(k)
+                    self._seen.updateValue(k, (int(prior[0]) + 1,))
+                else:
+                    self._seen.updateValue(k, (1,))
+                    fresh.append(fp)
+        if fresh:
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(fresh), "fingerprint": fresh}
+            )
+
+    # Keyword-exact signature — see BatchingProcessor.handleExpiredTimer.
+    def handleExpiredTimer(
+        self,
+        key: tuple[Any, ...],
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def tws_ingest_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    fingerprint_col: str = "event_id",
+    ttl: str | None = "1 hour",
+) -> DataFrame:
+    """Emit only the first arrival of each (key, fingerprint) pair,
+    remembering admissions for `ttl` of processing time (None = forever).
+
+    Output: (user_id, fingerprint) — one row per first admission.
+    Requires the RocksDB provider.
+
+    Time-mode coupling (Spark rule, not a choice here): state TTL is a
+    processing-time feature, so `ttl` forces timeMode=ProcessingTime —
+    the right shape for an always-on ingest service, but note that in
+    that mode Spark schedules batches continuously (timers COULD fire),
+    so a `Trigger.AvailableNow` drain never self-terminates; drive such
+    a query with `processAllAvailable()` + `stop()` instead. With
+    `ttl=None` the operator runs in timeMode=None, keeps state forever,
+    and terminates normally under availableNow — the right shape for
+    bounded replays/backfills.
+    """
+    from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime(spark=events.sparkSession)
+    ttl_ms = _duration_ms(ttl) if ttl is not None else None
+    keyed = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(fingerprint_col).alias("fingerprint"),
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=IngestDedupProcessor(ttl_ms),
+        outputStructType="user_id BIGINT, fingerprint BIGINT",
+        outputMode="Append",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    )
+
+
 def tws_pane_counts(
     events: DataFrame,
     ts_col: str = "ts",
