@@ -196,3 +196,145 @@ def test_fuzz_normalize_url_matches_duckdb(spark):
         i: (got[i], want[i], cases[i]) for i in got if got[i] != want[i]
     }
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+# ---------------------------------------------------------------------------
+# 4. As-of join (relational family) vs DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_asof_join_matches_duckdb(spark):
+    """120 purchases x 60 quotes with NULL join keys (must never match,
+    like SQL `ON l.k = r.k`), NULL right VALUES (the matched row's NULL
+    must come through — not an older row's value), equal-timestamp ties
+    (at-or-before includes them), and keys with no right rows at all —
+    identical rows to DuckDB ASOF LEFT JOIN, both directions."""
+    from tutorial_apache_beam_spark.operators.relational import asof_join
+
+    rng = random.Random(2204)
+    base = _utc(2024, 5, 1)
+    lefts, rights, seen_rts = [], [], set()
+    for i in range(120):
+        k = rng.choice([None, 1, 2, 3, 4])  # key 4: no right rows
+        lefts.append((i, k, base + timedelta(seconds=rng.randint(0, 600))))
+    for j in range(60):
+        k = rng.choice([None, 1, 2, 3])
+        ts = base + timedelta(seconds=rng.randint(0, 600))
+        while (k, ts) in seen_rts:  # unique right ts per key: no tie
+            ts += timedelta(microseconds=1)  # ambiguity on the right side
+        seen_rts.add((k, ts))
+        val = None if rng.random() < 0.25 else rng.randint(0, 999)
+        rights.append((k, ts, val))
+
+    sl = spark.createDataFrame(lefts, "lid BIGINT, k BIGINT, lts TIMESTAMP")
+    sr = spark.createDataFrame(rights, "k BIGINT, rts TIMESTAMP, val BIGINT")
+    lpdf = pd.DataFrame(lefts, columns=["lid", "k", "lts"])
+    rpdf = pd.DataFrame(rights, columns=["k", "rts", "val"])
+    con = duckdb.connect()
+    con.register("l_fuzz", lpdf)
+    con.register("r_fuzz", rpdf)
+
+    for direction, cmp in (("backward", ">="), ("forward", "<=")):
+        got = sorted(
+            (
+                r["lid"],
+                None if r["val"] is None else int(r["val"]),
+            )
+            for r in asof_join(
+                sl, sr, on=["k"], left_ts="lts", right_ts="rts",
+                right_vals=["val"], direction=direction,
+            ).collect()
+        )
+        want = sorted(
+            (int(lid), None if pd.isna(val) else int(val))
+            for lid, val in con.execute(
+                f"""
+                SELECT l.lid, r.val
+                FROM l_fuzz l ASOF LEFT JOIN r_fuzz r
+                  ON l.k = r.k AND l.lts {cmp} r.rts
+                """
+            ).fetchall()
+        )
+        assert got == want, f"direction={direction}"
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# 5. Session windows (W2) vs a DuckDB gaps-and-islands twin
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_session_windows_match_duckdb(spark):
+    """200 random events per run — dense bursts, exact-gap boundaries
+    (an event at exactly prev+gap MERGES into the session — measured
+    Spark session_window behavior: the gap test is `diff > gap`, not
+    `>=`, so the nominal [start, last+gap) end is inclusive of an
+    exactly-on-boundary next event), duplicate timestamps, sub-second offsets, NULL
+    group keys (grouping semantics: NULLs form one group, unlike joins)
+    — produce identical (user, session_start, session_end, count) rows
+    in Spark's session_window and a lag/cumulative-sum SQL twin."""
+    from tutorial_apache_beam_spark.operators.windowing import session_agg
+
+    rng = random.Random(3304)
+    base = _utc(2024, 5, 1)
+    gap_s = 30
+    cases = []
+    t = 0.0
+    for i in range(200):
+        # mixture: tight burst, exact-gap step, clear break, duplicate
+        step = rng.choice([0.0, 0.5, 3.0, float(gap_s), gap_s + 0.000001, 90.0])
+        t += step
+        user = rng.choice([None, 1, 2, 7])
+        cases.append((i, user, base + timedelta(seconds=t)))
+
+    sdf = spark.createDataFrame(cases, "eid BIGINT, user_id BIGINT, ts TIMESTAMP")
+    got = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["count"],
+        )
+        for r in session_agg(
+            sdf, ts_col="ts", key_cols=["user_id"], gap=f"{gap_s} seconds"
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(cases, columns=["eid", "user_id", "ts"])
+    con = duckdb.connect()
+    con.register("sess_fuzz", pdf)
+    want = {
+        (
+            None if pd.isna(u) else int(u),
+            s.to_pydatetime() if hasattr(s, "to_pydatetime") else s,
+            e.to_pydatetime() if hasattr(e, "to_pydatetime") else e,
+            int(n),
+        )
+        for u, s, e, n in con.execute(
+            f"""
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM sess_fuzz
+            ), m AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL
+                               OR ts > prev + INTERVAL {gap_s} SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM o
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL {gap_s} SECOND AS session_end,
+                   count(*)::BIGINT AS n
+            FROM s GROUP BY user_id, sid
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want

@@ -64,6 +64,16 @@ def asof_join(
     This costs a single hash shuffle + in-partition sort — the same cost as
     the groupBy it replaces, versus O(n·m) for a naive range join. Ties
     (equal ts) resolve to the right row, i.e. at-or-before semantics.
+
+    SQL-join edge parity (fuzz-checked against DuckDB ASOF JOIN in
+    tests/test_differential.py):
+    - NULL join keys never match (right rows with a NULL key are dropped;
+      left rows with a NULL key pass through with NULL values), exactly
+      like `ON l.k = r.k`.
+    - The matched right row's values are carried ATOMICALLY via one
+      struct, so a right row whose value column is legitimately NULL
+      yields NULL — per-column last(..., ignorenulls) would instead
+      stitch in an older row's value (the Latest.per_key defect class).
     """
     lcols = [c for c in left.columns if c not in (*on, left_ts)]
     l_tagged = left.select(
@@ -71,15 +81,29 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_vals],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in right_vals
+            )
+            + ">"
+        )
+        .alias("_rrow"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *right_vals,
+        F.struct(*right_vals).alias("_rrow"),
     )
+    # NULL keys never equal anything in a join; a NULL-keyed right row
+    # must not become a carry-forward candidate inside the NULL window
+    # partition (left NULL-keyed rows still flow through unmatched).
+    for k in on:
+        r_tagged = r_tagged.filter(F.col(k).isNotNull())
     unioned = l_tagged.unionByName(r_tagged)
     if direction == "backward":
         # Right rows sort before left rows at the same ts → at-or-before.
@@ -88,28 +112,23 @@ def asof_join(
             .orderBy(F.col("_ts"), F.col("_is_left"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = unioned.select(
-            *on,
-            "_ts",
-            "_is_left",
-            *lcols,
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_vals],
-        )
+        carried = F.last("_rrow", ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
             .orderBy(F.col("_ts"), F.col("_is_left").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        filled = unioned.select(
-            *on,
-            "_ts",
-            "_is_left",
-            *lcols,
-            *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_vals],
-        )
+        carried = F.first("_rrow", ignorenulls=True).over(w)
     else:
         raise ValueError(f"unknown direction: {direction!r}")
+    filled = unioned.select(
+        *on,
+        "_ts",
+        "_is_left",
+        *lcols,
+        *[carried.getField(c).alias(c) for c in right_vals],
+    )
     return (
         filled.filter(F.col("_is_left") == 1)
         .drop("_is_left")
