@@ -338,3 +338,73 @@ def test_fuzz_session_windows_match_duckdb(spark):
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 6. Bucketed range join (relational family) vs a plain BETWEEN join
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_range_join_matches_duckdb(spark):
+    """150 points x 60 intervals — negative values (floor-division bucket
+    ids must round toward -inf on both engines), points exactly AT lo
+    (included) and AT hi (excluded: [lo, hi) semantics), zero-width
+    intervals (never match), intervals spanning many buckets, and NULL
+    points/bounds (never match, like SQL comparisons) — the bucketed
+    equi-join + residual filter must equal DuckDB's plain range join."""
+    from tutorial_apache_beam_spark.operators.relational import (
+        range_join_bucketed,
+    )
+
+    rng = random.Random(4404)
+    points, intervals = [], []
+    for i in range(150):
+        p = rng.choice(
+            [None, float(rng.randint(-300, 300)), rng.uniform(-300, 300)]
+        )
+        points.append((i, p))
+    for j in range(60):
+        kind = j % 5
+        if kind == 0:
+            lo = hi = float(rng.randint(-300, 300))   # zero-width
+        elif kind == 1:
+            lo = None
+            hi = float(rng.randint(-300, 300))        # NULL bound
+        elif kind == 2:
+            lo = float(rng.randint(-300, 0))
+            hi = lo + rng.choice([7.0, 55.0, 230.0])  # many buckets
+        else:
+            lo = rng.uniform(-300, 300)
+            hi = lo + rng.uniform(0.0, 120.0)
+        intervals.append((j, lo, hi))
+    # force exact-boundary cases: one point AT a lo, one AT a hi
+    points.append((900, intervals[4][1]))
+    points.append((901, intervals[4][2]))
+
+    sp = spark.createDataFrame(points, "pid BIGINT, p DOUBLE")
+    si = spark.createDataFrame(intervals, "iid BIGINT, lo DOUBLE, hi DOUBLE")
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(
+            sp, si, left_point="p", right_lo="lo", right_hi="hi",
+            bucket_width=10.0,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("pts_fuzz", pd.DataFrame(points, columns=["pid", "p"]))
+    con.register(
+        "itv_fuzz", pd.DataFrame(intervals, columns=["iid", "lo", "hi"])
+    )
+    want = {
+        (int(a), int(b))
+        for a, b in con.execute(
+            """
+            SELECT pid, iid FROM pts_fuzz JOIN itv_fuzz
+              ON p >= lo AND p < hi
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert len(want) > 50  # the generator produced real matches

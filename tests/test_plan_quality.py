@@ -177,3 +177,27 @@ def test_tpch_sweep_joins_are_sane(spark):
     # derived reuse) — a real table pairing would explode this count
     assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert plan.count("BroadcastHashJoin") >= 30  # dims broadcast throughout
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join's whole point is ONE hash shuffle + in-partition
+    sort via union+window — a plan with any join node (worst case a
+    range cross-join) or a second exchange has lost that property."""
+    from tutorial_apache_beam_spark.operators.relational import asof_join
+
+    left = spark.range(100).selectExpr(
+        "id AS lid", "id % 5 AS k",
+        "timestamp_seconds(1704067200 + id) AS lts",
+    )
+    right = spark.range(40).selectExpr(
+        "id % 5 AS k", "timestamp_seconds(1704067200 + id * 3) AS rts",
+        "id AS val",
+    )
+    plan = plan_of(
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                  right_vals=["val"])
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # formatted explain lists each node twice (tree + detail section), so
+    # count distinct node ids, not substring occurrences
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

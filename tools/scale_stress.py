@@ -18,6 +18,15 @@ Measured gates and why:
   corpus (every-100th contract), which makes its brute-force tiers
   quadratic BY CONTRACT — a fixed probe set is the scale-honest
   measurement.
+- text_fingerprint_suite: the per-doc codegen chains — embarrassingly
+  parallel, so its ratio is the floor any per-doc operator should hit;
+- simhash_near_dups: NOTE its output rows grow SUPERLINEARLY by metric
+  semantics (hamming-≤3 pairs are quadratic in cluster size, and the
+  renamed replicas still collide in simhash space even though their
+  shingle hashes are disjoint) — measured ~25x pairs at 10x docs. Its
+  inclusion measures the banded-join machinery under superlinear
+  candidate load; a wall ratio far below the output growth is the pass
+  signal, not rows-linearity.
 
 Importable (`sf_scaling_section`) by bench.py; runnable standalone:
   python tools/scale_stress.py [--runs 2]
@@ -94,6 +103,11 @@ def _gates():
         "near_dup_clusters": q["near_dup_clusters"],
         "training_data_pipeline": q["training_data_pipeline"],
         "ann_topk_fixed_probes": _ann_topk_fixed_probes,
+        # round 4 additions: the per-doc codegen chains (must be embar-
+        # rassingly parallel, ratio ≈ data growth at worst) and the
+        # simhash banded join (candidate growth must stay linear)
+        "text_fingerprint_suite": q["text_fingerprint_suite"],
+        "simhash_near_dups": q["simhash_near_dups"],
     }
 
 
