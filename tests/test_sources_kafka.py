@@ -56,3 +56,40 @@ def test_normalize_kafka_wire_schema(spark):
 def test_stream_kafka_raises_clear_error_without_package(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         stream_kafka(spark, "broker:9092", "clicks")
+
+
+def test_to_kafka_wire_shape_and_roundtrip(spark):
+    """The publisher encode must produce exactly the kafka sink contract
+    (key BINARY, value BINARY) and its JSON payload must parse back
+    through the Demo1 consumer path unchanged (publisher/consumer wire
+    symmetry — reference message_publisher.py:23-119)."""
+    from pyspark.sql import functions as F
+
+    from tutorial_apache_beam_spark.operators.etl import parse_click_messages
+    from tutorial_apache_beam_spark.sources.readers import to_kafka_wire
+
+    events = spark.createDataFrame(
+        [(1704067200, 7, 1), (1704067201, 9, 0)],
+        "event_time BIGINT, user_id BIGINT, click BIGINT",
+    )
+    wire = to_kafka_wire(events)
+    assert wire.schema.simpleString() == "struct<key:binary,value:binary>"
+    back = parse_click_messages(
+        wire.select(F.col("value").cast("string").alias("value"))
+    )
+    got = sorted(
+        (int(r["event_time"].timestamp()), r["user_id"], r["click"])
+        for r in back.select("event_time", "user_id", "click").collect()
+    )
+    assert got == [(1704067200, 7, 1), (1704067201, 9, 0)]
+
+
+def test_kafka_writer_options_wiring():
+    from tutorial_apache_beam_spark.sources.readers import (
+        kafka_writer_options,
+    )
+
+    assert kafka_writer_options("b:9092", "clicks") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "clicks",
+    }

@@ -5,6 +5,7 @@ returns plain DataFrames — sources are just plan leaves.
 """
 
 from tutorial_apache_beam_spark.sources.readers import (
+    publish_kafka,
     read_csv,
     read_json,
     read_parquet,
@@ -12,9 +13,11 @@ from tutorial_apache_beam_spark.sources.readers import (
     stream_directory_text,
     stream_kafka,
     stream_rate,
+    to_kafka_wire,
 )
 
 __all__ = [
+    "publish_kafka",
     "read_csv",
     "read_json",
     "read_parquet",
@@ -22,4 +25,5 @@ __all__ = [
     "stream_directory_text",
     "stream_kafka",
     "stream_rate",
+    "to_kafka_wire",
 ]

@@ -115,3 +115,71 @@ def stream_kafka(
             "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13)"
         ) from ex
     return normalize_kafka(raw)
+
+
+def to_kafka_wire(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event rows → the (key BINARY, value BINARY) shape Spark's kafka
+    SINK requires — the publisher half of the transport (the reference's
+    `utils/message_publisher.py:23-119` JSON-encodes {event_time,
+    user_id, click} onto the topic; this is that encode as a plan).
+
+    Keying by user gives per-user partition affinity (ordering per key
+    within a partition), exactly what the keyed Demo2 consumer wants.
+    """
+    value_cols = value_cols or [
+        c for c in events.columns if c != key_col
+    ]
+    return events.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(key_col, *value_cols)).cast("binary").alias(
+            "value"
+        ),
+    )
+
+
+def kafka_writer_options(
+    bootstrap_servers: str, topic: str
+) -> dict[str, str]:
+    """Option wiring for `writeStream.format("kafka")` (same
+    broker-independent testability rationale as `kafka_reader_options`)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+
+
+def publish_kafka(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+):
+    """Publish a streaming DataFrame to a kafka topic (at-least-once:
+    kafka's producer has no idempotent-sink integration in Spark, so
+    retried micro-batches can re-send — consumers dedup by content key,
+    e.g. `streaming.tws.tws_ingest_dedup`). Returns the started query.
+
+    Requires the spark-sql-kafka package on the classpath; the plan
+    construction itself (wire encode + option wiring) is
+    environment-independent and covered in tests/test_sources_kafka.py.
+    """
+    writer = (
+        to_kafka_wire(events, key_col=key_col)
+        .writeStream.format("kafka")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    for k, v in kafka_writer_options(bootstrap_servers, topic).items():
+        writer = writer.option(k, v)
+    try:
+        return writer.start()
+    except Exception as ex:  # pragma: no cover — depends on classpath
+        raise RuntimeError(
+            "kafka sink requires the spark-sql-kafka package on the "
+            "classpath (start the session with "
+            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from ex
