@@ -136,3 +136,69 @@ def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
     report2 = compact_partitions(spark, str(sink), target_file_bytes=1 << 30)
     assert report2.compacted == []
     assert set(report2.skipped) == set(before)
+
+
+def test_upsert_partitions_rewrites_only_touched(spark, tmp_path):
+    """Keyed upsert: replaced key updated, new key added, untouched rows
+    AND untouched partitions survive byte-identical (their files are not
+    rewritten), and the initial write path works on an empty dir."""
+    import os
+
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            ("2024-01-01", 1, "a"),
+            ("2024-01-01", 2, "b"),
+            ("2024-01-02", 3, "c"),
+            ("2024-01-03", 4, "d"),
+        ],
+        "day STRING, k BIGINT, v STRING",
+    )
+    # initial create through the same API
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 3
+
+    untouched_files = {
+        e.name: os.path.getmtime(e.path)
+        for e in os.scandir(os.path.join(tdir, "day=2024-01-03"))
+        if e.name.endswith(".parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [
+            ("2024-01-01", 2, "B2"),   # replace existing key
+            ("2024-01-02", 9, "new"),  # new key in existing partition
+            ("2024-01-04", 5, "e"),    # brand-new partition
+        ],
+        "day STRING, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, updates, tdir, "day", ["k"]) == 3
+
+    # partition-column type inference reads day= back as DATE; compare
+    # its canonical string form
+    got = sorted(
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    )
+    assert got == [
+        ("2024-01-01", 1, "a"),
+        ("2024-01-01", 2, "B2"),
+        ("2024-01-02", 3, "c"),
+        ("2024-01-02", 9, "new"),
+        ("2024-01-03", 4, "d"),
+        ("2024-01-04", 5, "e"),
+    ]
+    # dynamic overwrite left the untouched partition's files alone
+    after = {
+        e.name: os.path.getmtime(e.path)
+        for e in os.scandir(os.path.join(tdir, "day=2024-01-03"))
+        if e.name.endswith(".parquet")
+    }
+    assert after == untouched_files
+
+    # no-op updates: zero partitions rewritten
+    empty = spark.createDataFrame([], "day STRING, k BIGINT, v STRING")
+    assert upsert_partitions(spark, empty, tdir, "day", ["k"]) == 0
