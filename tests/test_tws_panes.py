@@ -474,3 +474,80 @@ def test_tws_ingest_dedup_ttl_mode_smoke(spark, tmp_path):
             spark.conf.set(provider_key, old)
 
     assert got == [(7, 1), (7, 2)]
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_state_survives_query_restart(spark, tmp_path):
+    """Crash/restart contract for state-v2: drain batch b0, STOP the
+    query, add b1, restart from the same checkpoint — the second drain
+    must continue pane ordinals from persisted RocksDB state (a second
+    firing of the same window gets pane_index 1, not 0), and the
+    combined output must equal an uninterrupted run over both files."""
+    def run_drain(src, ckpt, sink):
+        stream = (
+            spark.readStream.schema(RAW_SCHEMA)
+            .json(str(src))
+            .select(F.timestamp_seconds("event_time").alias("ts"), "user_id")
+        )
+        q = (
+            tws_pane_counts(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+    try:
+        # interrupted run: two drains over the same checkpoint
+        src = tmp_path / "src"
+        src.mkdir()
+        _write(src, "b0.json", [
+            {"event_time": BASE_EPOCH + i, "user_id": 7} for i in range(3)
+        ])
+        run_drain(src, tmp_path / "ck", tmp_path / "out")
+        _write(src, "b1.json", [
+            {"event_time": BASE_EPOCH + 10 + i, "user_id": 7}
+            for i in range(2)
+        ])
+        run_drain(src, tmp_path / "ck", tmp_path / "out")
+        interrupted = _rows(spark.read.parquet(str(tmp_path / "out")))
+
+        # uninterrupted twin over both files at once
+        src2 = tmp_path / "src2"
+        src2.mkdir()
+        _write(src2, "b0.json", [
+            {"event_time": BASE_EPOCH + i, "user_id": 7} for i in range(3)
+        ])
+        _write(src2, "b1.json", [
+            {"event_time": BASE_EPOCH + 10 + i, "user_id": 7}
+            for i in range(2)
+        ])
+        run_drain(src2, tmp_path / "ck2", tmp_path / "out2")
+        uninterrupted = _rows(spark.read.parquet(str(tmp_path / "out2")))
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    # same window fired twice across the restart -> ordinals 0 then 1,
+    # proving the pane state was REstored, not recreated
+    panes_by_index = sorted(r[3] for r in interrupted)
+    assert panes_by_index == [0, 1]
+    # both runs saw the same totals per window
+    def totals(rows):
+        agg: dict[tuple, int] = {}
+        for ws, uid, cnt, _idx in rows:
+            agg[(ws, uid)] = agg.get((ws, uid), 0) + cnt
+        return agg
+
+    assert totals(interrupted) == totals(uninterrupted)
