@@ -42,20 +42,54 @@ def main() -> None:
         "watermark (use for repeated incremental drains; default flushes "
         "them, reproducing Beam's end-of-bounded-input firing)",
     )
+    ap.add_argument(
+        "--firing",
+        choices=["watermark", "discarding-panes"],
+        default="watermark",
+        help="watermark = one final row per window (AfterWatermark "
+        "firing, the default); discarding-panes = Beam's "
+        ".discardingFiredPanes() repeated trigger: one delta row per "
+        "firing with its pane ordinal (Demo2.java:151-157)",
+    )
+    ap.add_argument(
+        "--stateful-api",
+        choices=["v1", "v2"],
+        default="v1",
+        help="discarding-panes only: v1 = applyInPandasWithState (any "
+        "state-store provider), v2 = transformWithStateInPandas "
+        "(typed state + timers; requires/auto-selects RocksDB)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="demo2")
-    result = demo2_pipeline(
-        spark,
-        args.input,
-        args.output,
-        args.checkpoint,
-        window=args.window,
-        allowed_skew=args.skew,
-        allowed_lateness=args.lateness,
-        available_now=not args.follow,
-        finalize=not args.no_finalize,
-    )
+    if args.firing == "discarding-panes":
+        from tutorial_apache_beam_spark.streaming.demos import (
+            demo2_panes_pipeline,
+        )
+
+        result = demo2_panes_pipeline(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            window=args.window,
+            allowed_skew=args.skew,
+            allowed_lateness=args.lateness,
+            stateful_api=args.stateful_api,
+            available_now=not args.follow,
+        )
+    else:
+        result = demo2_pipeline(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            window=args.window,
+            allowed_skew=args.skew,
+            allowed_lateness=args.lateness,
+            available_now=not args.follow,
+            finalize=not args.no_finalize,
+        )
     result.wait_until_finish()
 
 
