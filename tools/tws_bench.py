@@ -1,0 +1,120 @@
+"""Throughput comparison of the two stateful-API pane operators.
+
+Replays the same synthetic click stream (one availableNow drain, file
+source, parquet sink) through `streaming.stateful.discarding_pane_counts`
+(state v1, applyInPandasWithState) and `streaming.tws.tws_pane_counts`
+(state v2, transformWithStateInPandas + RocksDB + the protoshim wire
+protocol), and prints events/s for each. Results feed the "which API at
+scale" note in SCALING.md.
+
+Usage: python tools/tws_bench.py [--events 200000] [--users 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+BASE_EPOCH = 1704067200
+
+
+def _gen_source(src_dir: str, n_events: int, n_users: int, n_files: int = 4):
+    per = n_events // n_files
+    for f in range(n_files):
+        with open(os.path.join(src_dir, f"b{f}.json"), "w") as fh:
+            for i in range(per):
+                e = f * per + i
+                fh.write(
+                    json.dumps(
+                        {
+                            # ~6 windows of data, out-of-order within files
+                            "event_time": BASE_EPOCH + (e * 7919) % 360,
+                            "user_id": e % n_users,
+                        }
+                    )
+                    + "\n"
+                )
+
+
+def _drain(spark, op, src, work):
+    from pyspark.sql import functions as F
+
+    ckpt, sink = os.path.join(work, "ck"), os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema("event_time BIGINT, user_id BIGINT")
+        .json(src)
+        .select(F.timestamp_seconds("event_time").alias("ts"), "user_id")
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=200_000)
+    ap.add_argument("--users", type=int, default=500)
+    args = ap.parse_args()
+
+    from tutorial_apache_beam_spark import get_spark
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_counts,
+    )
+    from tutorial_apache_beam_spark.streaming.tws import tws_pane_counts
+
+    spark = get_spark(app_name="tws_bench")
+    work_root = tempfile.mkdtemp(prefix="tws_bench_")
+    src = os.path.join(work_root, "src")
+    os.makedirs(src)
+    _gen_source(src, args.events, args.users)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    results = {}
+    for name, op, rocksdb in (
+        ("v1_applyInPandasWithState", discarding_pane_counts, False),
+        ("v2_transformWithState", tws_pane_counts, True),
+    ):
+        old = spark.conf.get(provider_key, None)
+        if rocksdb:
+            spark.conf.set(provider_key, ROCKSDB)
+        work = os.path.join(work_root, name)
+        os.makedirs(work)
+        try:
+            t0 = time.monotonic()
+            rows = _drain(spark, op, src, work)
+            dt = time.monotonic() - t0
+        finally:
+            if old is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old)
+        results[name] = {
+            "sec": round(dt, 2),
+            "out_rows": rows,
+            "events_per_sec": round(args.events / dt),
+        }
+    shutil.rmtree(work_root, ignore_errors=True)
+    print(json.dumps({"events": args.events, "users": args.users, **results}))
+
+
+if __name__ == "__main__":
+    main()

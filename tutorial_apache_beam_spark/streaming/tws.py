@@ -309,6 +309,15 @@ class IngestDedupProcessor(StatefulProcessor):
     by the grouping key like any streaming aggregation; per-key size is
     one map entry per distinct fingerprint inside the TTL window, and
     the store expires entries without any timer bookkeeping here.
+
+    Cost model: each fingerprint costs one containsKey + one updateValue
+    round trip to the state server (MapState has no batch get). That is
+    the deliberate trade against the v1 set-in-a-ValueState shape: v1
+    rewrites the WHOLE seen-set every micro-batch per key (O(set)
+    serialization, unbounded without TTL), this pays O(rows) small round
+    trips but touches only the entries it reads — the right side of the
+    trade exactly when the TTL window keeps the set large and the
+    per-batch row count per key small, which is the ingest-dedup regime.
     """
 
     def __init__(self, ttl_ms: int | None) -> None:
