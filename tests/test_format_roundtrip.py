@@ -51,3 +51,16 @@ def test_partitioned_write_prunes(spark, tmp_path):
     )
     # Catalyst turns the filter into partition pruning on the scan.
     assert "o_orderpriority" in plan
+
+
+def test_avro_raises_clear_error_without_module(spark, tmp_path):
+    """Avro is the one native format Spark ships as an external module;
+    without spark-avro on the classpath the writer must fail with the
+    remediation message, not an opaque ClassNotFoundException."""
+    import pytest
+
+    from tutorial_apache_beam_spark.sources.writers import write_table
+
+    df = spark.range(3).selectExpr("id", "cast(id as string) AS s")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_table(df, str(tmp_path / "t"), fmt="avro")

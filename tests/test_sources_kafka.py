@@ -93,3 +93,16 @@ def test_kafka_writer_options_wiring():
         "kafka.bootstrap.servers": "b:9092",
         "topic": "clicks",
     }
+
+
+def test_publish_kafka_raises_clear_error_without_package(spark, tmp_path):
+    from tutorial_apache_beam_spark.sources.readers import publish_kafka
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "timestamp AS ts")
+    )
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        publish_kafka(
+            stream, "broker:9092", "clicks", str(tmp_path / "ck"),
+        )

@@ -18,7 +18,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FORMATS = ("parquet", "orc", "json", "csv")
+_FORMATS = ("parquet", "orc", "json", "csv", "avro")
+
+
+def _rethrow_if_avro_missing(fmt: str, ex: Exception) -> None:
+    """Avro is the one native format Spark ships as an EXTERNAL module
+    (spark-avro); translate its classpath failure into the same clear
+    remediation error the kafka transport gives."""
+    if fmt == "avro" and "Failed to find data source" in str(ex):
+        raise RuntimeError(
+            "avro format requires the spark-avro package on the classpath "
+            "(start the session with "
+            "spark.jars.packages=org.apache.spark:spark-avro_2.13)"
+        ) from ex
+    raise ex
 
 
 def write_table(
@@ -29,7 +42,8 @@ def write_table(
     partition_by: list[str] | None = None,
     **options: str,
 ) -> None:
-    """Write `df` to `path` in any native format (parquet/orc/json/csv).
+    """Write `df` to `path` in any native format (parquet/orc/json/csv,
+    plus avro where the spark-avro module is on the classpath).
 
     CSV gets a header by default (schema-first on read-back — never
     inferSchema in production, it is a full extra pass).
@@ -43,7 +57,10 @@ def write_table(
         writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(path)
+    try:
+        writer.save(path)
+    except Exception as ex:  # pragma: no branch
+        _rethrow_if_avro_missing(fmt, ex)
 
 
 def read_table(
@@ -65,6 +82,7 @@ def read_table(
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     if fmt in ("json", "csv") and schema is None:
         raise ValueError(f"{fmt} read-back requires an explicit schema")
+    # parquet/orc/avro carry their own schema
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -72,4 +90,7 @@ def read_table(
         options["header"] = "true"
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    try:
+        return reader.load(path)
+    except Exception as ex:  # pragma: no branch
+        _rethrow_if_avro_missing(fmt, ex)
