@@ -408,3 +408,73 @@ def test_fuzz_range_join_matches_duckdb(spark):
     con.close()
     assert got == want
     assert len(want) > 50  # the generator produced real matches
+
+
+# ---------------------------------------------------------------------------
+# 7. Latest.per_key (Beam API) vs DuckDB arg_max over a struct
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_latest_per_key_matches_duckdb(spark):
+    """150 random keyed rows — NULL values in non-key columns (the
+    winning row's NULLs must come through intact: the atomic max_by
+    (struct) aggregation, not per-column maxima), NULL keys (grouping:
+    one NULL group), sub-second timestamp jitter; unique ts per key so
+    the winner is well-defined on both engines."""
+    from tutorial_apache_beam_spark.plans.pipeline import Latest, Pipeline
+
+    rng = random.Random(5504)
+    base = _utc(2024, 6, 1)
+    rows, seen_ts = [], set()
+    for i in range(150):
+        k = rng.choice([None, 1, 2, 3])
+        ts = base + timedelta(
+            seconds=rng.randint(0, 500), microseconds=rng.randint(0, 999)
+        )
+        while (k, ts) in seen_ts:
+            ts += timedelta(microseconds=1)
+        seen_ts.add((k, ts))
+        v1 = None if rng.random() < 0.3 else rng.randint(0, 99)
+        v2 = None if rng.random() < 0.3 else f"s{rng.randint(0, 9)}"
+        rows.append((k, ts, v1, v2))
+
+    sdf = spark.createDataFrame(
+        rows, "k BIGINT, ts TIMESTAMP, v1 BIGINT, v2 STRING"
+    )
+    p = Pipeline(spark)
+    latest = p.create(sdf).apply("L", Latest.per_key("ts", "k")).df
+    got = {
+        (
+            r["k"],
+            r["ts"],
+            None if r["v1"] is None else int(r["v1"]),
+            r["v2"],
+        )
+        for r in latest.collect()
+    }
+
+    # NOTE the oracle needs the same atomic-struct treatment as the
+    # operator: DuckDB's arg_max(v, ts) SKIPS NULL v (returning the
+    # latest non-NULL value instead of the latest ROW's value), which is
+    # exactly the per-column-stitching defect Latest.per_key was fixed
+    # for. Packing the row into one (non-NULL) struct preserves the
+    # winning row's NULLs on both engines.
+    con = duckdb.connect()
+    con.register("latest_fuzz", pd.DataFrame(rows, columns=["k", "ts", "v1", "v2"]))
+    want = {
+        (
+            None if pd.isna(k) else int(k),
+            ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts,
+            None if w["v1"] is None else int(w["v1"]),
+            w["v2"],
+        )
+        for k, ts, w in con.execute(
+            """
+            SELECT k, max(ts) AS ts,
+                   arg_max({'v1': v1, 'v2': v2}, ts) AS w
+            FROM latest_fuzz GROUP BY k
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
