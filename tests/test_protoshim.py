@@ -223,3 +223,128 @@ def test_shim_defers_to_native_runtime():
 
     assert ensure_protobuf_runtime() in ("native", "shim")
     assert hasattr(gp, "__version__")
+
+
+# --- generative roundtrip over random descriptors/values --------------------
+
+
+def _fdp_field_full(name, number, ftype, label, type_name=""):
+    out = bytearray()
+    nb = name.encode()
+    out += _shim.encode_tag(1, 2) + _shim.encode_varint(len(nb)) + nb
+    out += _shim.encode_tag(3, 0) + _shim.encode_varint(number)
+    out += _shim.encode_tag(4, 0) + _shim.encode_varint(label)
+    out += _shim.encode_tag(5, 0) + _shim.encode_varint(ftype)
+    if type_name:
+        tb = type_name.encode()
+        out += _shim.encode_tag(6, 2) + _shim.encode_varint(len(tb)) + tb
+    return bytes(out)
+
+
+_SCALARS = [
+    _shim.TYPE_INT32, _shim.TYPE_INT64, _shim.TYPE_UINT64, _shim.TYPE_BOOL,
+    _shim.TYPE_STRING, _shim.TYPE_BYTES, _shim.TYPE_DOUBLE, _shim.TYPE_FLOAT,
+    _shim.TYPE_FIXED64, _shim.TYPE_FIXED32, _shim.TYPE_SFIXED64,
+    _shim.TYPE_SFIXED32, _shim.TYPE_SINT32, _shim.TYPE_SINT64,
+]
+
+
+def _rand_value(rng, ftype):
+    if ftype == _shim.TYPE_BOOL:
+        return rng.random() < 0.5
+    if ftype == _shim.TYPE_STRING:
+        return "".join(rng.choice("aé☃bc") for _ in range(rng.randint(0, 8)))
+    if ftype == _shim.TYPE_BYTES:
+        return bytes(rng.randrange(256) for _ in range(rng.randint(0, 8)))
+    if ftype == _shim.TYPE_DOUBLE:
+        return rng.choice([0.0, -1.5, 3.14159, 1e300, -1e-300])
+    if ftype == _shim.TYPE_FLOAT:
+        return rng.choice([0.0, -1.5, 0.25, 1024.0])  # exact in float32
+    if ftype in (_shim.TYPE_UINT64, _shim.TYPE_FIXED64):
+        return rng.randrange(2**64)
+    if ftype == _shim.TYPE_FIXED32:
+        return rng.randrange(2**32)
+    if ftype in (_shim.TYPE_SFIXED32, _shim.TYPE_SINT32, _shim.TYPE_INT32):
+        return rng.randrange(-(2**31), 2**31)
+    return rng.randrange(-(2**63), 2**63)  # int64/sint64/sfixed64
+
+
+def test_generative_roundtrip_all_scalar_types():
+    """300 random messages over a descriptor exercising EVERY scalar
+    wire type (singular + repeated) plus a nested message: serialize →
+    parse must reproduce every explicitly-set field exactly. This covers
+    the wire types the StateMessage schema never touches (fixed/float/
+    zigzag), so a future schema using them doesn't find dead code."""
+    import random as _random
+
+    fields = []
+    num = 1
+    for t in _SCALARS:
+        fields.append(_fdp_field_full(f"f{num}", num, t, _shim.LABEL_OPTIONAL))
+        num += 1
+    for t in _SCALARS:
+        fields.append(_fdp_field_full(f"r{num}", num, t, _shim.LABEL_REPEATED))
+        num += 1
+    fields.append(
+        _fdp_field_full(
+            "child", num, _shim.TYPE_MESSAGE, _shim.LABEL_OPTIONAL, ".gen.Inner"
+        )
+    )
+    inner = _fdp_message(
+        "Inner", _fdp_field("x", 1, _shim.TYPE_INT64, _shim.LABEL_OPTIONAL)
+    )
+    outer = _fdp_message("Outer", *fields)
+    fdp = bytearray()
+    nb = b"gen_roundtrip.proto"
+    fdp += _shim.encode_tag(1, 2) + _shim.encode_varint(len(nb)) + nb
+    pb = b"gen"
+    fdp += _shim.encode_tag(2, 2) + _shim.encode_varint(len(pb)) + pb
+    for m in (outer, inner):
+        fdp += _shim.encode_tag(4, 2) + _shim.encode_varint(len(m)) + m
+
+    fd = _shim.parse_file_descriptor(bytes(fdp))
+    Outer = _shim.make_message_class(fd.message_types_by_name["Outer"], __name__)
+    Inner = _shim.make_message_class(fd.message_types_by_name["Inner"], __name__)
+
+    rng = _random.Random(6604)
+    by_name = Outer.DESCRIPTOR.fields_by_name
+    for _case in range(300):
+        msg = Outer()
+        expect = {}
+        for fname, fdesc in by_name.items():
+            if fdesc.type == _shim.TYPE_MESSAGE:
+                if rng.random() < 0.5:
+                    msg.child = Inner(x=_rand_value(rng, _shim.TYPE_INT64))
+                    expect["child"] = msg.child.x
+                continue
+            if fdesc.is_repeated:
+                if rng.random() < 0.5:
+                    vals = [
+                        _rand_value(rng, fdesc.type)
+                        for _ in range(rng.randint(1, 4))
+                    ]
+                    getattr(msg, fname).extend(vals)
+                    expect[fname] = vals
+            elif rng.random() < 0.6:
+                v = _rand_value(rng, fdesc.type)
+                setattr(msg, fname, v)
+                expect[fname] = v
+
+        parsed = Outer()
+        parsed.ParseFromString(msg.SerializeToString())
+        for fname, want in expect.items():
+            fdesc = by_name.get(fname)
+            if fname == "child":
+                assert parsed.child.x == want
+            elif fdesc.is_repeated:
+                got = list(getattr(parsed, fname))
+                if fdesc.type == _shim.TYPE_FLOAT:
+                    assert got == pytest.approx(want)
+                else:
+                    assert got == want, (fname, fdesc.type)
+            else:
+                got = getattr(parsed, fname)
+                if fdesc.type == _shim.TYPE_FLOAT:
+                    assert got == pytest.approx(want)
+                else:
+                    assert got == want, (fname, fdesc.type)
