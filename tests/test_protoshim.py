@@ -225,6 +225,53 @@ def test_shim_defers_to_native_runtime():
     assert hasattr(gp, "__version__")
 
 
+def test_shim_defers_to_real_runtime_later_on_sys_path(tmp_path):
+    """ADVICE r4: the PYTHONPATH prepend puts the shim BEFORE
+    site-packages in every spawned worker, so on a mixed cluster an
+    executor with the real wheel would silently get the shim. The
+    vendored __init__ must detect a real google.protobuf later on
+    sys.path and re-execute itself from it. Simulated in a subprocess:
+    a fake 'real' installation (sentinel __version__) sits after the
+    vendor dir."""
+    import subprocess
+    import sys
+
+    from tutorial_apache_beam_spark.protoshim import VENDOR_DIR
+
+    real = tmp_path / "sitepkgs"
+    (real / "google" / "protobuf").mkdir(parents=True)
+    (real / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    (real / "google" / "protobuf" / "__init__.py").write_text(
+        "__version__ = '9.9.9-real-sentinel'\n"
+    )
+    code = (
+        "import google.protobuf as gp; print(gp.__version__); "
+        "print(gp.__file__)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env={"PYTHONPATH": f"{VENDOR_DIR}:{real}", "PATH": "/usr/bin:/bin"},
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    assert out[0] == "9.9.9-real-sentinel"
+    assert out[1].startswith(str(real))
+
+    # And without a real installation the shim itself still activates.
+    out2 = subprocess.run(
+        [sys.executable, "-c", code],
+        env={"PYTHONPATH": str(VENDOR_DIR), "PATH": "/usr/bin:/bin"},
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    assert out2[0] == "6.33.0"
+    assert out2[1].startswith(str(VENDOR_DIR))
+
+
 # --- generative roundtrip over random descriptors/values --------------------
 
 

@@ -26,6 +26,7 @@ from tutorial_apache_beam_spark.streaming.stateful import (
     discarding_pane_counts,
 )
 from tutorial_apache_beam_spark.streaming.tws import (
+    BatchingProcessor,
     PaneCountProcessor,
     tws_group_into_batches,
     tws_ingest_dedup,
@@ -62,14 +63,42 @@ class _FakeState:
         self.value = None
 
 
+class _FakeListState:
+    def __init__(self):
+        self.rows = None
+        self.puts = 0  # full-buffer rewrites
+        self.appends = 0  # merge-appends
+
+    def exists(self):
+        return self.rows is not None
+
+    def get(self):
+        return iter(self.rows or [])
+
+    def put(self, rows):
+        self.rows = list(rows)
+        self.puts += 1
+
+    def appendList(self, rows):
+        self.rows = (self.rows or []) + list(rows)
+        self.appends += 1
+
+    def clear(self):
+        self.rows = None
+
+
 class _FakeHandle:
     def __init__(self):
         self.states: dict[str, _FakeState] = {}
+        self.list_states: dict[str, _FakeListState] = {}
         self.timers: list[int] = []  # live (registered, undeleted) timers
         self.registered: list[int] = []  # every registration, in order
 
     def getValueState(self, name, schema):
         return self.states.setdefault(name, _FakeState())
+
+    def getListState(self, name, schema):
+        return self.list_states.setdefault(name, _FakeListState())
 
     def registerTimer(self, ts):
         self.timers.append(ts)
@@ -82,6 +111,14 @@ class _FakeHandle:
     @property
     def state(self):
         return self.states["panes"]
+
+
+class _FakeExpiredTimerInfo:
+    def __init__(self, expiry_ms):
+        self._expiry_ms = expiry_ms
+
+    def getExpiryTimeInMs(self):
+        return self._expiry_ms
 
 
 class _FakeTimerValues:
@@ -154,6 +191,124 @@ def test_processor_prunes_expired_windows_and_clears_on_timer():
         )
     )
     assert h.state.value is None
+
+
+def _feed(proc, key, element_ids, watermark_ms):
+    pdf = pd.DataFrame({"element_id": element_ids})
+    out = list(
+        proc.handleInputRows(key, iter([pdf]), _FakeTimerValues(watermark_ms))
+    )
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+def test_batching_stale_timer_does_not_flush_fresh_elements():
+    """ADVICE r4 (medium): an already-due timer that handleInputRows
+    could not delete fires in the same micro-batch that new rows
+    arrived — the stale firing must NOT flush the remainder (which now
+    includes the just-arrived elements); only the re-armed live timer
+    may."""
+    proc = BatchingProcessor(4)
+    h = _FakeHandle()
+    proc.init(h)
+    key = (7,)
+
+    out = _feed(proc, key, [1, 2], watermark_ms=0)
+    assert out.empty  # partial buffer, timer armed at 1
+    assert h.states["meta"].value == (0, 1)
+
+    # Watermark moved past the armed timer (now due, un-deletable), and
+    # new data arrives in the same micro-batch: re-arm at 6.
+    out = _feed(proc, key, [3], watermark_ms=5)
+    assert out.empty
+    assert h.states["meta"].value == (0, 6)
+    assert h.list_states["pending"].rows == [(1,), (2,), (3,)]
+
+    # The STALE timer (expiry 1 != stored 6) fires: no flush, no state
+    # loss.
+    stale = list(
+        proc.handleExpiredTimer(
+            key, _FakeTimerValues(5), _FakeExpiredTimerInfo(1)
+        )
+    )
+    assert stale == []
+    assert h.list_states["pending"].rows == [(1,), (2,), (3,)]
+    assert h.states["meta"].value == (0, 6)
+
+    # The LIVE timer fires: the full remainder flushes as one batch.
+    flushed = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                key, _FakeTimerValues(10), _FakeExpiredTimerInfo(6)
+            )
+        )
+    )
+    assert flushed["batch_size"].tolist() == [3]
+    assert flushed["element_ids"].tolist() == [[1, 2, 3]]
+    assert h.list_states["pending"].rows is None
+    assert h.states["meta"].value is None
+
+
+def test_batching_appends_without_rewrite_when_no_boundary_crossed():
+    """The ListState buffer is merge-appended (appendList) while no
+    batch boundary is crossed; a full-buffer put happens only when a
+    batch was carved off the front."""
+    proc = BatchingProcessor(4)
+    h = _FakeHandle()
+    proc.init(h)
+    key = (7,)
+
+    _feed(proc, key, [1, 2], watermark_ms=0)
+    _feed(proc, key, [3], watermark_ms=0)
+    ls = h.list_states["pending"]
+    assert (ls.appends, ls.puts) == (2, 0)
+    assert ls.rows == [(1,), (2,), (3,)]
+
+    out = _feed(proc, key, [4, 5, 6], watermark_ms=0)
+    assert out["element_ids"].tolist() == [[1, 2, 3, 4]]
+    assert (ls.appends, ls.puts) == (2, 1)  # boundary crossed -> rewrite
+    assert ls.rows == [(5,), (6,)]
+
+
+def test_pane_stale_timer_preserves_timer_bookkeeping():
+    """A stale pane-cleanup timer firing must not clear timer_ts while a
+    newer timer is live — otherwise the next batch re-registers without
+    deleting it and the key leaks one live timer per occurrence."""
+    proc = PaneCountProcessor(60_000)
+    h = _FakeHandle()
+    proc.init(h)
+    w0 = 1704067200
+
+    _emit(proc, (7,), _batch([w0]), watermark_ms=0)
+    target1 = (w0 + 60) * 1000
+    assert h.states["timer_ts"].value == (target1,)
+
+    # Watermark passes target1; new window arrives, re-arms at target2.
+    wm = (w0 + 90) * 1000
+    _emit(proc, (7,), _batch([w0 + 120]), watermark_ms=wm)
+    target2 = (w0 + 180) * 1000
+    assert h.states["timer_ts"].value == (target2,)
+
+    # Stale firing of target1: skipped entirely — panes and timer_ts
+    # survive.
+    out = list(
+        proc.handleExpiredTimer(
+            (7,), _FakeTimerValues(wm), _FakeExpiredTimerInfo(target1)
+        )
+    )
+    assert out == []
+    assert h.states["timer_ts"].value == (target2,)
+    assert h.state.value is not None
+
+    # The live timer fires with nothing alive: full cleanup.
+    list(
+        proc.handleExpiredTimer(
+            (7,),
+            _FakeTimerValues((w0 + 300) * 1000),
+            _FakeExpiredTimerInfo(target2),
+        )
+    )
+    assert h.state.value is None
+    assert h.states["timer_ts"].value is None
 
 
 def test_tws_degrades_loudly_without_protobuf(spark, monkeypatch):

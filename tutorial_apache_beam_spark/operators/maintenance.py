@@ -133,35 +133,80 @@ def compact_partitions(
     return report
 
 
+def _partition_value_bytes(value) -> int:
+    """Rough serialized size of one partition value (probe guard — same
+    heuristic as graph._row_bytes)."""
+    if value is None:
+        return 1
+    if isinstance(value, str):
+        return len(value.encode("utf-8", errors="replace"))
+    if isinstance(value, (bytes, bytearray)):
+        return len(value)
+    return 8
+
+
 def upsert_partitions(
     spark: SparkSession,
     updates: DataFrame,
     table_dir: str,
     partition_col: str,
     key_cols: list[str],
+    max_touched_partitions: int = 10_000,
+    touched_byte_budget: int = 64 * 1024 * 1024,
 ) -> int:
     """Keyed upsert into a partitioned parquet table, rewriting ONLY the
     partitions the updates touch (the MERGE-INTO shape BigQuery gives the
     reference for free, rebuilt on dynamic partition overwrite).
 
-    Semantics: within each touched partition, an update row replaces any
-    existing row with the same key; all other existing rows survive;
-    untouched partitions are never read or rewritten. Returns the number
-    of partitions rewritten.
+    Semantics — PARTITION-SCOPED replacement: within each touched
+    partition, an update row replaces any existing row with the same
+    (key, partition) pair; all other existing rows survive — including a
+    same-key row sitting in a DIFFERENT partition, touched or not. A key
+    that "moves" partitions therefore leaves its old row behind as a
+    stale duplicate; true key-global MERGE semantics would require
+    scanning every partition of the table, which is exactly the cost
+    this pruned incremental upsert exists to avoid. Callers with moving
+    keys must ship a delete/tombstone for the old partition or run a
+    periodic global dedup. Returns the number of partitions rewritten.
 
     Scale design: the only driver-side materialization is the DISTINCT
-    set of touched partition VALUES (bounded by the table's partition
-    count, not its rows); existing data is read with a partition-pruned
-    filter (`.explain` shows PartitionFilters); the write uses Spark's
-    dynamic partitionOverwriteMode so untouched partitions' files are
-    left in place. Not transactional across partitions — a failed job can
-    leave some partitions updated and others not (each partition swap
-    itself is atomic in the committer); idempotent re-run converges, the
-    same recovery contract as the checkpointed streaming sink.
+    set of touched partition VALUES — and that probe is guarded the same
+    way as graph.connected_components' edge probe: a limit-probe counts
+    at most `max_touched_partitions`+1 values (never the full set), and
+    the collected values' estimated bytes must fit
+    `touched_byte_budget`; breaching either raises instead of silently
+    OOMing the driver (an updates batch touching >10k partitions is a
+    backfill, which should use a plain partitioned overwrite, not an
+    upsert). Existing data is read with a partition-pruned filter
+    (`.explain` shows PartitionFilters); the write uses Spark's dynamic
+    partitionOverwriteMode so untouched partitions' files are left in
+    place. Not transactional across partitions — a failed job can leave
+    some partitions updated and others not (each partition swap itself
+    is atomic in the committer); idempotent re-run converges, the same
+    recovery contract as the checkpointed streaming sink.
     """
-    touched = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
+    probe = (
+        updates.select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    )
+    if len(probe) > max_touched_partitions:
+        raise ValueError(
+            f"updates touch more than {max_touched_partitions} distinct "
+            f"{partition_col!r} partitions; an upsert at that width "
+            "rewrites most of the table anyway — use a plain partitioned "
+            "overwrite, or raise max_touched_partitions explicitly"
+        )
+    touched = [r[0] for r in probe]
+    est_bytes = sum(_partition_value_bytes(v) for v in touched)
+    if est_bytes > touched_byte_budget:
+        raise ValueError(
+            f"touched-partition values estimate {est_bytes} bytes on the "
+            f"driver, over the {touched_byte_budget}-byte budget — "
+            "partition values this wide should not be collected; raise "
+            "touched_byte_budget only if the driver is sized for it"
+        )
     if not touched:
         return 0
     has_table = os.path.isdir(table_dir) and any(
@@ -173,9 +218,17 @@ def upsert_partitions(
         existing = spark.read.parquet(table_dir).filter(
             F.col(partition_col).isin(touched)
         )
-        # anti-join on the key: keep existing rows not replaced by updates
+        # Anti-join on (key, partition): keep existing rows not replaced
+        # by an update IN THE SAME PARTITION — see the semantics note.
+        join_keys = (
+            key_cols
+            if partition_col in key_cols
+            else [*key_cols, partition_col]
+        )
         survivors = existing.join(
-            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            updates.select(*join_keys).distinct(),
+            on=join_keys,
+            how="left_anti",
         )
         merged = survivors.select(*updates.columns).unionByName(updates)
     else:

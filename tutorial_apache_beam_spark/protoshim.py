@@ -5,7 +5,12 @@ between the Python worker and the JVM state server; its generated
 `StateMessage_pb2` module needs a `google.protobuf` runtime. Containers
 without the protobuf wheel (like this sandbox) can use the minimal shim
 under `vendor/protoshim/` instead — see that package's `_shim.py` for
-scope and limitations. A real protobuf installation always wins.
+scope and limitations. A real protobuf installation always wins — in the
+driver because this hook imports it first, and in worker processes
+(where the PYTHONPATH prepend would otherwise shadow site-packages)
+because the vendored `google/protobuf/__init__.py` scans the rest of
+sys.path and re-executes itself from a real installation when one
+exists.
 
 Call `ensure_protobuf_runtime()` BEFORE creating the first SparkSession:
 Spark's Python workers inherit `PYTHONPATH` from the JVM process

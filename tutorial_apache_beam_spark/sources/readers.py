@@ -177,9 +177,15 @@ def publish_kafka(
         writer = writer.option(k, v)
     try:
         return writer.start()
-    except Exception as ex:  # pragma: no cover — depends on classpath
-        raise RuntimeError(
-            "kafka sink requires the spark-sql-kafka package on the "
-            "classpath (start the session with "
-            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13)"
-        ) from ex
+    except Exception as ex:
+        # Translate ONLY the missing-data-source classpath failure (same
+        # message-gated pattern as writers._rethrow_if_avro_missing);
+        # unrelated start() failures — bad checkpoint path, schema or
+        # auth errors — re-raise unchanged so they aren't misdiagnosed.
+        if "Failed to find data source" in str(ex):
+            raise RuntimeError(
+                "kafka sink requires the spark-sql-kafka package on the "
+                "classpath (start the session with spark.jars.packages="
+                "org.apache.spark:spark-sql-kafka-0-10_2.13)"
+            ) from ex
+        raise

@@ -139,7 +139,22 @@ class PaneCountProcessor(StatefulProcessor):
         expiredTimerInfo: ExpiredTimerInfo,
     ) -> Iterator[pd.DataFrame]:
         """Watermark passed the newest window this key had open: if no
-        window survived inline pruning, drop the whole entry."""
+        window survived inline pruning, drop the whole entry.
+
+        Staleness guard (same shape as BatchingProcessor's): a fired
+        timer that handleInputRows could not delete (it was already due)
+        must not clear `timer_ts` while a NEWER timer is live — the next
+        batch would then re-register without deleting it, leaking one
+        live timer per occurrence. Skip entirely unless the fired expiry
+        matches the stored target.
+        """
+        stored_t = self._timer_ts.get()
+        if (
+            stored_t is not None
+            and expiredTimerInfo is not None
+            and expiredTimerInfo.getExpiryTimeInMs() != stored_t[0]
+        ):
+            return iter([])
         stored = self._panes.get()
         watermark_ms = timerValues.getCurrentWatermarkInMs()
         if stored is not None:
@@ -165,9 +180,12 @@ class BatchingProcessor(StatefulProcessor):
     Where the v1 form packs the whole buffer into one state row
     (`pending ARRAY<BIGINT>` inside applyInPandasWithState's single
     state tuple), this uses the v2 API's native ListState — one state
-    row per pending element, so appends don't rewrite the whole buffer
-    (RocksDB merge-append at cluster scale) — plus a ValueState for the
-    batch sequence counter and the single live cleanup timer.
+    row per pending element. When a micro-batch crosses no batch
+    boundary (nothing consumed), only the NEW elements are written via
+    `appendList` (RocksDB merge-append at cluster scale); the buffer is
+    rewritten with `put` only when a full batch was carved off the
+    front. A ValueState holds the batch sequence counter and the single
+    live cleanup timer.
 
     Output parity contract with the v1 operator (asserted in
     tests/test_tws_panes.py): identical (user_id, batch_seq, batch_size)
@@ -205,13 +223,16 @@ class BatchingProcessor(StatefulProcessor):
         (user_id,) = key
         meta = self._meta.get()
         seq, last_timer = meta if meta is not None else (0, None)
-        pending = (
+        stored = (
             [int(t[0]) for t in self._pending.get()]
             if self._pending.exists()
             else []
         )
+        fresh: list[int] = []
         for pdf in rows:
-            pending.extend(int(v) for v in pdf["element_id"])
+            fresh.extend(int(v) for v in pdf["element_id"])
+        pending = stored + fresh
+        consumed = False
         while len(pending) >= self._batch_size:
             full, pending = (
                 pending[: self._batch_size],
@@ -219,7 +240,14 @@ class BatchingProcessor(StatefulProcessor):
             )
             yield self._emit(user_id, full, seq)
             seq += 1
-        if pending:
+            consumed = True
+        if not consumed:
+            # No batch boundary crossed: the stored prefix is untouched,
+            # so append only the new suffix (RocksDB merge-append) instead
+            # of rewriting the whole buffer.
+            if fresh:
+                self._pending.appendList([(e,) for e in fresh])
+        elif pending:
             self._pending.put([(e,) for e in pending])
         else:
             self._pending.clear()
@@ -244,9 +272,26 @@ class BatchingProcessor(StatefulProcessor):
         expiredTimerInfo: ExpiredTimerInfo,
     ) -> Iterator[pd.DataFrame]:
         """Watermark passed the buffered data: flush the remainder as the
-        key's final (possibly partial) batch and drop all state."""
+        key's final (possibly partial) batch and drop all state.
+
+        Staleness guard: when an already-due timer could not be deleted
+        by handleInputRows (deleteTimer on a fired timer is undefined)
+        and NEW rows arrived in the same micro-batch, that old timer
+        still fires here — but meta.last_ms already points at the newer
+        re-armed target. Flushing on the stale firing would emit
+        just-arrived elements prematurely (the v1 operator re-arms
+        without flushing in this situation). Compare the fired timer's
+        expiry to the stored target and skip the flush — state intact —
+        when they differ; the live timer will flush later.
+        """
         (user_id,) = key
         meta = self._meta.get()
+        if (
+            meta is not None
+            and meta[1] is not None
+            and expiredTimerInfo.getExpiryTimeInMs() != meta[1]
+        ):
+            return
         pending = (
             [int(t[0]) for t in self._pending.get()]
             if self._pending.exists()
