@@ -218,11 +218,31 @@ def main() -> None:
     sf_scaling = None
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
         try:
-            from tools.scale_stress import sf_scaling_section
+            from tools.scale_stress import (
+                sf_scaling_section,
+                streaming_scaling_section,
+            )
 
             sf_scaling = sf_scaling_section(spark, runs=1)
+            # r5: the stateful-streaming family at 10x events (disjoint
+            # key spaces, same time axis) — wall must grow ~linearly and
+            # state_ratio must equal the key multiplier (watermark-
+            # bounded state), VERDICT r4 item 3.
+            sf_scaling.update(streaming_scaling_section(spark, runs=1))
         except Exception as exc:  # never fail the bench over the extra check
             sf_scaling = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # r5 (VERDICT r4 item 4): state-v1 vs state-v2 pane throughput on a
+    # 200k-event synthetic drain, so the demo2 --stateful-api default is
+    # re-validated by data every round (recommendation in SCALING.md).
+    tws_vs_v1 = None
+    if os.environ.get("SPARK_GRAFT_TWS_BENCH", "1") != "0":
+        try:
+            from tools.tws_bench import tws_vs_v1_section
+
+            tws_vs_v1 = tws_vs_v1_section(spark)
+        except Exception as exc:
+            tws_vs_v1 = {"error": f"{type(exc).__name__}: {exc}"}
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     families: dict[str, float] = {}
@@ -230,26 +250,34 @@ def main() -> None:
         fam = _family_of(name)
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extra": {
-                    "headline_median_of": HEADLINE_REPEATS,
-                    "sweep_min_of": SWEEP_REPEATS,
-                    "demo2_stream_mib_per_s": mib_per_s,
-                    "demo2_stream_input_mib": stream_mib,
-                    "all_queries_total": round(sum(timings.values()), 3),
-                    "family_totals": families,
-                    "sf_scaling": sf_scaling,
-                },
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "headline_median_of": HEADLINE_REPEATS,
+            "sweep_min_of": SWEEP_REPEATS,
+            "demo2_stream_mib_per_s": mib_per_s,
+            "demo2_stream_input_mib": stream_mib,
+            "all_queries_total": round(sum(timings.values()), 3),
+            "family_totals": families,
+            "sf_scaling": sf_scaling,
+            "tws_vs_v1": tws_vs_v1,
+        },
+    }
+    line = json.dumps(result)
+    # Durable copy FIRST (VERDICT r4 item 1a): the driver artifact keeps
+    # only a tail of stdout and r4's output outgrew it, losing 22
+    # per-query numbers — the repo file can never be truncated that way.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_last.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,33 @@ def scale_documents(src: str, dest: str, mult: int) -> int:
     return len(out)
 
 
+def scale_events(src: str, dest: str, mult: int) -> int:
+    """Replica-disjoint KEY spaces over an identical time axis: replica r
+    offsets event_id and user_id by r*REPLICA_OFFSET and keeps ts /
+    event_type / value / props unchanged. Every replica therefore has
+    exactly the base fixture's per-key window structure, and the total
+    streaming state (per-key aggregation rows, join state) grows exactly
+    linearly in the key count — any superlinear wall growth or
+    state-store blowup in a drain over this fixture is the OPERATOR's
+    fault, not the data's."""
+    tbl = pq.read_table(f"{src}/events.parquet")
+    pdf = tbl.to_pandas()
+    import pandas as pd
+
+    frames = []
+    for r in range(mult):
+        rep = pdf.copy()
+        rep["event_id"] = rep["event_id"] + r * REPLICA_OFFSET
+        rep["user_id"] = rep["user_id"] + r * REPLICA_OFFSET
+        frames.append(rep)
+    out = pd.concat(frames, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False),
+        f"{dest}/events.parquet",
+    )
+    return len(out)
+
+
 def scale_embeddings(src: str, dest: str, mult: int) -> int:
     tbl = pq.read_table(f"{src}/embeddings.parquet")
     pdf = tbl.to_pandas()
@@ -99,7 +126,14 @@ def generate(src: str, dest: str, mult: int) -> dict:
     os.makedirs(dest, exist_ok=True)
     n_docs = scale_documents(src, dest, mult)
     n_vecs = scale_embeddings(src, dest, mult)
-    return {"dest": dest, "mult": mult, "documents": n_docs, "embeddings": n_vecs}
+    n_events = scale_events(src, dest, mult)
+    return {
+        "dest": dest,
+        "mult": mult,
+        "documents": n_docs,
+        "embeddings": n_vecs,
+        "events": n_events,
+    }
 
 
 def main() -> None:

@@ -112,15 +112,162 @@ def _gates():
 
 
 def ensure_scale_fixture(mult: int = 10) -> str:
-    """Generate the 10× fixture if absent (deterministic, ~10 s)."""
-    if not (
-        os.path.exists(f"{SCALE_DIR}/documents.parquet")
-        and os.path.exists(f"{SCALE_DIR}/embeddings.parquet")
+    """Generate the 10× fixture if absent (deterministic, ~10 s).
+
+    All three tables are checked — a fixture dir generated before events
+    scaling existed (round 4) is regenerated in full.
+    """
+    if not all(
+        os.path.exists(f"{SCALE_DIR}/{t}.parquet")
+        for t in ("documents", "embeddings", "events")
     ):
         from tools.gen_scale_fixture import generate
 
         generate(BASE_DIR, SCALE_DIR, mult)
     return SCALE_DIR
+
+
+def _drain_with_state_metrics(spark, streaming_df, output_mode="append"):
+    """availableNow-drain into a memory sink, returning (wall_sec,
+    sink_rows, max_state_rows) where max_state_rows is the peak total
+    state-store row count across micro-batches (summed over stateful
+    operators, from the query progress metrics) — the number the
+    watermark-bounded-state claims are about."""
+    from tutorial_apache_beam_spark.streaming.replay import (
+        STREAM_STATE_PARTITIONS,
+    )
+
+    qname = f"scale_stress_{int(time.monotonic() * 1e6) % 10**9}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        t0 = time.monotonic()
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        state_rows = 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            state_rows = max(
+                state_rows, sum(op.get("numRowsTotal", 0) for op in ops)
+            )
+        rows = spark.table(qname).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+    return wall, rows, state_rows
+
+
+def _streaming_gates():
+    """The three stateful-streaming shapes the 100 TB claims rest on
+    (VERDICT r4 item 3): the Demo2-equivalent windowed aggregation, the
+    custom applyInPandasWithState pane operator, and the stream-stream
+    interval join. Each takes (spark, sf_dir) and returns (streaming_df,
+    output_mode)."""
+    from tutorial_apache_beam_spark.operators.windowing import tumbling_counts
+    from tutorial_apache_beam_spark.streaming.replay import stream_events
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_counts,
+    )
+
+    def demo2_append(spark, sf_dir):
+        sdf = stream_events(spark, sf_dir).withWatermark("ts", "2 minutes")
+        return tumbling_counts(sdf, "ts", ["user_id"], "1 minute"), "append"
+
+    def discarding_panes(spark, sf_dir):
+        sdf = stream_events(spark, sf_dir)
+        return (
+            discarding_pane_counts(
+                sdf, ts_col="ts", key_col="user_id",
+                window_duration="1 minute",
+            ),
+            "append",
+        )
+
+    def interval_join_inner(spark, sf_dir):
+        purchases = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 minute")
+        )
+        clicks = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 minute")
+        )
+        cond = (
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        joined = purchases.join(clicks, cond).select(
+            "purchase_id",
+            "click_id",
+            F.col("p_user").alias("user_id"),
+        )
+        return joined, "append"
+
+    return {
+        "streaming_demo2_append": demo2_append,
+        "streaming_discarding_panes": discarding_panes,
+        "streaming_interval_join_inner": interval_join_inner,
+    }
+
+
+def streaming_scaling_section(spark, runs: int = 1, mult: int = 10) -> dict:
+    """Drain the three stateful-streaming shapes at the base and 10×
+    events fixtures (replica-disjoint keys, identical time axis — state
+    must grow linearly in keys, wall ~linearly in rows). Reports wall
+    secs, drained MiB/s, sink rows, and PEAK state-store rows at each
+    scale, plus the time and state ratios. Watermark-boundedness shows
+    up as state_ratio ≈ mult (keys scaled) rather than unbounded."""
+    scale_dir = ensure_scale_fixture(mult)
+    out: dict[str, dict] = {}
+    for name, build in _streaming_gates().items():
+        row: dict[str, object] = {}
+        for tag_, d in (("base", BASE_DIR), ("x10", scale_dir)):
+            mib = os.path.getsize(f"{d}/events.parquet") / (1024 * 1024)
+            best_wall, rows, state_rows = float("inf"), -1, 0
+            for _ in range(runs):
+                sdf, mode = build(spark, d)
+                wall, rows, state_rows = _drain_with_state_metrics(
+                    spark, sdf, mode
+                )
+                best_wall = min(best_wall, wall)
+            row[f"{tag_}_sec"] = round(best_wall, 3)
+            row[f"{tag_}_rows"] = rows
+            row[f"{tag_}_state_rows"] = state_rows
+            row[f"{tag_}_mib_per_s"] = round(mib / best_wall, 2)
+        row["time_ratio"] = round(
+            row["x10_sec"] / max(row["base_sec"], 1e-9), 2
+        )
+        base_state = row["base_state_rows"]
+        row["state_ratio"] = (
+            round(row["x10_state_rows"] / base_state, 2) if base_state else None
+        )
+        out[name] = row
+    return out
 
 
 def sf_scaling_section(spark, runs: int = 2, mult: int = 10) -> dict:
@@ -156,9 +303,18 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--streaming-only",
+        action="store_true",
+        help="run only the stateful-streaming drains",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="scale_stress")
-    print(json.dumps(sf_scaling_section(spark, runs=args.runs), indent=2))
+    result = {}
+    if not args.streaming_only:
+        result.update(sf_scaling_section(spark, runs=args.runs))
+    result.update(streaming_scaling_section(spark, runs=args.runs))
+    print(json.dumps(result, indent=2))
 
 
 if __name__ == "__main__":

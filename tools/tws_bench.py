@@ -69,6 +69,53 @@ def _drain(spark, op, src, work):
     return spark.read.parquet(sink).count()
 
 
+def tws_vs_v1_section(
+    spark, events: int = 200_000, users: int = 500
+) -> dict:
+    """Time the same pane drain through both stateful APIs; importable by
+    bench.py (BENCH extra `tws_vs_v1`, VERDICT r4 item 4) so the
+    `demo2.py --stateful-api` default stays data-driven round to round."""
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_counts,
+    )
+    from tutorial_apache_beam_spark.streaming.tws import tws_pane_counts
+
+    work_root = tempfile.mkdtemp(prefix="tws_bench_")
+    src = os.path.join(work_root, "src")
+    os.makedirs(src)
+    _gen_source(src, events, users)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    results: dict = {"events": events, "users": users}
+    try:
+        for name, op, rocksdb in (
+            ("v1_applyInPandasWithState", discarding_pane_counts, False),
+            ("v2_transformWithState", tws_pane_counts, True),
+        ):
+            old = spark.conf.get(provider_key, None)
+            if rocksdb:
+                spark.conf.set(provider_key, ROCKSDB)
+            work = os.path.join(work_root, name)
+            os.makedirs(work)
+            try:
+                t0 = time.monotonic()
+                rows = _drain(spark, op, src, work)
+                dt = time.monotonic() - t0
+            finally:
+                if old is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, old)
+            results[name] = {
+                "sec": round(dt, 2),
+                "out_rows": rows,
+                "events_per_sec": round(events / dt),
+            }
+    finally:
+        shutil.rmtree(work_root, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=200_000)
@@ -76,44 +123,9 @@ def main() -> None:
     args = ap.parse_args()
 
     from tutorial_apache_beam_spark import get_spark
-    from tutorial_apache_beam_spark.streaming.stateful import (
-        discarding_pane_counts,
-    )
-    from tutorial_apache_beam_spark.streaming.tws import tws_pane_counts
 
     spark = get_spark(app_name="tws_bench")
-    work_root = tempfile.mkdtemp(prefix="tws_bench_")
-    src = os.path.join(work_root, "src")
-    os.makedirs(src)
-    _gen_source(src, args.events, args.users)
-
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    results = {}
-    for name, op, rocksdb in (
-        ("v1_applyInPandasWithState", discarding_pane_counts, False),
-        ("v2_transformWithState", tws_pane_counts, True),
-    ):
-        old = spark.conf.get(provider_key, None)
-        if rocksdb:
-            spark.conf.set(provider_key, ROCKSDB)
-        work = os.path.join(work_root, name)
-        os.makedirs(work)
-        try:
-            t0 = time.monotonic()
-            rows = _drain(spark, op, src, work)
-            dt = time.monotonic() - t0
-        finally:
-            if old is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, old)
-        results[name] = {
-            "sec": round(dt, 2),
-            "out_rows": rows,
-            "events_per_sec": round(args.events / dt),
-        }
-    shutil.rmtree(work_root, ignore_errors=True)
-    print(json.dumps({"events": args.events, "users": args.users, **results}))
+    print(json.dumps(tws_vs_v1_section(spark, args.events, args.users)))
 
 
 if __name__ == "__main__":
