@@ -40,6 +40,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # r3 prep. Headline deltas on those rows are added coverage, not
 # regressions — compare per-family totals with this note in hand.
 #
+# r4 -> r5 gate-content changes (added coverage, not regressions):
+# `lexical_neardup_pairs` adds a third branch (ngram CONTAINMENT, both
+# orientations) over the same shared shingle scan; `ann_topk_methods`
+# adds spherical-k-means training + two recall-summary rows (the
+# trained-vs-sampled invariant runs a 3-iter driver-side Lloyd's loop —
+# expect this gate several seconds slower); `sink_roundtrip_retention`
+# now drains in EXACTLY-ONCE mode (stage + rename per batch instead of
+# plain append — the production-grade path is now the measured path).
+#
 # streaming_demo1_etl r2→r3 drift (1.82→2.48 s), root-caused in r4 by
 # isolated component timing: ~1.3 s is fixed availableNow startup +
 # scan + memory sink (the identity drain costs that much alone); the

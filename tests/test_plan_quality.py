@@ -122,13 +122,18 @@ def test_q8_snowflake_broadcasts_and_pushes_region(spark):
 
 
 def test_ann_methods_have_no_unintended_cartesian(spark):
-    """The ANN gate has NO nested-loop/cartesian joins at all: the exact
-    tier scores via a broadcast probe matrix inside mapInPandas (no join
-    operator), SRP and IVF candidate joins are hash joins on their bucket
-    keys, and the per-(method, probe) top-k ranks the union in ONE window
-    instead of one per tier."""
-    df = registry.queries()["ann_topk_methods"](spark, SF_DIR)
-    plan = plan_of(df)
+    """The ANN scoring plan has NO nested-loop/cartesian joins at all:
+    the exact tier scores via a broadcast probe matrix inside mapInPandas
+    (no join operator), SRP and IVF candidate joins are hash joins on
+    their bucket keys, and the per-(method, probe) top-k ranks the union
+    in ONE window instead of one per tier. Asserted on the lazy
+    `ann_scored_topk` plan: the registered gate materializes this exact
+    plan into a cache before appending the two one-row recall rows
+    (whose scalar combines are deliberate 1-row-x-1-row crossJoins), so
+    the gate's own explain shows only the cache scan."""
+    from tutorial_apache_beam_spark.queries.similarity import ann_scored_topk
+
+    plan = plan_of(ann_scored_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # exact tier: Arrow-batched BLAS scan

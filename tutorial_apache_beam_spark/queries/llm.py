@@ -162,47 +162,96 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, k=12, bands=4, threshold=0.2)
 
 
+_CONTAINMENT_ORACLE = f"""
+    WITH {_SHINGLES_CTE},
+    inv AS (SELECT doc_id, unnest(hashes) AS h FROM hsh),
+    freq AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+    inv2 AS (SELECT i.doc_id, i.h
+             FROM inv i JOIN freq f USING (h) WHERE f.df <= 100),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv2 a JOIN inv2 b USING (h)
+             WHERE a.doc_id <> b.doc_id)
+    SELECT id_a, id_b, containment FROM (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.hashes, sb.hashes))::DOUBLE
+                   / len(sa.hashes), 4) AS containment
+      FROM cand
+      JOIN hsh sa ON sa.doc_id = cand.id_a
+      JOIN hsh sb ON sb.doc_id = cand.id_b)
+    WHERE containment >= 0.5
+    """
+
+
 @register(
     "lexical_neardup_pairs",
     oracle=f"""
-    SELECT 'ngram' AS method, t.* FROM ({_NGRAM_ORACLE}) t
+    SELECT 'ngram' AS method, t.id_a, t.id_b, t.jaccard AS score
+    FROM ({_NGRAM_ORACLE}) t
     UNION ALL
-    SELECT 'minhash' AS method, t.* FROM ({_MINHASH_ORACLE}) t
+    SELECT 'minhash' AS method, t.id_a, t.id_b, t.jaccard AS score
+    FROM ({_MINHASH_ORACLE}) t
+    UNION ALL
+    SELECT 'containment' AS method, t.id_a, t.id_b, t.containment AS score
+    FROM ({_CONTAINMENT_ORACLE}) t
     """,
 )
 def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical near-dup pair generation, method-tagged (round-3 merge of
     the `ngram_jaccard_near_dups` + `minhash_lsh_near_dups` gates — both
     emit (id_a, id_b, jaccard) pair rows over `documents`, so the merge is
-    a tagged union; SURVEY §9). Frees the driver-window slot spent on
-    `tpch_analog_sweep`. Both member functions stay callable for
-    bench/tests; coverage is unchanged — each branch's full
-    candidate-generation + exact-verify pipeline is hash-checked.
+    a tagged union; SURVEY §9). Round 5 adds the `containment` branch
+    (`ngram_containment_pairs`, the asymmetric quote/excerpt metric —
+    |A∩B|/|A| ≥ 0.5, both orientations), promoting it from pytest-only
+    into the hash-checked driver surface (VERDICT r4 item 6); the metric
+    column is `score` across all three branches. Member functions stay
+    callable for bench/tests; each branch's full candidate-generation +
+    exact-verify pipeline is hash-checked.
 
-    Scale: the two branches share ONE persisted tokenize→shingle→hash
+    Scale: the three branches share ONE persisted tokenize→shingle→hash
     scan (the dominant stage at corpus scale — the `shingle_rows=`
-    sharing contract on both operators); each branch is an equi-join
+    sharing contract on the operators); each branch is an equi-join
     candidate generator (inverted shingle index / LSH band buckets) that
     never goes all-pairs. Branch results are materialized eagerly, so the
     shared frame is released before the gate returns.
     """
-    from tutorial_apache_beam_spark.operators.dedup import _shingle_rows
+    from tutorial_apache_beam_spark.operators.dedup import (
+        _shingle_rows,
+        ngram_containment_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     inv = _shingle_rows(docs, "text", "doc_id", 3).persist()
     try:
         ng = ngram_jaccard_pairs(
             docs, threshold=0.2, max_doc_freq=100, shingle_rows=inv
-        ).select(F.lit("ngram").alias("method"), "id_a", "id_b", "jaccard")
+        ).select(
+            F.lit("ngram").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("score"),
+        )
         mh = minhash_lsh_pairs(
             docs, n=3, k=12, bands=4, threshold=0.2, shingle_rows=inv
-        ).select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
+        ).select(
+            F.lit("minhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("score"),
+        )
+        ct = ngram_containment_pairs(
+            docs, threshold=0.5, max_doc_freq=100, shingle_rows=inv
+        ).select(
+            F.lit("containment").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("containment").alias("score"),
+        )
     finally:
-        # Both branches are materialized (the operators count their
+        # All branches are materialized (the operators count their
         # verified pairs eagerly), so the shared scan can be released
         # before the union plan is returned.
         inv.unpersist()
-    return ng.unionByName(mh)
+    return ng.unionByName(mh).unionByName(ct)
 
 
 def simhash_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,6 +72,50 @@ _IVF_ASSIGN = f"""
 """
 
 
+def ann_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY four-tier scoring plan of `ann_topk_methods` (no caching,
+    no recall rows): each tier contributes SCORED candidates
+    (rank=False); one window over (method, probe_id) ranks the union —
+    the same rows reach the exchange as with per-tier windows, but in
+    ONE shuffle instead of three. Exposed separately so the plan-shape
+    assertions (tests/test_plan_quality.py) can read the scoring plan
+    the gate materializes before it is hidden behind the cache scan."""
+    from pyspark.sql import Window
+
+    from tutorial_apache_beam_spark.functions.vectors import quantize_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    emb_q8 = emb.select(
+        "vec_id", quantize_vector(F.col("embedding")).alias("embedding")
+    )
+    probes_q8 = emb_q8.filter(F.col("vec_id") % 100 == 0)
+
+    def tag(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"), "probe_id", "vec_id", "cos"
+        )
+
+    scored = (
+        tag(cosine_topk(emb, probes, k=5, rank=False), "exact")
+        .unionByName(
+            tag(cosine_topk(emb_q8, probes_q8, k=5, rank=False), "q8")
+        )
+        .unionByName(tag(srp_ann_topk(emb, probes, k=5, rank=False), "srp"))
+        .unionByName(
+            tag(ivf_ann_topk(emb, probes, k=5, nprobe=2, rank=False), "ivf")
+        )
+    )
+    w = Window.partitionBy("method", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+
+
 @register(
     "ann_topk_methods",
     oracle=f"""
@@ -120,8 +164,22 @@ _IVF_ASSIGN = f"""
       FROM (SELECT 'exact' AS method, * FROM exact_scored
             UNION ALL SELECT 'q8' AS method, * FROM q8_scored
             UNION ALL SELECT 'srp' AS method, * FROM srp_scored
-            UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored))
+            UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored)),
+    recall_row AS (
+      SELECT CAST(count(*) AS BIGINT)         AS n_exact,
+             CAST(count(i.vec_id) AS BIGINT)  AS n_hit
+      FROM (SELECT probe_id, vec_id FROM ranked
+            WHERE method = 'exact' AND rn <= 5) e
+      LEFT JOIN (SELECT probe_id, vec_id FROM ranked
+                 WHERE method = 'ivf' AND rn <= 5) i
+        USING (probe_id, vec_id))
     SELECT method, probe_id, vec_id, cos FROM ranked WHERE rn <= 5
+    UNION ALL
+    SELECT 'ivf_recall', n_exact, n_hit,
+           round(n_hit::DOUBLE / n_exact, 6)
+    FROM recall_row
+    UNION ALL
+    SELECT 'ivf_recall_trained_ge_sampled', 0, 0, 1.0
     """,
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,45 +205,75 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5 hash, IVF assignment is an fp-stable cosine argmax
     (margins measured; see the SQL fragment comments above), and q8
     scores are integer-derived.
-    """
-    from pyspark.sql import Window
 
-    from tutorial_apache_beam_spark.functions.vectors import quantize_vector
+    Round 5 (VERDICT r4 item 6) appends two summary rows, keeping the
+    registry at 50 while promoting the recall properties into the
+    hash-checked surface:
+
+    - `ivf_recall`: recall@5 of the sampled-centroid IVF tier against
+      the exact tier, fully recomputed by the DuckDB oracle from its own
+      ranked CTE — (probe_id, vec_id, cos) carry (n_exact, n_hit,
+      recall), the `ann_recall_vs_exact` single-row shape.
+    - `ivf_recall_trained_ge_sampled`: the trained-quantizer invariant.
+      Spherical-k-means centroids (engine-trained, so not
+      SQL-reproducible — the oracle pins the EXPECTED row, cos=1.0)
+      must reach at least the sampled-init recall on probes NOT aligned
+      with the centroid sample (vec_id % 100 == 7; aligned probes are
+      degenerate — each sits in its own bucket). If training ever loses
+      recall, cos computes to 0.0 and the gate hash-fails.
+    """
+    from tutorial_apache_beam_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        kmeans_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    emb_q8 = emb.select(
-        "vec_id", quantize_vector(F.col("embedding")).alias("embedding")
-    )
-    probes_q8 = emb_q8.filter(F.col("vec_id") % 100 == 0)
+    # Persisted: the frame is read four times (returned rows + the two
+    # tier slices feeding ivf_recall) — without the cache each read
+    # re-runs all four scoring tiers. Small (4 methods × |probes| × 5).
+    topk = ann_scored_topk(spark, sf_dir).persist()
+    topk.count()
 
-    def tag(df: DataFrame, method: str) -> DataFrame:
-        return df.select(
-            F.lit(method).alias("method"), "probe_id", "vec_id", "cos"
-        )
+    exact5 = topk.filter(F.col("method") == "exact").select(
+        "probe_id", "vec_id"
+    )
+    ivf5 = topk.filter(F.col("method") == "ivf").select("probe_id", "vec_id")
+    ivf_recall = ann_recall_vs_exact(exact5, ivf5).select(
+        F.lit("ivf_recall").alias("method"),
+        F.col("n_exact").cast("bigint").alias("probe_id"),
+        F.col("n_hit").cast("bigint").alias("vec_id"),
+        F.col("recall").alias("cos"),
+    )
 
-    # Each tier contributes SCORED candidates (rank=False); one window
-    # over (method, probe_id) ranks the union — the same rows reach the
-    # exchange as with per-tier windows, but in ONE shuffle instead of
-    # three (plan-shape asserted in tests/test_plan_quality.py).
-    scored = (
-        tag(cosine_topk(emb, probes, k=5, rank=False), "exact")
-        .unionByName(
-            tag(cosine_topk(emb_q8, probes_q8, k=5, rank=False), "q8")
+    # Trained-vs-sampled invariant on unaligned probes (see docstring).
+    probes7 = emb.filter(F.col("vec_id") % 100 == 7)
+    exact7 = cosine_topk(emb, probes7, k=5).persist()
+    exact7.count()
+    sampled_r = ann_recall_vs_exact(
+        exact7, ivf_ann_topk(emb, probes7, k=5, nprobe=2)
+    ).select(F.col("recall").alias("recall_sampled"))
+    cents = kmeans_centroids(emb, n_centroids=4, iters=3)
+    trained_r = ann_recall_vs_exact(
+        exact7, ivf_ann_topk(emb, probes7, k=5, nprobe=2, centroids=cents)
+    ).select(F.col("recall").alias("recall_trained"))
+    invariant = (
+        trained_r.crossJoin(sampled_r)
+        .select(
+            F.lit("ivf_recall_trained_ge_sampled").alias("method"),
+            F.lit(0).cast("bigint").alias("probe_id"),
+            F.lit(0).cast("bigint").alias("vec_id"),
+            F.when(
+                F.col("recall_trained") >= F.col("recall_sampled"), 1.0
+            )
+            .otherwise(0.0)
+            .alias("cos"),
         )
-        .unionByName(tag(srp_ann_topk(emb, probes, k=5, rank=False), "srp"))
-        .unionByName(
-            tag(ivf_ann_topk(emb, probes, k=5, nprobe=2, rank=False), "ivf")
-        )
     )
-    w = Window.partitionBy("method", "probe_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 5)
-        .drop("_rn")
-    )
+    result = topk.unionByName(ivf_recall).unionByName(invariant).persist()
+    result.count()
+    topk.unpersist()
+    exact7.unpersist()
+    return result
 
 
 @register(

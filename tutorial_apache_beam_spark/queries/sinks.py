@@ -40,9 +40,13 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 + K2 round trip in one gate:
 
     1. Demo1's parsed click rows flow through the STREAMING WriteParquet
-       sink (checkpointed foreachBatch append, availableNow drain),
-       partitioned by event date — the reference's WRITE_APPEND into a
-       day-partitioned table;
+       sink (checkpointed foreachBatch, availableNow drain) in its
+       EXACTLY-ONCE mode — stage + overwrite-by-batch-id, the grade
+       production runs and the mode whose crash-restart safety is proven
+       in tests/test_sources_sinks.py — partitioned by event date: the
+       reference's WRITE_APPEND into a day-partitioned table with its
+       per-insert retry policy (Demo1.java:96-97) upgraded from
+       at-least-once to exactly-once;
     2. the retention operator drops partitions older than 7 days relative
        to the frozen fixture "today" (metadata-only directory drops — the
        only strategy that works at 100 TB);
@@ -78,6 +82,7 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint=f"{scratch}/checkpoint",
             partition_by=["event_date"],
             available_now=True,
+            exactly_once=True,
         ),
     )
     p.run().wait_until_finish()
