@@ -117,3 +117,39 @@ def test_local_path_string_vertex_ids(spark):
         "docA": "docA", "docB": "docA", "docC": "docA",
         "docX": "docX", "docY": "docX",
     }
+
+
+def test_distributed_path_at_10x_matches_union_find(spark):
+    """VERDICT r4 item 5: the distributed min-label-propagation branch
+    executed over a LARGE real graph — the full near-dup pair set of the
+    10x scale fixture (replica-disjoint corpora, so the component
+    structure is 10 disjoint copies of the base graph's) — must converge
+    and produce exactly the union-find result on the same edges. This is
+    the branch a 100 TB corpus takes when the edge probe overflows; until
+    this test it had only toy-graph executions."""
+    from tools.scale_stress import BASE_DIR, ensure_scale_fixture
+    from tutorial_apache_beam_spark.operators.dedup import ngram_jaccard_pairs
+
+    sf1 = ensure_scale_fixture()
+    docs = load_table(spark, sf1, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=100)
+    assert pairs.count() > 1000  # genuinely large: 10x the base pair set
+
+    distributed = connected_components(
+        pairs, shuffle_partitions=8, local_edge_threshold=0
+    )
+    local = connected_components(pairs)
+    d = {(r.vertex, r.component) for r in distributed.collect()}
+    l = {(r.vertex, r.component) for r in local.collect()}
+    assert d == l
+    # Replica-disjoint construction: component counts scale exactly 10x
+    # from the fixture's BASE corpus (sf0.1, not the test suite's
+    # sf0.01), so a cross-replica merge (a propagation bug) is
+    # detectable.
+    base_pairs = ngram_jaccard_pairs(
+        load_table(spark, BASE_DIR, "documents"),
+        threshold=0.2,
+        max_doc_freq=100,
+    )
+    base_comps = connected_components(base_pairs).select("component").distinct().count()
+    assert distributed.select("component").distinct().count() == 10 * base_comps

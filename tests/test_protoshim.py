@@ -395,3 +395,53 @@ def test_generative_roundtrip_all_scalar_types():
                     assert got == pytest.approx(want)
                 else:
                     assert got == want, (fname, fdesc.type)
+
+
+# --- recorded-exchange conformance corpus (VERDICT r4 item 8) ---------------
+
+
+def test_recorded_exchange_corpus_roundtrips():
+    """Replay tests/data/protoshim_corpus.jsonl — real StateMessage
+    payloads captured (PROTOSHIM_TRACE_FULL) from live RocksDB
+    state-server drains of all three state-v2 operators. Three pins per
+    entry:
+
+    1. the payload still parses under the CURRENT generated
+       StateMessage_pb2 + shim codec (a pyspark upgrade that changes the
+       wire surface fails here, not as a hung drain);
+    2. serialize(parse(wire)) is byte-identical to the canonical form
+       recorded when the exchange was live (shim behavior drift fails);
+    3. the canonical form is a serialize/parse fixed point.
+
+    Refresh after an intentional protocol change:
+    `python tools/record_protoshim_corpus.py`.
+    """
+    import json
+    import os
+
+    from tools.record_protoshim_corpus import canonicalize, message_classes
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "protoshim_corpus.jsonl"
+    )
+    classes = message_classes()
+    n = 0
+    kinds = set()
+    with open(path) as fh:
+        for line in fh:
+            e = json.loads(line)
+            wire = bytes.fromhex(e["wire"])
+            got = canonicalize(classes, e["msg"], wire)
+            assert got.hex() == e["canonical"], (e["op"], e["msg"])
+            fixed = canonicalize(classes, e["msg"], got)
+            assert fixed == got, (e["op"], e["msg"])
+            n += 1
+            kinds.add((e["op"], e["msg"]))
+    assert n >= 100
+    # breadth: every state-variable family + timers must be present
+    names = {m.rsplit(".", 1)[-1] for _op, m in kinds}
+    for required in (
+        "ValueStateCall", "ListStateCall", "MapStateCall", "RegisterTimer",
+        "DeleteTimer", "StateResponseWithListGet", "StateResponseWithTimer",
+    ):
+        assert required in names, f"corpus lost {required} coverage"
