@@ -56,8 +56,12 @@ def main() -> None:
         choices=["v1", "v2"],
         default="v1",
         help="discarding-panes only: v1 = applyInPandasWithState (any "
-        "state-store provider), v2 = transformWithStateInPandas "
-        "(typed state + timers; requires/auto-selects RocksDB)",
+        "state-store provider; measured faster at warm steady state for "
+        "small per-key state — the data-driven default, see SCALING.md "
+        "and the bench `tws_vs_v1` block re-recorded every round), v2 = "
+        "transformWithStateInPandas (typed state + timers; "
+        "requires/auto-selects RocksDB; wins when per-key state is large "
+        "or needs TTL/ListState/MapState)",
     )
     args = ap.parse_args()
 
