@@ -706,3 +706,103 @@ def test_tws_state_survives_query_restart(spark, tmp_path):
         return agg
 
     assert totals(interrupted) == totals(uninterrupted)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_batching_multi_microbatch_stale_timer_matches_v1(spark, tmp_path):
+    """E2e for the ADVICE r4 stale-timer scenario through the REAL wire
+    protocol, compared directly against the v1 operator on identical
+    input. maxFilesPerTrigger=1 + explicitly ascending file mtimes give
+    three micro-batches of rising event time; from batch 2 on, the
+    previous batch's remainder timer is already due (un-deletable) while
+    new rows arrive in the same micro-batch — the exact interleaving the
+    single-batch parity tests never reach. batch_size exceeds the input,
+    so EVERY element rides the timer flush: without the expiry-staleness
+    guard the due timer fires mid-stream and splits the buffer into
+    several premature partial batches (seq collision included); with it,
+    both APIs emit ONE final batch holding all six elements."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = [
+        ("b0.json", [
+            {"event_time": BASE_EPOCH + i, "user_id": 7, "event_id": i}
+            for i in range(2)
+        ]),
+        ("b1.json", [
+            {"event_time": BASE_EPOCH + 100 + i, "user_id": 7,
+             "event_id": 10 + i}
+            for i in range(2)
+        ]),
+        ("b2.json", [
+            {"event_time": BASE_EPOCH + 200 + i, "user_id": 7,
+             "event_id": 20 + i}
+            for i in range(2)
+        ]),
+    ]
+    now = time.time()
+    for k, (name, rows) in enumerate(files):
+        _write(src, name, rows)
+        # FileStreamSource batches by modification time: pin an ascending
+        # order so event time rises batch over batch (no late-data drops
+        # on the v1 side to confound the comparison).
+        os.utime(src / name, (now + k * 10, now + k * 10))
+
+    schema = "event_time BIGINT, user_id BIGINT, event_id BIGINT"
+
+    def drain(op, ckpt, sink, rocksdb):
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .json(str(src))
+                .select(
+                    F.timestamp_seconds("event_time").alias("ts"),
+                    "user_id",
+                    "event_id",
+                )
+                .withWatermark("ts", "0 seconds")
+            )
+            q = (
+                op(stream, batch_size=100)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(str(sink))
+
+        if not rocksdb:
+            return run()
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, ROCKSDB)
+        try:
+            return run()
+        finally:
+            if old is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old)
+
+    v2 = drain(tws_group_into_batches, tmp_path / "ck2", tmp_path / "o2", True)
+    v1 = drain(group_into_batches, tmp_path / "ck1", tmp_path / "o1", False)
+
+    def shape(df):
+        return sorted(
+            (r["user_id"], r["batch_seq"], r["batch_size"],
+             sorted(r["element_ids"]))
+            for r in df.collect()
+        )
+
+    want = [(7, 0, 6, [0, 1, 10, 11, 20, 21])]
+    assert shape(v2) == want, shape(v2)
+    assert shape(v1) == want, shape(v1)

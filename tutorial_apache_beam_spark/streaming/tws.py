@@ -193,6 +193,25 @@ class BatchingProcessor(StatefulProcessor):
     legitimately differ between the two when a micro-batch's rows for a
     key arrive in a different order after the shuffle — neither Beam nor
     Spark guarantees intra-key arrival order.
+
+    Two edge semantics, found by multi-micro-batch e2e (round 5):
+
+    - LATE INPUT: this operator runs without `eventTimeColumnName`, so
+      Spark does NOT late-filter its input — rows older than the
+      watermark still join the buffer (Beam's GroupIntoBatches likewise
+      batches late data). The v1 twin sits behind a watermark operator
+      that DROPS late rows, so the parity contract above applies to
+      inputs where no batch delivers rows older than the current
+      watermark; on late data v2 is the more Beam-faithful of the two.
+    - TAIL FLUSH REACHABILITY: the remainder flushes when the watermark
+      passes the last re-armed target (previous batch's watermark + 1).
+      If a drain's final micro-batches carry no newer event times (e.g.
+      a backfill replayed newest-first), that target exceeds the final
+      watermark and the remainder stays in state — exactly the v1
+      event-time-timeout property, and the same withholding rule as
+      append-mode windows. A bounded replay that must flush everything
+      should feed files in event-time order (Beam differs here: bounded
+      inputs advance its watermark to +inf, firing all timers).
     """
 
     def __init__(self, batch_size: int) -> None:
