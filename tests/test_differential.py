@@ -478,3 +478,129 @@ def test_fuzz_latest_per_key_matches_duckdb(spark):
     }
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# 8. N-gram containment (excerpt detection) vs DuckDB  (r5: gate branch)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_ngram_containment_pairs_match_duckdb(spark):
+    """120 random documents, a third of them EXCERPTS (a contiguous slice
+    of a longer host doc — the asymmetric case Jaccard misses and
+    containment exists for), plus empty/sub-shingle/repeated-run docs:
+    the counting-verify containment pipeline and the DuckDB
+    list-intersection oracle must emit the identical directed pair set
+    with identical rounded scores."""
+    from tutorial_apache_beam_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(777)
+    vocab = ["alpha", "beta", "gamma", "délta", "epsilon", "zeta", "eta"]
+    docs = []
+    hosts = []
+    for i in range(120):
+        kind = i % 6
+        if kind == 0:
+            text = ""
+        elif kind == 1:
+            text = " ".join(rng.choices(vocab, k=rng.randint(1, 2)))
+        elif kind == 2 and hosts:
+            # excerpt: a contiguous token slice of an earlier host doc
+            h = rng.choice(hosts).split()
+            lo = rng.randint(0, max(0, len(h) - 4))
+            text = " ".join(h[lo : lo + rng.randint(3, 6)])
+        else:
+            text = " ".join(rng.choices(vocab, k=rng.randint(6, 16)))
+            hosts.append(text)
+        docs.append((i, text))
+
+    sdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in ngram_containment_pairs(
+            sdf, threshold=0.5, max_doc_freq=100
+        ).collect()
+    }
+
+    from tutorial_apache_beam_spark.queries.llm import _CONTAINMENT_ORACLE
+
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(_CONTAINMENT_ORACLE).fetchall()
+    }
+    con.close()
+    assert got == want
+    # sanity: excerpts really produced asymmetric containment pairs
+    assert len(want) > 0
+    asym = {(a, b) for a, b, _ in want} - {(b, a) for a, b, _ in want}
+    assert asym, "generator produced only symmetric pairs"
+
+
+# ---------------------------------------------------------------------------
+# 9. Partition-scoped keyed upsert vs a DuckDB relational twin (r5 fix)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_upsert_partitions_matches_duckdb(spark, tmp_path):
+    """3 seeded rounds of (base, updates) with keys that collide across
+    partitions, keys that move partitions, duplicate keys in base, and
+    duplicate rows in updates: the on-disk result of upsert_partitions
+    must equal the relational statement of its contract — rows in
+    untouched partitions survive; rows in touched partitions survive iff
+    their (key, partition) is not updated; every update row lands."""
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        upsert_partitions,
+    )
+
+    rng = random.Random(909)
+    parts = [f"p{i}" for i in range(5)]
+    for round_no in range(3):
+        base = [
+            (rng.choice(parts), rng.randint(0, 9), f"b{round_no}.{i}")
+            for i in range(40)
+        ]
+        updates = [
+            (rng.choice(parts), rng.randint(0, 9), f"u{round_no}.{i}")
+            for i in range(20)
+        ]
+        if round_no == 2:  # duplicate update rows: BOTH land by contract
+            updates.append(updates[0])
+
+        tdir = str(tmp_path / f"tbl{round_no}")
+        schema = "day STRING, k BIGINT, v STRING"
+        upsert_partitions(
+            spark, spark.createDataFrame(base, schema), tdir, "day", ["k"]
+        )
+        upsert_partitions(
+            spark, spark.createDataFrame(updates, schema), tdir, "day", ["k"]
+        )
+        got = sorted(
+            (r["day"], r["k"], r["v"])
+            for r in spark.read.parquet(tdir).collect()
+        )
+
+        con = duckdb.connect()
+        con.register("base", pd.DataFrame(base, columns=["day", "k", "v"]))
+        con.register(
+            "updates", pd.DataFrame(updates, columns=["day", "k", "v"])
+        )
+        want = sorted(
+            (r[0], r[1], r[2])
+            for r in con.execute(
+                """
+                SELECT b.* FROM base b
+                WHERE b.day NOT IN (SELECT DISTINCT day FROM updates)
+                   OR NOT EXISTS (SELECT 1 FROM updates u
+                                  WHERE u.k = b.k AND u.day = b.day)
+                UNION ALL
+                SELECT * FROM updates
+                """
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"round {round_no}"
