@@ -1,12 +1,17 @@
 """Multimodal columns: opaque binary media + typed metadata, Pandas-UDF
 decode/feature plumbing.
 
-Real image/audio/video codecs are NOT in this environment, so the decode
-step is a clearly-marked deterministic stub (`_STUB_DECODERS`): metadata is
-derived from the md5 of the raw bytes. Everything around the stub — binary
-column schema, Arrow batch shape, `mapInPandas` signatures, row-expanding
-frame sampling, partitioning — is the real production plumbing; swapping in
-PIL/librosa/pyav only replaces the function bodies (see `try_real_decoder`).
+Real image/video codecs are NOT in this environment, so their decode
+step is a clearly-marked deterministic stub (`_stub_decode`): metadata is
+derived from the md5 of the raw bytes. AUDIO is the exception since
+round 5: PCM WAV (RIFF) decodes FOR REAL via the stdlib `wave` module —
+`parse_wav` reads the header (channels/rate/duration) and `wav_features`
+computes RMS/peak from the PCM samples (numpy, Arrow-batched); only
+non-RIFF audio bytes fall back to the stub. Everything around the decode
+bodies — binary column schema, Arrow batch shape, `mapInPandas`
+signatures, row-expanding frame sampling, partitioning — is the real
+production plumbing; swapping in PIL/pyav only replaces the remaining
+stub bodies (see `try_real_decoder`).
 
 Because the stub derives values from md5, the whole Python path is
 reproducible in SQL — the correctness gate covers the UDF plumbing, not
@@ -68,6 +73,88 @@ def _stub_decode(media_type: str, content: bytes) -> tuple[int, int, int]:
     return width, height, duration_ms
 
 
+WAV_FEATURE_SCHEMA = (
+    "doc_id BIGINT, channels INT, sample_rate INT, duration_ms INT, "
+    "rms DOUBLE, peak DOUBLE"
+)
+
+
+def parse_wav(content: bytes) -> tuple[int, int, int] | None:
+    """REAL header decode for PCM WAV: (channels, sample_rate,
+    duration_ms), or None if the bytes are not a readable RIFF/WAVE.
+    Pure stdlib (`wave`) — no codec dependency."""
+    import io
+    import wave
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            ch = w.getnchannels()
+            sr = w.getframerate()
+            n = w.getnframes()
+    except (wave.Error, EOFError):
+        return None
+    return ch, sr, int(n * 1000 // sr) if sr else 0
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over the opaque binary column:
+    per-document (channels, sample_rate, duration_ms, rms, peak) for
+    every row whose content is decodable 16-bit PCM WAV; other rows are
+    dropped (same contract as a parse-failure filter). Map-only
+    Arrow-batched `mapInPandas` — media bytes never shuffle; at 100 TB
+    the stage scales with scan width alone.
+
+    RMS/peak are computed on samples normalized to [-1, 1] (int16 /
+    32768), interleaved channels pooled — the standard loudness-feature
+    convention, so thresholds transfer from audio tooling.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "channels", "sample_rate", "duration_ms",
+                "rms", "peak",
+            )}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                content = bytes(content)
+                meta = parse_wav(content)
+                if meta is None:
+                    continue
+                ch, sr, duration_ms = meta
+                try:
+                    with wave.open(io.BytesIO(content)) as w:
+                        if w.getsampwidth() != 2:
+                            continue  # 16-bit PCM only in this tier
+                        raw = w.readframes(w.getnframes())
+                except (wave.Error, EOFError):
+                    continue
+                samples = (
+                    np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    / 32768.0
+                )
+                rows["doc_id"].append(doc_id)
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(sr)
+                rows["duration_ms"].append(duration_ms)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(samples * samples)))
+                    if len(samples)
+                    else 0.0
+                )
+                rows["peak"].append(
+                    float(np.max(np.abs(samples))) if len(samples) else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(feats, WAV_FEATURE_SCHEMA)
+
+
 def media_table(docs: DataFrame) -> DataFrame:
     """Synthesize the media fixture: text bytes as the opaque binary column
     (the point is the column type + plumbing, not the codec)."""
@@ -90,10 +177,15 @@ def decode_metadata(media: DataFrame) -> DataFrame:
                 "real codec path not implemented in this container"
             )
         for pdf in batches:
-            meta = [
-                _stub_decode(mt, bytes(c))
-                for mt, c in zip(pdf["media_type"], pdf["content"])
-            ]
+            meta = []
+            for mt, c in zip(pdf["media_type"], pdf["content"]):
+                content = bytes(c)
+                if mt == "audio":
+                    wav = parse_wav(content)
+                    if wav is not None:  # REAL decode: PCM WAV header
+                        meta.append((0, 0, wav[2]))
+                        continue
+                meta.append(_stub_decode(mt, content))
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
