@@ -334,3 +334,57 @@ def test_wav_features_real_decode(spark):
     assert meta[1]["duration_ms"] == 1000 and meta[1]["width"] == 0
     assert meta[4]["duration_ms"] >= 1000  # stub fallback (md5-derived)
     assert meta[6]["width"] > 0  # image row stays on the stub path
+
+
+def test_image_header_real_decode(spark):
+    """Image dimensions decode FOR REAL from container headers (r5):
+    hand-built minimal PNG/GIF/BMP/JPEG byte strings with known
+    dimensions parse exactly; truncated/foreign bytes return None and
+    stay on the stub path in decode_metadata."""
+    import struct
+
+    from tutorial_apache_beam_spark.operators.multimodal import (
+        decode_metadata,
+        parse_image_header,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 800, -600)  # top-down DIB: negative height
+        + b"\x00" * 6
+    )
+    # JPEG: SOI, APP0 (len 4), SOF0 with height=240 width=352
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 240, 352) + b"\x03" + b"\x00\x00\x00"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(bmp) == ("bmp", 800, 600)
+    assert parse_image_header(jpeg) == ("jpeg", 352, 240)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXX") is None
+    assert parse_image_header(b"plain text") is None
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png)),
+            (2, "image", bytearray(jpeg)),
+            (3, "image", bytearray(b"not an image")),
+            (4, "audio", bytearray(png)),  # audio rows skip the image path
+        ],
+        "doc_id BIGINT, media_type STRING, content BINARY",
+    )
+    meta = {r["doc_id"]: r for r in decode_metadata(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (640, 480)
+    assert (meta[2]["width"], meta[2]["height"]) == (352, 240)
+    assert meta[1]["duration_ms"] == 0 and meta[2]["duration_ms"] == 0
+    assert meta[3]["width"] >= 64  # stub fallback range
+    assert meta[4]["duration_ms"] >= 1000  # audio stub (png isn't RIFF)

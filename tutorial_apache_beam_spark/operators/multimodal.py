@@ -3,11 +3,13 @@ decode/feature plumbing.
 
 Real image/video codecs are NOT in this environment, so their decode
 step is a clearly-marked deterministic stub (`_stub_decode`): metadata is
-derived from the md5 of the raw bytes. AUDIO is the exception since
-round 5: PCM WAV (RIFF) decodes FOR REAL via the stdlib `wave` module —
-`parse_wav` reads the header (channels/rate/duration) and `wav_features`
-computes RMS/peak from the PCM samples (numpy, Arrow-batched); only
-non-RIFF audio bytes fall back to the stub. Everything around the decode
+derived from the md5 of the raw bytes. Since round 5 two tiers decode
+FOR REAL with zero dependencies: PCM WAV (RIFF) via the stdlib `wave`
+module — `parse_wav` reads the header (channels/rate/duration) and
+`wav_features` computes RMS/peak from the PCM samples (numpy,
+Arrow-batched) — and image DIMENSIONS via `parse_image_header`
+(PNG/GIF/BMP/JPEG containers store width/height in fixed header fields
+or SOF markers). Undecodable bytes fall back to the stub. Everything around the decode
 bodies — binary column schema, Arrow batch shape, `mapInPandas`
 signatures, row-expanding frame sampling, partitioning — is the real
 production plumbing; swapping in PIL/pyav only replaces the remaining
@@ -98,6 +100,44 @@ def parse_wav(content: bytes) -> tuple[int, int, int] | None:
     return ch, sr, int(n * 1000 // sr) if sr else 0
 
 
+def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
+    """REAL header decode for the ubiquitous image containers:
+    (format, width, height) for PNG / GIF / BMP / JPEG, None otherwise.
+    Dimensions live in fixed header fields (PNG IHDR, GIF logical screen,
+    BMP info header) or SOF markers (JPEG) — no codec needed; pixel
+    decode stays behind `try_real_decoder`."""
+    import struct
+
+    if len(content) >= 24 and content[:8] == b"\x89PNG\r\n\x1a\n":
+        if content[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", content[16:24])
+            return "png", w, h
+        return None
+    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return "gif", w, h
+    if len(content) >= 26 and content[:2] == b"BM":
+        w, h = struct.unpack("<ii", content[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    if len(content) >= 4 and content[:2] == b"\xff\xd8":
+        # JPEG: walk the marker stream to the first SOFn frame header.
+        pos = 2
+        while pos + 9 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
+                return "jpeg", w, h
+            pos += 2 + seg_len
+        return None
+    return None
+
+
 def wav_features(media: DataFrame) -> DataFrame:
     """REAL audio feature extraction over the opaque binary column:
     per-document (channels, sample_rate, duration_ms, rms, peak) for
@@ -184,6 +224,11 @@ def decode_metadata(media: DataFrame) -> DataFrame:
                     wav = parse_wav(content)
                     if wav is not None:  # REAL decode: PCM WAV header
                         meta.append((0, 0, wav[2]))
+                        continue
+                elif mt == "image":
+                    img = parse_image_header(content)
+                    if img is not None:  # REAL decode: container header
+                        meta.append((img[1], img[2], 0))
                         continue
                 meta.append(_stub_decode(mt, content))
             out = pd.DataFrame(
