@@ -702,7 +702,13 @@ def text_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m)
     SELECT *,
            CAST(CASE WHEN media_type = 'video'
-                THEN duration_ms // 10000 + 1 ELSE 0 END AS BIGINT) AS n_frames
+                THEN duration_ms // 10000 + 1 ELSE 0 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN media_type = 'audio' AND n_bytes > 0
+                THEN n_bytes * 1000 // 8000 END AS INT)             AS wav_ms,
+           CAST(CASE WHEN media_type = 'audio' AND n_bytes > 0
+                THEN 8000 END AS INT)                               AS wav_rate,
+           CAST(CASE WHEN media_type = 'audio' AND n_bytes > 0
+                THEN 1 END AS INT)                                  AS wav_channels
     FROM meta
     """,
 )
@@ -717,12 +723,24 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       a video yields exactly duration_ms // interval + 1 frames, other
       media none. The oracle recomputes the stub's md5-derived metadata
       AND the frame-count formula in SQL, so the whole Python/Arrow path —
-      including the flat-map expansion — is value-checked.
+      including the flat-map expansion — is value-checked;
+    - (round 5) the REAL audio decoder inside the hash gate: audio rows'
+      bytes are synthesized into 8 kHz mono 16-bit PCM WAV containers in
+      one Arrow stage, then decoded back by `wav_features` (stdlib
+      `wave` + numpy — see operators.multimodal). One sample per source
+      byte, so the oracle states the decoded duration as
+      n_bytes * 1000 // 8000 and pins rate/channels — a writer→parser
+      roundtrip of the real codec path, value-checked per document.
     """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     from tutorial_apache_beam_spark.operators.multimodal import (
         decode_metadata,
         media_table,
         sample_frames,
+        wav_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -733,8 +751,48 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    return meta.join(frames, "doc_id", "left").withColumn(
-        "n_frames", F.coalesce(F.col("n_frames"), F.lit(0))
+
+    def synth_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """One int16 sample per source byte, 8 kHz mono — a REAL WAV
+        container whose decoded duration is n_bytes * 1000 // 8000."""
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {"doc_id": [], "content": []}
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                raw = b"" if c is None else bytes(c)
+                if not raw:
+                    continue
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack("<h", (b - 128) * 256) for b in raw
+                        )
+                    )
+                out["doc_id"].append(doc_id)
+                out["content"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    wav_meta = wav_features(
+        media.filter(F.col("media_type") == "audio")
+        .select("doc_id", "content")
+        .mapInPandas(synth_wav, "doc_id BIGINT, content BINARY")
+    ).select(
+        "doc_id",
+        F.col("duration_ms").alias("wav_ms"),
+        F.col("sample_rate").alias("wav_rate"),
+        F.col("channels").alias("wav_channels"),
+    )
+    return (
+        meta.join(frames, "doc_id", "left")
+        .withColumn("n_frames", F.coalesce(F.col("n_frames"), F.lit(0)))
+        .join(wav_meta, "doc_id", "left")
     )
 
 
