@@ -388,3 +388,33 @@ def test_image_header_real_decode(spark):
     assert meta[1]["duration_ms"] == 0 and meta[2]["duration_ms"] == 0
     assert meta[3]["width"] >= 64  # stub fallback range
     assert meta[4]["duration_ms"] >= 1000  # audio stub (png isn't RIFF)
+
+
+def test_media_header_parsers_never_raise_on_arbitrary_bytes():
+    """Robustness: the real header parsers are fed raw corpus bytes at
+    scale, so they must return None (never raise) on ANY input —
+    including truncated containers, magic-only prefixes, and random
+    binary. Seeded random + adversarial prefixes."""
+    import random
+
+    from tutorial_apache_beam_spark.operators.multimodal import (
+        parse_image_header,
+        parse_wav,
+    )
+
+    rng = random.Random(4242)
+    prefixes = [
+        b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"\x89PNG\r\n\x1a\n",
+        b"GIF89a", b"BM", b"\xff\xd8", b"\xff\xd8\xff", b"\x89PNG",
+    ]
+    for i in range(300):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        data = prefixes[i % len(prefixes)] + body
+        r1 = parse_wav(data)
+        r2 = parse_image_header(data)
+        for r in (r1, r2):
+            if r is not None:
+                assert all(isinstance(x, (str, int)) for x in r)
+                # dimensions/duration from random bytes must still be
+                # non-negative ints, never garbage types
+                assert all(x >= 0 for x in r if isinstance(x, int))

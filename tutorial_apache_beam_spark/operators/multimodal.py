@@ -108,17 +108,23 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
     decode stays behind `try_real_decoder`."""
     import struct
 
+    def _valid(fmt: str, w: int, h: int):
+        # A header whose dimensions aren't both positive is not a real
+        # container — arbitrary corpus bytes must map to None, never to
+        # garbage metadata (fuzzed in tests/test_llm_ops.py).
+        return (fmt, w, h) if w > 0 and h > 0 else None
+
     if len(content) >= 24 and content[:8] == b"\x89PNG\r\n\x1a\n":
         if content[12:16] == b"IHDR":
             w, h = struct.unpack(">II", content[16:24])
-            return "png", w, h
+            return _valid("png", w, h)
         return None
     if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", content[6:10])
-        return "gif", w, h
+        return _valid("gif", w, h)
     if len(content) >= 26 and content[:2] == b"BM":
         w, h = struct.unpack("<ii", content[18:26])
-        return "bmp", w, abs(h)  # negative height = top-down DIB
+        return _valid("bmp", w, abs(h))  # negative height = top-down DIB
     if len(content) >= 4 and content[:2] == b"\xff\xd8":
         # JPEG: walk the marker stream to the first SOFn frame header.
         pos = 2
@@ -132,7 +138,7 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
             (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
-                return "jpeg", w, h
+                return _valid("jpeg", w, h)
             pos += 2 + seg_len
         return None
     return None
