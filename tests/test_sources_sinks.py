@@ -304,3 +304,55 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     result = spark.read.parquet(str(out))
     assert result.count() == 150
     assert result.groupBy("v").count().filter("count > 1").count() == 0
+
+
+def test_commit_batch_exactly_once_converges_from_partial_attempt(
+    spark, tmp_path
+):
+    """Drive _commit_batch_exactly_once directly through its worst
+    on-disk states (r5): after a clean commit of batches 1 and 2, the
+    table is polluted with what a crash mid-replay of batch 2 leaves
+    behind — a half-renamed duplicate file under the batch's bid prefix
+    AND a leftover _staging dir with divergent content. Replaying the
+    batch must converge to exactly batches 1 ∪ 2: its own stale files
+    deleted (never batch 1's — and bid2- must not match bid20-), staging
+    rebuilt and swept."""
+    import shutil
+
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        _commit_batch_exactly_once,
+    )
+
+    out = tmp_path / "tbl"
+    b1 = spark.range(0, 10).withColumnRenamed("id", "v")
+    b2 = spark.range(100, 110).withColumnRenamed("id", "v")
+    _commit_batch_exactly_once(b1, 1, str(out), None)
+    _commit_batch_exactly_once(b2, 2, str(out), None)
+    # also a batch whose id shares the digit prefix: bid20- files must
+    # survive a bid2- replay untouched
+    b20 = spark.range(2000, 2010).withColumnRenamed("id", "v")
+    _commit_batch_exactly_once(b20, 20, str(out), None)
+    assert spark.read.parquet(str(out)).count() == 30
+
+    # pollute: duplicate one bid2- file (half-renamed prior attempt with
+    # a different task split) + leftover staging with divergent rows
+    bid2 = [p for p in out.iterdir() if p.name.startswith("bid2-")]
+    assert bid2
+    shutil.copy(bid2[0], out / ("bid2-" + "deadbeef-" + bid2[0].name[5:]))
+    dup_rows = spark.read.parquet(str(bid2[0])).count()
+    assert dup_rows > 0
+    staging = out / "_staging-2"
+    spark.range(5000, 5003).withColumnRenamed("id", "v").write.mode(
+        "overwrite"
+    ).parquet(str(staging))
+    # the polluted table over-counts batch 2 (readers exclude _staging)
+    assert spark.read.parquet(str(out)).count() == 30 + dup_rows
+
+    _commit_batch_exactly_once(b2, 2, str(out), None)
+    spark.catalog.clearCache()
+    result = spark.read.parquet(str(out))
+    vals = sorted(r["v"] for r in result.collect())
+    assert vals == list(range(0, 10)) + list(range(100, 110)) + list(
+        range(2000, 2010)
+    )
+    assert not any(p.name.startswith("_staging") for p in out.iterdir())
