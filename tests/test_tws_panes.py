@@ -892,3 +892,77 @@ def test_tws_pane_parity_across_real_microbatches(spark, tmp_path):
     for ws, uid, cnt, idx in v2:
         by_pane.setdefault((ws, uid), []).append(idx)
     assert any(sorted(v) == [0, 1] for v in by_pane.values()), v2
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_ingest_dedup_ttl_actually_expires(spark, tmp_path):
+    """The TTL smoke test proves the TTLConfig wire path; this proves the
+    SEMANTICS: with a 2-second state TTL, a fingerprint re-sent after the
+    TTL elapses is re-admitted (its seen-set entry expired), while a
+    fast duplicate inside the window stays suppressed."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_time BIGINT, user_id BIGINT, event_id BIGINT"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+
+    def sink_rows():
+        return sorted(
+            (r["user_id"], r["fingerprint"])
+            for r in spark.table("tws_ttl_expiry").collect()
+        )
+
+    try:
+        # batch 1: fp 1 twice (in-window dup suppressed) + fp 2
+        _write(src, "b0.json", [
+            {"event_time": BASE_EPOCH, "user_id": 7, "event_id": 1},
+            {"event_time": BASE_EPOCH + 1, "user_id": 7, "event_id": 1},
+            {"event_time": BASE_EPOCH + 2, "user_id": 7, "event_id": 2},
+        ])
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            tws_ingest_dedup(stream, ttl="2 seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_ttl_expiry")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if len(spark.table("tws_ttl_expiry").collect()) >= 2:
+                    break
+                time.sleep(0.5)
+            assert sink_rows() == [(7, 1), (7, 2)]
+
+            # wait past the TTL, then re-send fp 1: must be RE-admitted
+            time.sleep(3.0)
+            _write(src, "b1.json", [
+                {"event_time": BASE_EPOCH + 10, "user_id": 7, "event_id": 1},
+            ])
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if len(spark.table("tws_ttl_expiry").collect()) >= 3:
+                    break
+                time.sleep(0.5)
+            assert sink_rows() == [(7, 1), (7, 1), (7, 2)], sink_rows()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.catalog.dropTempView("tws_ttl_expiry")
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
