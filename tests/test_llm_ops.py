@@ -418,3 +418,40 @@ def test_media_header_parsers_never_raise_on_arbitrary_bytes():
                 # dimensions/duration from random bytes must still be
                 # non-negative ints, never garbage types
                 assert all(x >= 0 for x in r if isinstance(x, int))
+
+
+def test_lexical_gate_fusion_matches_standalone_operators(spark):
+    """The r5 fusion (one both-directions _counting_pair_stats feeding
+    both the jaccard and containment branches) must be row-identical to
+    the standalone operators it replaced — the shared-join rewrite is an
+    execution optimization, never a semantics change."""
+    from tutorial_apache_beam_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tutorial_apache_beam_spark.queries.llm import lexical_neardup_pairs
+
+    gate = lexical_neardup_pairs(spark, SF_DIR)
+    got_ng = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in gate.filter("method = 'ngram'").collect()
+    }
+    got_ct = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in gate.filter("method = 'containment'").collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    want_ng = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=100
+        ).collect()
+    }
+    want_ct = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in ngram_containment_pairs(
+            docs, threshold=0.5, max_doc_freq=100
+        ).collect()
+    }
+    assert got_ng == want_ng and len(want_ng) > 0
+    assert got_ct == want_ct and len(want_ct) > 0
