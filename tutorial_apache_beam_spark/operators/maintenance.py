@@ -96,6 +96,17 @@ def compact_partitions(
     At cluster scale the same loop runs with cloud-storage renames; the
     per-partition unit keeps the job restartable and the listing cost
     bounded (one partition's files in memory at a time, never the table's).
+
+    INTERACTION WITH THE EXACTLY-ONCE SINK (operational rule): the
+    sink's crash recovery self-replaces a replayed batch by deleting its
+    `bid<id>-` files before re-adding them. Compaction REWRITES files
+    into merged `part-` names, so a batch compacted away can no longer
+    self-delete — a subsequent replay of that batch would duplicate its
+    rows. Safe schedule: compact only partitions the streaming sink has
+    finished writing (e.g. closed date partitions behind the watermark),
+    and never while a stopped query might still replay its last
+    uncommitted batch into them. The retention job is safe either way —
+    a replay into a dropped partition is re-dropped by the next run.
     """
     root = Path(table_path)
     report = CompactionReport()
