@@ -445,3 +445,17 @@ def test_recorded_exchange_corpus_roundtrips():
         "DeleteTimer", "StateResponseWithListGet", "StateResponseWithTimer",
     ):
         assert required in names, f"corpus lost {required} coverage"
+    # ... and the TTLConfig wire field (the ProcessingTime retention
+    # path) must appear in at least one recorded StateCallCommand
+    import json as _json
+
+    ttl_seen = 0
+    with open(path) as fh:
+        for line in fh:
+            e = _json.loads(line)
+            if e["msg"].rsplit(".", 1)[-1] == "StateCallCommand":
+                m = classes[e["msg"]]()
+                m.ParseFromString(bytes.fromhex(e["wire"]))
+                if m.ttl.durationMs:
+                    ttl_seen += 1
+    assert ttl_seen, "corpus lost TTLConfig coverage"

@@ -144,6 +144,31 @@ def _drain_all(work_root: str) -> None:
             .start()
         )
         q.awaitTermination()
+
+    # TTL mode (ProcessingTime): the TTLConfig wire field is the one
+    # production retention feature the availableNow drains above never
+    # send. Continuous trigger + poll + stop, as in the TTL smoke test.
+    import time
+
+    q = (
+        tws_ingest_dedup(stream(), ttl="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("protoshim_corpus_ttl")
+        .option("checkpointLocation", os.path.join(work_root, "ck_ttl"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if len(spark.sql("SELECT 1 FROM protoshim_corpus_ttl").collect()):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
     spark.stop()
 
 
