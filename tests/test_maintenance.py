@@ -269,3 +269,45 @@ def test_upsert_partition_probe_is_capped(spark, tmp_path):
     import os
 
     assert not os.path.isdir(tdir)
+
+
+def test_compaction_partition_filter_protects_open_partitions(spark, tmp_path):
+    """The exactly-once/compaction interaction guard (r5): a
+    partition_filter scopes the job to closed partitions — filtered-out
+    dirs are reported skipped and their files stay byte-identical (a
+    replayed batch there can still self-replace by bid prefix)."""
+    import os
+
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        compact_partitions,
+    )
+
+    tdir = tmp_path / "tbl"
+    df = spark.createDataFrame(
+        [(d, i, "v") for d in ("2024-01-01", "2024-01-02") for i in range(8)],
+        "day STRING, k BIGINT, v STRING",
+    )
+    # fragment both partitions: 8 files each
+    df.repartition(8).write.partitionBy("day").parquet(str(tdir))
+
+    open_part = "day=2024-01-02"
+    before = {
+        e.name: os.path.getmtime(e.path)
+        for e in os.scandir(tdir / open_part)
+        if e.name.endswith(".parquet")
+    }
+    report = compact_partitions(
+        spark,
+        str(tdir),
+        partition_filter=lambda p: p < open_part,  # only the closed day
+    )
+    assert "day=2024-01-01" in report.compacted
+    assert open_part in report.skipped
+    after = {
+        e.name: os.path.getmtime(e.path)
+        for e in os.scandir(tdir / open_part)
+        if e.name.endswith(".parquet")
+    }
+    assert after == before  # untouched, not just "not merged"
+    # table content survives intact
+    assert spark.read.parquet(str(tdir)).count() == 16

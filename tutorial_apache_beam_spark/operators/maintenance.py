@@ -82,6 +82,7 @@ def compact_partitions(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    partition_filter: "callable | None" = None,
 ) -> CompactionReport:
     """Rewrite each `<col>=<value>` partition of a parquet table into
     ceil(partition_bytes / target_file_bytes) files.
@@ -103,10 +104,12 @@ def compact_partitions(
     into merged `part-` names, so a batch compacted away can no longer
     self-delete — a subsequent replay of that batch would duplicate its
     rows. Safe schedule: compact only partitions the streaming sink has
-    finished writing (e.g. closed date partitions behind the watermark),
-    and never while a stopped query might still replay its last
-    uncommitted batch into them. The retention job is safe either way —
-    a replay into a dropped partition is re-dropped by the next run.
+    finished writing — pass `partition_filter` (dir name → bool, e.g.
+    ``lambda p: p < f"event_date={watermark_day}"``) to scope the job to
+    closed partitions; filtered-out partitions are reported as skipped
+    and their files are never touched. The retention job is safe either
+    way — a replay into a dropped partition is re-dropped by the next
+    run.
     """
     root = Path(table_path)
     report = CompactionReport()
@@ -115,9 +118,15 @@ def compact_partitions(
     ] if root.exists() else []
     for part_dir in part_dirs:
         files = _data_files(part_dir)
+        report.files_before += len(files)
+        if partition_filter is not None and not partition_filter(
+            part_dir.name
+        ):
+            report.skipped.append(part_dir.name)
+            report.files_after += len(files)
+            continue
         part_bytes = sum(f.stat().st_size for f in files)
         want = max(1, math.ceil(part_bytes / target_file_bytes))
-        report.files_before += len(files)
         if len(files) < min_files_to_compact or len(files) <= want:
             report.skipped.append(part_dir.name)
             report.files_after += len(files)
