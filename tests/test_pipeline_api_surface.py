@@ -299,3 +299,49 @@ def test_combine_globally_windowed(spark):
     )
     got = {(r["window_start"], r["n"]) for r in out.select("window_start", "n").collect()}
     assert got == {(r["window_start"], r["n"]) for r in ref.collect()}
+
+
+def test_registry_driver_contract_shape():
+    """The driver checks exactly the registered window: 50 named gates,
+    every oracle key backed by a query, import-time-stable ordering
+    (registration order = checked order), and SQL strings that at least
+    parse in DuckDB against empty views — a syntax error in an oracle
+    should fail here, not in the round's correctness artifact."""
+    import duckdb
+
+    from tutorial_apache_beam_spark import registry
+
+    q = registry.queries()
+    o = registry.oracle_sql()
+    assert len(q) == 50, f"registry drifted to {len(q)} gates"
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
+    # registration order is the driver's checked window: stable, no dups
+    assert len(set(q)) == len(q)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM (VALUES (1)) LIMIT 0")
+    import json
+
+    bad = []
+    for name, sql in o.items():
+        # Parse-level validation only: json_serialize_sql reports parse
+        # failures in an "error" field (it does not raise), and never
+        # binds columns — so stub views suffice and nothing executes.
+        (res,) = con.execute(
+            f"SELECT json_serialize_sql($${sql}$$)"
+        ).fetchone()
+        parsed = json.loads(res)
+        if parsed.get("error"):
+            bad.append((name, parsed.get("error_message", "")[:120]))
+    con.close()
+    assert not bad, bad
+    # the validator itself must reject broken SQL
+    (res,) = duckdb.connect().execute(
+        "SELECT json_serialize_sql($$SELECT FROM WHERE$$)"
+    ).fetchone()
+    assert json.loads(res)["error"] is True
