@@ -108,6 +108,12 @@ def _gates():
         # simhash banded join (candidate growth must stay linear)
         "text_fingerprint_suite": q["text_fingerprint_suite"],
         "simhash_near_dups": q["simhash_near_dups"],
+        # round 5 additions: events-based RELATIONAL machinery — the
+        # as-of join (one shuffle, union+window; a range cross-join here
+        # would blow up quadratically in events) and the salted skew
+        # aggregation (salting cost must stay linear in rows)
+        "asof_join_purchase_last_click": q["asof_join_purchase_last_click"],
+        "salted_skew_aggregation": q["salted_skew_aggregation"],
     }
 
 
