@@ -77,6 +77,11 @@ def get_spark(
         # Fixture `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark
         # refuses by default; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Push filterless MIN/MAX/COUNT down to parquet footer statistics
+        # (off by default): a full-table COUNT(*) at 100 TB becomes a
+        # footer sweep instead of a data scan. Catalyst only applies it
+        # when semantics are exact (no filters, no partial groupings).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
