@@ -455,3 +455,48 @@ def test_lexical_gate_fusion_matches_standalone_operators(spark):
     }
     assert got_ng == want_ng and len(want_ng) > 0
     assert got_ct == want_ct and len(want_ct) > 0
+
+
+def test_kmeans_training_sample_cap_bounds_the_training_set(spark):
+    """kmeans_centroids trains on a deterministic hash-sample once the
+    corpus exceeds training_sample_cap (the 100 TB coarse-quantizer
+    recipe): capped training must still produce k unit-norm centroids,
+    be deterministic across calls, and keep ivf_ann_topk recall
+    reasonable on the fixture."""
+    import math
+
+    from tutorial_apache_beam_spark.operators.similarity import (
+        ann_recall_vs_exact,
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents1 = kmeans_centroids(
+        emb, n_centroids=4, iters=2, training_sample_cap=100
+    ).collect()
+    cents2 = kmeans_centroids(
+        emb, n_centroids=4, iters=2, training_sample_cap=100
+    ).collect()
+    assert len(cents1) == 4
+    # deterministic: hash-sample + hash-ordered init, no RNG
+    assert sorted(map(str, cents1)) == sorted(map(str, cents2))
+    for r in cents1:
+        norm = math.sqrt(sum(x * x for x in r["cv"]))
+        assert abs(norm - 1.0) < 1e-9
+
+    probes = emb.filter(F.col("vec_id") % 100 == 7)
+    exact = cosine_topk(emb, probes, k=5)
+    trained = ivf_ann_topk(
+        emb,
+        probes,
+        k=5,
+        nprobe=2,
+        centroids=spark.createDataFrame(
+            cents1, "centroid_id INT, cv ARRAY<DOUBLE>"
+        ),
+    )
+    row = ann_recall_vs_exact(exact, trained).first()
+    assert row["n_exact"] > 0
+    assert row["recall"] > 0.2  # sample-trained quantizer still useful

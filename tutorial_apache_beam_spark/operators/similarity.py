@@ -394,9 +394,19 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    training_sample_cap: int | None = 100_000,
 ) -> DataFrame:
     """Spherical k-means over an embedding column, as DataFrame
     aggregations — the trained-centroid path for `ivf_ann_topk`.
+
+    `training_sample_cap` bounds the TRAINING set (the standard coarse-
+    quantizer recipe): when the corpus exceeds the cap, Lloyd's rounds
+    run over a deterministic hash-sample of ~cap vectors instead of
+    scanning 100 TB per iteration — centroid quality needs a
+    representative sample, not the population, and assignment of the
+    full corpus happens once afterwards in `ivf_ann_topk` anyway. The
+    pre-count is a single (footer-pushdown-eligible) aggregate; pass
+    None to force full-corpus training.
 
     SPHERICAL (unit vectors, dot-product assignment), not Euclidean,
     because IVF bucket assignment is by cosine: training in a different
@@ -429,6 +439,17 @@ def kmeans_centroids(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         return mat / norms[:, None]
+
+    if training_sample_cap is not None:
+        total = df.count()
+        if total > training_sample_cap:
+            # Deterministic hash-sample at ~cap expected rows: portable
+            # across runs (F.hash is Murmur3 of the id), no RNG state.
+            denom = 1_000_003
+            keep = max(1, (training_sample_cap * denom) // total)
+            df = df.filter(
+                F.pmod(F.hash(F.col(id_col)), F.lit(denom)) < keep
+            )
 
     init = (
         df.select(as_double(F.col(vec_col)).alias("v"), F.col(id_col))
