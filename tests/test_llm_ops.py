@@ -500,3 +500,16 @@ def test_kmeans_training_sample_cap_bounds_the_training_set(spark):
     row = ann_recall_vs_exact(exact, trained).first()
     assert row["n_exact"] > 0
     assert row["recall"] > 0.2  # sample-trained quantizer still useful
+
+
+def test_cosine_topk_probe_cap_guards_driver(spark):
+    """The exact tier's probe collect is limit-probed like every other
+    driver materialization: an unbounded probe set raises with
+    remediation instead of OOMing the driver."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="max_probes"):
+        cosine_topk(emb, emb, k=3, max_probes=10)  # corpus-as-probes
+    # bounded sets work as before
+    assert cosine_topk(emb, emb.limit(5), k=3, max_probes=10).count() == 15

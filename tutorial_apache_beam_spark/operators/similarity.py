@@ -81,6 +81,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rank: bool = True,
+    max_probes: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe (excluding self).
 
@@ -97,9 +98,25 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    p_rows = probes.select(
-        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
-    ).collect()
+    # Guarded like every other driver probe in the engine (graph edges,
+    # upsert partitions): a limit-probe never collects more than the cap
+    # + 1 rows, so a caller passing an unbounded "probe" set gets a clear
+    # error instead of a driver OOM. 100k probes × 1k dims ≈ 800 MB is
+    # already past what the broadcast-matrix tier is for.
+    p_rows = (
+        probes.select(
+            F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
+        )
+        .limit(max_probes + 1)
+        .collect()
+    )
+    if len(p_rows) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}: the exact tier "
+            "collects and broadcasts the probe matrix, which is for "
+            "BOUNDED probe sets — chunk the probes, or use the srp/ivf "
+            "tiers whose probe side stays distributed"
+        )
     # The id type follows the corpus (string content-hash ids work the
     # same as integer ids); only the vectors must be numeric.
     id_type = dict(corpus.dtypes).get(id_col, "bigint")
