@@ -55,6 +55,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # drain. At cluster scale the staging write IS the data write and
 # renames are per-file metadata ops, so the overhead amortizes to ~0.
 #
+# Also r5: sf_scaling gains the relational entries (asof join, salted
+# skew agg) at base/10x, and the session enables parquet aggregate
+# pushdown — count()-bound timings may shift slightly (footer sweeps
+# replace data scans for filterless counts).
+#
 # r4 -> r5 gate-content changes (added coverage, not regressions):
 # `lexical_neardup_pairs` adds a third branch (ngram CONTAINMENT, both
 # orientations) over the same shared shingle scan; `ann_topk_methods`
