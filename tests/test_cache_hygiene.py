@@ -59,3 +59,32 @@ def test_simhash_releases_intermediates(spark):
     docs = load_table(spark, SF_DIR, "documents")
     pairs = simhash_near_pairs(docs, max_hamming=3)
     _assert_only_result_pinned(spark, pairs)
+
+
+def test_lexical_gate_releases_shared_scan_and_stats(spark):
+    """The r5 fused gate persists TWO shared intermediates (shingle scan
+    + both-directions pair stats); after the gate returns only its three
+    materialized branch results may remain pinned, and releasing them
+    restores the baseline."""
+    from tutorial_apache_beam_spark.queries.llm import lexical_neardup_pairs
+
+    _clean_session(spark)
+    out = lexical_neardup_pairs(spark, SF_DIR)
+    # branches are result-sized; the inv/stats caches must be gone
+    assert _n_persisted(spark) <= 3
+    out.count()
+    spark.catalog.clearCache()
+    assert _n_persisted(spark) == 0
+
+
+def test_ann_gate_releases_scoring_caches(spark):
+    """The r5 ann gate persists topk + exact7 internally; both are
+    released before return — only the small persisted result survives."""
+    from tutorial_apache_beam_spark.queries.similarity import ann_topk_methods
+
+    _clean_session(spark)
+    out = ann_topk_methods(spark, SF_DIR)
+    assert _n_persisted(spark) == 1  # the returned result itself
+    assert out.storageLevel.useMemory
+    out.unpersist(blocking=True)
+    assert _n_persisted(spark) == 0
