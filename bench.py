@@ -246,20 +246,25 @@ def main() -> None:
     # fixed per-query overhead amortizes). Disable: SPARK_GRAFT_SCALE_CHECK=0.
     sf_scaling = None
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        # Each section gets its OWN guard: a failure in the streaming
+        # drains must not discard the minutes of batch-family numbers
+        # already computed (and vice versa).
         try:
-            from tools.scale_stress import (
-                sf_scaling_section,
-                streaming_scaling_section,
-            )
+            from tools.scale_stress import sf_scaling_section
 
             sf_scaling = sf_scaling_section(spark, runs=1)
-            # r5: the stateful-streaming family at 10x events (disjoint
-            # key spaces, same time axis) — wall must grow ~linearly and
-            # state_ratio must equal the key multiplier (watermark-
-            # bounded state), VERDICT r4 item 3.
-            sf_scaling.update(streaming_scaling_section(spark, runs=1))
         except Exception as exc:  # never fail the bench over the extra check
             sf_scaling = {"error": f"{type(exc).__name__}: {exc}"}
+        # r5: the stateful-streaming family at 10x events (disjoint
+        # key spaces, same time axis) — wall must grow ~linearly and
+        # state_ratio must equal the key multiplier (watermark-
+        # bounded state), VERDICT r4 item 3.
+        try:
+            from tools.scale_stress import streaming_scaling_section
+
+            sf_scaling.update(streaming_scaling_section(spark, runs=1))
+        except Exception as exc:
+            sf_scaling["streaming_error"] = f"{type(exc).__name__}: {exc}"
 
     # r5 (VERDICT r4 item 4): state-v1 vs state-v2 pane throughput on a
     # 200k-event synthetic drain, so the demo2 --stateful-api default is

@@ -355,7 +355,8 @@ def test_image_header_real_decode(spark):
     )
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
     bmp = (
-        b"BM" + b"\x00" * 16
+        b"BM" + b"\x00" * 12
+        + struct.pack("<I", 40)          # BITMAPINFOHEADER size (validated)
         + struct.pack("<ii", 800, -600)  # top-down DIB: negative height
         + b"\x00" * 6
     )
@@ -372,6 +373,17 @@ def test_image_header_real_decode(spark):
     assert parse_image_header(jpeg) == ("jpeg", 352, 240)
     assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXX") is None
     assert parse_image_header(b"plain text") is None
+    # English text starting 'BM' must NOT parse as BMP (DIB-size check)
+    assert parse_image_header(b"BMW dealerships reported record sales") is None
+    # JPEG 0xFF fill padding between segments is legal and must be skipped
+    jpeg_padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before the marker
+        + b"\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 64, 128) + b"\x03" + b"\x00\x00\x00"
+    )
+    assert parse_image_header(jpeg_padded) == ("jpeg", 128, 64)
 
     media = spark.createDataFrame(
         [

@@ -200,6 +200,11 @@ def main() -> None:
         with open(path) as fh:
             for line in fh:
                 parts = line.split()
+                # An all-default message serializes to ZERO bytes: its
+                # trace line has an empty hex field (3 parts). Keep it —
+                # the empty-wire encoding path is corpus-worthy too.
+                if len(parts) == 3 and parts[2] == "0B":
+                    parts.append("")
                 if len(parts) != 4:
                     continue
                 op, full_name, _size, hexpayload = parts

@@ -199,6 +199,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int = 100,
     shingle_rows: DataFrame | None = None,
+    pair_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, candidates from an
     inverted shingle index (docs sharing ≥1 non-hot shingle).
@@ -222,16 +223,28 @@ def ngram_jaccard_pairs(
     the same n), already persisted by the CALLER — lets multi-method
     pipelines (e.g. the ngram+minhash union gate) pay the tokenize+hash
     scan once; ownership (unpersist) stays with the caller.
+
+    `pair_stats`: deeper sharing for multi-METRIC callers — a
+    both-directions `_counting_pair_stats` frame (caller-persisted,
+    caller-released). Jaccard is symmetric, so this operator keeps its
+    id_a < id_b half; the same frame feeds `ngram_containment_pairs`
+    whole, so the candidate join runs once for both metrics and the
+    score expression lives only here.
     """
-    caller_owns = shingle_rows is not None
-    inv = (
-        shingle_rows
-        if caller_owns
-        else _shingle_rows(df, text_col, id_col, n).persist()
-    )
-    stats = _counting_pair_stats(
-        inv, id_col, max_doc_freq, both_directions=False
-    )
+    if pair_stats is not None:
+        stats = pair_stats.filter(F.col("id_a") < F.col("id_b"))
+        released: tuple = ()
+    else:
+        caller_owns = shingle_rows is not None
+        inv = (
+            shingle_rows
+            if caller_owns
+            else _shingle_rows(df, text_col, id_col, n).persist()
+        )
+        stats = _counting_pair_stats(
+            inv, id_col, max_doc_freq, both_directions=False
+        )
+        released = () if caller_owns else (inv,)
     verified = (
         stats.withColumn(
             "jaccard",
@@ -244,7 +257,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    released = () if caller_owns else (inv,)
     return _materialize_and_release(verified, *released)
 
 
@@ -547,6 +559,7 @@ def ngram_containment_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = 100,
     shingle_rows: DataFrame | None = None,
+    pair_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT: |A∩B| / |A|.
 
@@ -560,16 +573,24 @@ def ngram_containment_pairs(
     intersection comes out of the inverted-index join's pair counts plus
     the hot-shingle correction — no set assembly, no all-pairs. Output:
     (id_a, id_b, containment) where containment = |A∩B| / |A|.
+
+    `pair_stats`: see `ngram_jaccard_pairs` — a caller-shared
+    both-directions stats frame (this metric consumes it whole).
     """
-    caller_owns = shingle_rows is not None
-    inv = (
-        shingle_rows
-        if caller_owns
-        else _shingle_rows(df, text_col, id_col, n).persist()
-    )
-    stats = _counting_pair_stats(
-        inv, id_col, max_doc_freq, both_directions=True
-    )
+    if pair_stats is not None:
+        stats = pair_stats
+        released: tuple = ()
+    else:
+        caller_owns = shingle_rows is not None
+        inv = (
+            shingle_rows
+            if caller_owns
+            else _shingle_rows(df, text_col, id_col, n).persist()
+        )
+        stats = _counting_pair_stats(
+            inv, id_col, max_doc_freq, both_directions=True
+        )
+        released = () if caller_owns else (inv,)
     verified = (
         stats.withColumn(
             "containment", F.round(F.col("_inter") / F.col("_n_a"), 4)
@@ -577,5 +598,4 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
-    released = () if caller_owns else (inv,)
     return _materialize_and_release(verified, *released)

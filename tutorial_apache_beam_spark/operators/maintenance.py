@@ -31,6 +31,13 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# One size heuristic for every driver-probe guard in the engine — a fix
+# to the estimate must not silently diverge between the graph and upsert
+# probes.
+from tutorial_apache_beam_spark.operators.graph import (
+    _row_bytes as _partition_value_bytes,
+)
+
 
 def write_bucketed(
     df: DataFrame,
@@ -153,16 +160,6 @@ def compact_partitions(
     return report
 
 
-def _partition_value_bytes(value) -> int:
-    """Rough serialized size of one partition value (probe guard — same
-    heuristic as graph._row_bytes)."""
-    if value is None:
-        return 1
-    if isinstance(value, str):
-        return len(value.encode("utf-8", errors="replace"))
-    if isinstance(value, (bytes, bytearray)):
-        return len(value)
-    return 8
 
 
 def upsert_partitions(

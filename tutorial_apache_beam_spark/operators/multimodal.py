@@ -123,6 +123,15 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
         w, h = struct.unpack("<HH", content[6:10])
         return _valid("gif", w, h)
     if len(content) >= 26 and content[:2] == b"BM":
+        # 'BM' is also an English word prefix — plain text starting "BM"
+        # would otherwise yield ASCII-derived garbage dimensions (both
+        # int32 high bytes < 0x80, so always positive). Require the DIB
+        # header-size field (bytes 14-18) to be one of the published
+        # BITMAPINFOHEADER family sizes; ASCII text there decodes to
+        # values like 0x20616562, never these.
+        (dib_size,) = struct.unpack("<I", content[14:18])
+        if dib_size not in (12, 40, 52, 56, 64, 108, 124):
+            return None
         w, h = struct.unpack("<ii", content[18:26])
         return _valid("bmp", w, abs(h))  # negative height = top-down DIB
     if len(content) >= 4 and content[:2] == b"\xff\xd8":
@@ -131,15 +140,26 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
         while pos + 9 <= len(content):
             if content[pos] != 0xFF:
                 return None
-            marker = content[pos + 1]
+            # JPEG permits runs of 0xFF fill bytes between segments —
+            # skip padding until the actual marker byte.
+            marker_pos = pos + 1
+            while marker_pos < len(content) and content[marker_pos] == 0xFF:
+                marker_pos += 1
+            if marker_pos + 8 > len(content):
+                return None
+            marker = content[marker_pos]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2  # standalone markers carry no length
+                pos = marker_pos + 1  # standalone markers carry no length
                 continue
-            (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+            (seg_len,) = struct.unpack(
+                ">H", content[marker_pos + 1 : marker_pos + 3]
+            )
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
+                h, w = struct.unpack(
+                    ">HH", content[marker_pos + 4 : marker_pos + 8]
+                )
                 return _valid("jpeg", w, h)
-            pos += 2 + seg_len
+            pos = marker_pos + 1 + seg_len
         return None
     return None
 
@@ -169,17 +189,26 @@ def wav_features(media: DataFrame) -> DataFrame:
             )}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 content = bytes(content)
-                meta = parse_wav(content)
-                if meta is None:
+                if (
+                    len(content) < 12
+                    or content[:4] != b"RIFF"
+                    or content[8:12] != b"WAVE"
+                ):
                     continue
-                ch, sr, duration_ms = meta
+                # ONE container parse per row: header fields and frames
+                # from the same wave.open (parse_wav stays for the
+                # header-only decode_metadata path).
                 try:
                     with wave.open(io.BytesIO(content)) as w:
                         if w.getsampwidth() != 2:
                             continue  # 16-bit PCM only in this tier
-                        raw = w.readframes(w.getnframes())
+                        ch = w.getnchannels()
+                        sr = w.getframerate()
+                        n = w.getnframes()
+                        raw = w.readframes(n)
                 except (wave.Error, EOFError):
                     continue
+                duration_ms = int(n * 1000 // sr) if sr else 0
                 samples = (
                     np.frombuffer(raw, dtype="<i2").astype(np.float64)
                     / 32768.0

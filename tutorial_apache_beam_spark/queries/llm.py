@@ -222,8 +222,8 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tutorial_apache_beam_spark.operators.dedup import (
         _counting_pair_stats,
-        _materialize_and_release,
         _shingle_rows,
+        ngram_containment_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -232,27 +232,24 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv, "doc_id", 100, both_directions=True
     ).persist()
     try:
-        ng = _materialize_and_release(
-            stats.filter(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "score",
-                F.round(
-                    F.col("_inter")
-                    / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
-                    4,
-                ),
-            )
-            .filter(F.col("score") >= 0.2)
-            .select(F.lit("ngram").alias("method"), "id_a", "id_b", "score")
+        # The operators OWN the score expressions and thresholds; the
+        # gate only shares the scan (shingle_rows) and the candidate
+        # join (pair_stats) so each runs once for all branches.
+        ng = ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=100, pair_stats=stats
+        ).select(
+            F.lit("ngram").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("score"),
         )
-        ct = _materialize_and_release(
-            stats.withColumn(
-                "score", F.round(F.col("_inter") / F.col("_n_a"), 4)
-            )
-            .filter(F.col("score") >= 0.5)
-            .select(
-                F.lit("containment").alias("method"), "id_a", "id_b", "score"
-            )
+        ct = ngram_containment_pairs(
+            docs, threshold=0.5, max_doc_freq=100, pair_stats=stats
+        ).select(
+            F.lit("containment").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("containment").alias("score"),
         )
         mh = minhash_lsh_pairs(
             docs, n=3, k=12, bands=4, threshold=0.2, shingle_rows=inv
