@@ -234,7 +234,8 @@ def test_batching_stale_timer_does_not_flush_fresh_elements():
     assert h.list_states["pending"].rows == [(1,), (2,), (3,)]
     assert h.states["meta"].value == (0, 6)
 
-    # The LIVE timer fires: the full remainder flushes as one batch.
+    # The LIVE timer fires: the full remainder flushes as one batch and
+    # the sequence counter survives (r5: no batch_seq reuse after flush).
     flushed = pd.concat(
         list(
             proc.handleExpiredTimer(
@@ -245,7 +246,7 @@ def test_batching_stale_timer_does_not_flush_fresh_elements():
     assert flushed["batch_size"].tolist() == [3]
     assert flushed["element_ids"].tolist() == [[1, 2, 3]]
     assert h.list_states["pending"].rows is None
-    assert h.states["meta"].value is None
+    assert h.states["meta"].value == (1, 0)
 
 
 def test_batching_appends_without_rewrite_when_no_boundary_crossed():
@@ -966,3 +967,27 @@ def test_tws_ingest_dedup_ttl_actually_expires(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_batching_v2_timer_flush_preserves_sequence():
+    """v2 twin of the r5 seq-preservation fix: a timer flush emits the
+    remainder with the current seq and stores (seq+1, 0) — a later burst
+    continues the sequence instead of reusing 0."""
+    proc = BatchingProcessor(4)
+    h = _FakeHandle()
+    proc.init(h)
+    key = (7,)
+
+    _feed(proc, key, [1, 2], watermark_ms=0)  # seq 0 armed at 1
+    flushed = pd.concat(
+        list(
+            proc.handleExpiredTimer(
+                key, _FakeTimerValues(10), _FakeExpiredTimerInfo(1)
+            )
+        )
+    )
+    assert flushed["batch_seq"].tolist() == [0]
+    assert h.states["meta"].value == (1, 0)  # seq advanced, no live timer
+
+    out = _feed(proc, key, [10, 11, 12, 13], watermark_ms=10)
+    assert out["batch_seq"].tolist() == [1]  # continues, not reset

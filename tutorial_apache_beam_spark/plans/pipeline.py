@@ -105,14 +105,12 @@ class WindowingSpec:
 
 
 def _duration_to_seconds(d: str) -> int:
-    qty, _, unit = d.strip().partition(" ")
-    mult = {
-        "second": 1, "seconds": 1,
-        "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600,
-        "day": 86400, "days": 86400,
-    }[unit.lower()]
-    return int(qty) * mult
+    # One interval grammar across the engine (r5 review: two drifting
+    # parsers for the same Spark interval strings): delegate to the
+    # ms-based parser, which also accepts compound/week intervals.
+    from tutorial_apache_beam_spark.streaming.stateful import _duration_ms
+
+    return _duration_ms(d.strip()) // 1000
 
 
 class PCollection:

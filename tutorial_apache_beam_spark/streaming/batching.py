@@ -63,15 +63,27 @@ def _make_batcher(batch_size: int):
             )
 
         if state.hasTimedOut:
-            # Watermark passed the buffered data: flush the remainder as the
-            # key's final (possibly partial) batch and drop the state.
-            state.remove()
+            # Watermark passed the buffered data: flush the remainder as
+            # a (possibly partial) batch. The SEQUENCE SURVIVES the flush
+            # — on a stream where the key later receives more elements, a
+            # state.remove() here would reuse batch_seq 0 and break the
+            # contiguous-seq contract (r5 review finding). The residual
+            # state is one (seq, []) row per key ever seen — the same
+            # keep-forever shape as Beam's global-window GroupIntoBatches
+            # state; no timeout is re-armed, so an idle key costs nothing
+            # further until new data re-arms it.
+            state.update((seq + 1 if pending else seq, []))
             if pending:
                 yield frame(pending, seq)
             return
 
         for pdf in frames:
-            pending.extend(int(v) for v in pdf["element_id"])
+            # Nulls surface as NaN in the Arrow->pandas int column and
+            # int(NaN) raises in the executor; the builder filters them
+            # upstream, this dropna is defense in depth.
+            pending.extend(
+                int(v) for v in pdf["element_id"].dropna()
+            )
         while len(pending) >= batch_size:
             full, pending = pending[:batch_size], pending[batch_size:]
             yield frame(full, seq)
@@ -89,22 +101,26 @@ def group_into_batches(
     key_col: str = "user_id",
     element_col: str = "event_id",
     batch_size: int = 64,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Batch a keyed stream into groups of `batch_size` elements per key.
 
-    Input: a streaming DataFrame carrying a watermark (event-time timeouts
-    need one to fire the remainder flush). Output rows:
-    (user_id, batch_seq, batch_size, element_ids).
+    Input: a streaming DataFrame carrying a watermark on `ts_col`
+    (event-time timeouts need one to fire the remainder flush). Output
+    rows: (user_id, batch_seq, batch_size, element_ids). Null element
+    ids are dropped — there is nothing meaningful to batch.
     """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     # The watermark rides on the event-time column, so it must survive this
     # projection (same constraint as stateful.discarding_pane_counts).
     cols = [
         F.col(key_col).alias("user_id"),
         F.col(element_col).alias("element_id"),
     ]
-    if "ts" in events.columns:
-        cols.append(F.col("ts"))
-    keyed = events.select(*cols)
+    if ts_col in events.columns:
+        cols.append(F.col(ts_col))
+    keyed = events.filter(F.col(element_col).isNotNull()).select(*cols)
     return keyed.groupBy("user_id").applyInPandasWithState(
         _make_batcher(batch_size),
         outputStructType=OUTPUT_SCHEMA,

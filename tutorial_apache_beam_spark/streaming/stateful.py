@@ -47,16 +47,49 @@ STATE_SCHEMA = "win_ms ARRAY<BIGINT>, pane_idx ARRAY<INT>"
 
 
 def _duration_ms(duration: str) -> int:
-    """Parse a Spark interval string like '1 minute' / '30 seconds' to ms."""
-    qty, unit = duration.split()
+    """Parse a Spark interval string to milliseconds — the same grammar
+    `F.window` accepts for the calendar-free units: one or more
+    '<n> <unit>' pairs ('1 minute 30 seconds'), case-insensitive,
+    singular or plural, weeks included. The two consumers of a window
+    string (F.window and this parser) must agree on what's valid, or a
+    plan-time string crashes one layer but not the other."""
     unit_ms = {
         "millisecond": 1,
         "second": 1000,
         "minute": 60_000,
         "hour": 3_600_000,
         "day": 86_400_000,
-    }[unit.rstrip("s")]
-    return int(qty) * unit_ms
+        "week": 604_800_000,
+    }
+    tokens = duration.split()
+    if not tokens or len(tokens) % 2:
+        raise ValueError(f"cannot parse interval string {duration!r}")
+    total = 0
+    for qty, unit in zip(tokens[::2], tokens[1::2]):
+        key = unit.lower().rstrip("s")
+        if key not in unit_ms:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {duration!r}"
+            )
+        total += int(qty) * unit_ms[key]
+    return total
+
+
+def _require_utc_session(df: DataFrame, operator: str) -> None:
+    """The pane operators derive window epoch-ms from pandas timestamps,
+    which Arrow delivers SESSION-TIMEZONE-naive, and compare them to the
+    watermark (true UTC epoch ms). In a non-UTC session every comparison
+    is offset by the zone offset — open windows get pruned as expired and
+    pane ordinals silently reset. The engine session pins UTC
+    (session.get_spark); refuse to build the plan elsewhere."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz.upper() not in ("UTC", "GMT", "Z", "ETC/UTC"):
+        raise ValueError(
+            f"{operator} requires spark.sql.session.timeZone=UTC (got "
+            f"{tz!r}): pane state compares session-naive pandas "
+            "timestamps against the UTC watermark, which is only correct "
+            "when the session timezone is UTC"
+        )
 
 
 def _make_emit_pane(window_ms: int):
@@ -133,6 +166,7 @@ def discarding_pane_counts(
     `.discardingFiredPanes()` + `Count.perKey()` on a 1-minute fixed
     window, expressed as a keyed state-store operator.
     """
+    _require_utc_session(events, "discarding_pane_counts")
     # The watermark must ride on a column that survives the projection, so
     # it is declared on the derived window_start (event-time truncated to
     # the window) rather than the raw timestamp.

@@ -241,7 +241,14 @@ class BatchingProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         meta = self._meta.get()
-        seq, last_timer = meta if meta is not None else (0, None)
+        if meta is not None:
+            # last_ms uses 0 as the "no live timer" sentinel (a real
+            # target is always >= 1): set after a timer flush, where
+            # storing a NULL would ride on nullable-field serialization.
+            seq = meta[0]
+            last_timer = meta[1] if meta[1] else None
+        else:
+            seq, last_timer = 0, None
         stored = (
             [int(t[0]) for t in self._pending.get()]
             if self._pending.exists()
@@ -307,7 +314,7 @@ class BatchingProcessor(StatefulProcessor):
         meta = self._meta.get()
         if (
             meta is not None
-            and meta[1] is not None
+            and meta[1]
             and expiredTimerInfo.getExpiryTimeInMs() != meta[1]
         ):
             return
@@ -317,9 +324,14 @@ class BatchingProcessor(StatefulProcessor):
             else []
         )
         self._pending.clear()
-        self._meta.clear()
+        seq = meta[0] if meta is not None else 0
+        # The SEQUENCE SURVIVES the flush (matching the v1 operator's r5
+        # fix): clearing meta here would hand a later burst batch_seq 0
+        # again, breaking the contiguous-seq contract. last_ms=0 records
+        # that no timer is live; the residual state is one tiny row per
+        # key ever seen — Beam's global-window state shape.
+        self._meta.update((seq + 1 if pending else seq, 0))
         if pending:
-            seq = meta[0] if meta is not None else 0
             yield self._emit(user_id, pending, seq)
 
     def close(self) -> None:
@@ -331,10 +343,11 @@ def tws_group_into_batches(
     key_col: str = "user_id",
     element_col: str = "event_id",
     batch_size: int = 64,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """`group_into_batches` on the state-v2 API — identical contract:
     (user_id, batch_seq, batch_size, element_ids) rows, only the timer
-    flush may emit a partial batch.
+    flush may emit a partial batch; null element ids are dropped.
 
     Requires the RocksDB state-store provider (transformWithState
     backend) and a protobuf runtime (`protoshim.ensure_protobuf_runtime`
@@ -343,14 +356,16 @@ def tws_group_into_batches(
     from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
     from tutorial_apache_beam_spark.streaming.batching import OUTPUT_SCHEMA
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     ensure_protobuf_runtime(spark=events.sparkSession)
     cols = [
         F.col(key_col).alias("user_id"),
         F.col(element_col).alias("element_id"),
     ]
-    if "ts" in events.columns:
-        cols.append(F.col("ts"))
-    keyed = events.select(*cols)
+    if ts_col in events.columns:
+        cols.append(F.col(ts_col))
+    keyed = events.filter(F.col(element_col).isNotNull()).select(*cols)
     return keyed.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=BatchingProcessor(batch_size),
         outputStructType=OUTPUT_SCHEMA,
@@ -487,6 +502,11 @@ def tws_pane_counts(
     # with an opaque Python worker traceback.
     from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
 
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        _require_utc_session,
+    )
+
+    _require_utc_session(events, "tws_pane_counts")
     try:
         ensure_protobuf_runtime(spark=events.sparkSession)
     except ImportError as exc:
