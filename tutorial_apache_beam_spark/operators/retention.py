@@ -62,5 +62,10 @@ def apply_retention(
 
 
 def refresh_after_retention(spark: SparkSession, table_path: str) -> None:
-    """Invalidate cached file listings after partition deletion."""
-    spark.catalog.clearCache()
+    """Invalidate cached file listings for THIS table after partition
+    deletion: refreshByPath drops the path's FileIndex metadata and any
+    cache entries built over it, so pre-existing DataFrames re-list
+    instead of failing on deleted files — without evicting the session's
+    unrelated caches (which clearCache() would, and which never touched
+    file-listing metadata anyway)."""
+    spark.catalog.refreshByPath(table_path)

@@ -14,6 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _spark_version() -> str:
+    """The running Spark version, so classpath remediation messages give
+    a COMPLETE (group:artifact:version) Maven coordinate — a versionless
+    one fails session startup with 'Invalid maven coordinates'."""
+    import pyspark
+
+    return pyspark.__version__
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Columnar batch scan — vectorized, pushdown + pruning via Catalyst."""
     return spark.read.parquet(path)
@@ -111,8 +120,8 @@ def stream_kafka(
     except Exception as ex:  # pragma: no cover — depends on classpath
         raise RuntimeError(
             "kafka source requires the spark-sql-kafka package on the "
-            "classpath (start the session with "
-            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13)"
+            "classpath (start the session with spark.jars.packages="
+            f"org.apache.spark:spark-sql-kafka-0-10_2.13:{_spark_version()})"
         ) from ex
     return normalize_kafka(raw)
 
@@ -186,6 +195,6 @@ def publish_kafka(
             raise RuntimeError(
                 "kafka sink requires the spark-sql-kafka package on the "
                 "classpath (start the session with spark.jars.packages="
-                "org.apache.spark:spark-sql-kafka-0-10_2.13)"
+                f"org.apache.spark:spark-sql-kafka-0-10_2.13:{_spark_version()})"
             ) from ex
         raise

@@ -26,10 +26,12 @@ def _rethrow_if_avro_missing(fmt: str, ex: Exception) -> None:
     (spark-avro); translate its classpath failure into the same clear
     remediation error the kafka transport gives."""
     if fmt == "avro" and "Failed to find data source" in str(ex):
+        from tutorial_apache_beam_spark.sources.readers import _spark_version
+
         raise RuntimeError(
             "avro format requires the spark-avro package on the classpath "
-            "(start the session with "
-            "spark.jars.packages=org.apache.spark:spark-avro_2.13)"
+            "(start the session with spark.jars.packages="
+            f"org.apache.spark:spark-avro_2.13:{_spark_version()})"
         ) from ex
     raise ex
 

@@ -50,6 +50,7 @@ def run_stream_to_memory(
     parts = STREAM_STATE_PARTITIONS if state_partitions is None else state_partitions
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    query = None
     try:
         query = (
             streaming_df.writeStream.outputMode(output_mode)
@@ -59,6 +60,20 @@ def run_stream_to_memory(
             .start()
         )
         query.awaitTermination()
+    except BaseException:
+        # Same guard as run_streams_to_memory: an interrupted
+        # awaitTermination must not leave the query draining into the
+        # session (and its sink rows growing) forever.
+        if query is not None:
+            try:
+                query.stop()
+            except Exception:
+                pass
+            try:
+                spark.catalog.dropTempView(qname)
+            except Exception:
+                pass
+        raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
@@ -106,6 +121,14 @@ def run_streams_to_memory(
                 q.stop()
             except Exception:
                 pass
+        for n in names:
+            # q.stop() only terminates the query — the partially-drained
+            # memory-sink temp view would stay registered (and pinned in
+            # driver memory) without an explicit drop.
+            try:
+                spark.catalog.dropTempView(n)
+            except Exception:
+                pass
         raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -125,8 +148,6 @@ def stream_events(
     exactly as the batch catalog does — streaming and batch plans see
     identical input.
     """
-    from pyspark.sql import functions as F
-
     # Same self-sufficiency guard as catalog.load_table: the file-stream
     # source hits the same PARQUET_TYPE_ILLEGAL on a NANOS-form fixture if
     # the session wasn't built by session.get_spark.
@@ -147,9 +168,6 @@ def stream_events(
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    from tutorial_apache_beam_spark.catalog import normalize_events_ts
+
+    return normalize_events_ts(raw)
