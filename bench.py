@@ -301,17 +301,33 @@ def main() -> None:
             "tws_vs_v1": tws_vs_v1,
         },
     }
-    line = json.dumps(result)
-    # Durable copy FIRST (VERDICT r4 item 1a): the driver artifact keeps
-    # only a tail of stdout and r4's output outgrew it, losing 22
-    # per-query numbers — the repo file can never be truncated that way.
+    # Durable FULL copy first (VERDICT r4 item 1a): the driver artifact
+    # keeps only a ~2000-char tail of stdout and the full result outgrew
+    # it — the repo file can never be truncated that way.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_last.json"),
         "w",
     ) as fh:
-        fh.write(line + "\n")
-    print(line)
+        fh.write(json.dumps(result) + "\n")
+    # stdout gets a COMPACT line that FITS the driver's tail budget
+    # (VERDICT r5 item 3): headline metric + all 50 per-query numbers +
+    # the two scalar extras, minimal whitespace (~1.7k chars). The bulky
+    # extras (sf_scaling, tws_vs_v1, family_totals) live in
+    # bench_last.json, pointed to by "full".
+    slim = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": {
+            "demo2_stream_mib_per_s": mib_per_s,
+            "all_queries_total": result["extra"]["all_queries_total"],
+            "full": "bench_last.json",
+        },
+    }
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 if __name__ == "__main__":

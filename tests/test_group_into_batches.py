@@ -159,6 +159,28 @@ def test_duration_parser_accepts_compound_and_week_intervals():
         _duration_ms("3 fortnights")
     with pytest.raises(ValueError, match="cannot parse"):
         _duration_ms("90")
+    # Non-positive intervals fail loudly (window math / TTL consumers
+    # need strictly positive), but watermark components may opt into 0.
+    with pytest.raises(ValueError, match="strictly positive"):
+        _duration_ms("0 seconds")
+    with pytest.raises(ValueError, match="negative quantity"):
+        _duration_ms("-5 minutes")
+    with pytest.raises(ValueError, match="negative quantity"):
+        _duration_ms("-5 minutes", allow_zero=True)
+    assert _duration_ms("0 seconds", allow_zero=True) == 0
+
+
+def test_watermark_components_accept_zero_intervals():
+    """'0 seconds' skew/lateness is a legitimate watermark spec even
+    though windows/TTLs reject non-positive intervals."""
+    from tutorial_apache_beam_spark.plans.pipeline import WindowingSpec
+    from tutorial_apache_beam_spark.streaming.demos import _total_delay
+
+    spec = WindowingSpec(
+        ts_col="ts", allowed_skew="0 seconds", allowed_lateness="1 minute"
+    )
+    assert spec.watermark_delay_seconds() == 60
+    assert _total_delay("0 seconds", "0 seconds") == 0
 
 
 def test_pane_operators_require_utc_session(spark):

@@ -353,7 +353,15 @@ def test_image_header_real_decode(spark):
         + struct.pack(">I", 13) + b"IHDR"
         + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
     )
-    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    # Minimal spec-complete GIF: 13-byte logical screen descriptor
+    # (no GCT, background 0, aspect 0) followed by the trailer 0x3B.
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00" + b"\x3b"
+    # With a global color table: packed 0x80|N=0 -> 6-byte GCT, then
+    # the trailer introducer right after it.
+    gif_gct = (
+        b"GIF89a" + struct.pack("<HH", 16, 8)
+        + b"\x80\x00\x00" + b"\x00" * 6 + b"\x3b"
+    )
     bmp = (
         b"BM" + b"\x00" * 12
         + struct.pack("<I", 40)          # BITMAPINFOHEADER size (validated)
@@ -369,12 +377,26 @@ def test_image_header_real_decode(spark):
     )
     assert parse_image_header(png) == ("png", 640, 480)
     assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(gif_gct) == ("gif", 16, 8)
     assert parse_image_header(bmp) == ("bmp", 800, 600)
     assert parse_image_header(jpeg) == ("jpeg", 352, 240)
     assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXX") is None
     assert parse_image_header(b"plain text") is None
     # English text starting 'BM' must NOT parse as BMP (DIB-size check)
     assert parse_image_header(b"BMW dealerships reported record sales") is None
+    # English text starting 'GIF89a' must NOT parse as GIF (logical-
+    # screen-descriptor guard: printable ASCII is neither background 0
+    # nor an introducer byte)
+    assert parse_image_header(b"GIF89a came out in 1989, notes the doc") is None
+    # OS/2 BITMAPCOREHEADER (dib_size 12): uint16 dimensions at 18-22
+    bmp_core = (
+        b"BM" + b"\x00" * 12
+        + struct.pack("<I", 12)
+        + struct.pack("<HH", 100, 200)
+        + struct.pack("<HH", 1, 24)  # planes, bit depth
+        + b"\x00" * 4
+    )
+    assert parse_image_header(bmp_core) == ("bmp", 100, 200)
     # JPEG 0xFF fill padding between segments is legal and must be skipped
     jpeg_padded = (
         b"\xff\xd8"

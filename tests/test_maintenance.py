@@ -237,6 +237,78 @@ def test_upsert_is_partition_scoped_not_key_global(spark, tmp_path):
     ]
 
 
+def test_upsert_moving_key_tombstone_recovery_e2e(spark, tmp_path):
+    """VERDICT r5 item 7: exercise the documented moving-key contract end
+    to end. A key that moves partitions leaves a stale duplicate in its
+    old partition (shown), and shipping a tombstone via `delete_keys`
+    repairs it — including the emptied-partition sweep and idempotent
+    re-ship."""
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        delete_keys,
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "v1"), ("2024-01-01", 2, "other")],
+        "day STRING, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 1
+
+    # Key 1 "moves" to 2024-01-02: the upsert touches only the new
+    # partition, so the old row is left behind as a stale duplicate.
+    moved = spark.createDataFrame(
+        [("2024-01-02", 1, "v2")], "day STRING, k BIGINT, v STRING"
+    )
+    assert upsert_partitions(spark, moved, tdir, "day", ["k"]) == 1
+    rows = sorted(
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    )
+    assert rows == [
+        ("2024-01-01", 1, "v1"),  # STALE: documented hazard, pre-repair
+        ("2024-01-01", 2, "other"),
+        ("2024-01-02", 1, "v2"),
+    ]
+
+    # Repair: ship the tombstone for (old partition, key).
+    tomb = spark.createDataFrame(
+        [("2024-01-01", 1)], "day STRING, k BIGINT"
+    )
+    assert delete_keys(spark, tomb, tdir, "day", ["k"]) == 1
+    rows = sorted(
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    )
+    assert rows == [("2024-01-01", 2, "other"), ("2024-01-02", 1, "v2")]
+
+    # Idempotent re-ship converges (no-op on an absent key).
+    assert delete_keys(spark, tomb, tdir, "day", ["k"]) == 1
+    assert spark.read.parquet(tdir).count() == 2
+
+    # Tombstoning a partition's LAST row sweeps the emptied directory so
+    # dynamic overwrite can't resurrect stale files.
+    tomb2 = spark.createDataFrame(
+        [("2024-01-01", 2)], "day STRING, k BIGINT"
+    )
+    assert delete_keys(spark, tomb2, tdir, "day", ["k"]) == 1
+    import os
+
+    assert not os.path.isdir(os.path.join(tdir, "day=2024-01-01"))
+    rows = sorted(
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    )
+    assert rows == [("2024-01-02", 1, "v2")]
+
+    # Empty tombstone frame and absent table are clean no-ops.
+    empty = spark.createDataFrame([], "day STRING, k BIGINT")
+    assert delete_keys(spark, empty, tdir, "day", ["k"]) == 0
+    assert (
+        delete_keys(spark, tomb, str(tmp_path / "nope"), "day", ["k"]) == 0
+    )
+
+
 def test_upsert_partition_probe_is_capped(spark, tmp_path):
     """VERDICT r4 item 7: the touched-partition collect is guarded like
     the union-find edge probe — a width cap (limit-probe, never a full

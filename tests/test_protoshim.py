@@ -272,6 +272,33 @@ def test_shim_defers_to_real_runtime_later_on_sys_path(tmp_path):
     assert out2[1].startswith(str(VENDOR_DIR))
 
 
+def test_shim_skips_its_own_symlink_alias(tmp_path):
+    """ADVICE r5: if the vendor dir appears on sys.path under a
+    SYMLINKED alias, the abspath comparison missed it and the shim
+    re-executed its own __init__ (deep recursion before falling back).
+    With realpath-based self detection the aliased entry is skipped and
+    the shim activates directly, no recursion."""
+    import subprocess
+    import sys
+
+    from tutorial_apache_beam_spark.protoshim import VENDOR_DIR
+
+    alias = tmp_path / "alias-protoshim"
+    alias.symlink_to(VENDOR_DIR)
+    code = (
+        "import sys; sys.setrecursionlimit(80); "  # recursion fails loudly
+        "import google.protobuf as gp; print(gp.__version__)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env={"PYTHONPATH": f"{VENDOR_DIR}:{alias}", "PATH": "/usr/bin:/bin"},
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    assert out[0] == "6.33.0"
+
+
 # --- generative roundtrip over random descriptors/values --------------------
 
 

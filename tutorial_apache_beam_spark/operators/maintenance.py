@@ -183,8 +183,9 @@ def upsert_partitions(
     stale duplicate; true key-global MERGE semantics would require
     scanning every partition of the table, which is exactly the cost
     this pruned incremental upsert exists to avoid. Callers with moving
-    keys must ship a delete/tombstone for the old partition or run a
-    periodic global dedup. Returns the number of partitions rewritten.
+    keys must ship a delete/tombstone for the old partition
+    (`delete_keys` below is that ship) or run a periodic global dedup.
+    Returns the number of partitions rewritten.
 
     Scale design: the only driver-side materialization is the DISTINCT
     set of touched partition VALUES — and that probe is guarded the same
@@ -260,6 +261,107 @@ def upsert_partitions(
             .partitionBy(partition_col)
             .parquet(table_dir)
         )
+    finally:
+        if old is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, old)
+    return len(touched)
+
+
+def delete_keys(
+    spark: SparkSession,
+    tombstones: DataFrame,
+    table_dir: str,
+    partition_col: str,
+    key_cols: list[str],
+    max_touched_partitions: int = 10_000,
+    touched_byte_budget: int = 64 * 1024 * 1024,
+) -> int:
+    """Partition-pruned keyed DELETE — the tombstone-ship half of the
+    moving-key contract `upsert_partitions` documents: a key that moved
+    partitions leaves a stale row in its OLD partition; shipping a
+    tombstone (partition_col, *key_cols) here removes exactly that row
+    while rewriting only the partitions the tombstones touch.
+
+    `tombstones` needs only the partition + key columns (extra columns
+    are ignored). Same scale guards as the upsert: the only driver
+    materialization is the limit-probed, byte-budgeted DISTINCT set of
+    touched partition values; the rewrite uses dynamic partition
+    overwrite so untouched partitions' files are never listed or moved.
+    Deleting a key absent from a touched partition is a no-op (idempotent
+    re-ship converges — same recovery contract as the upsert). Returns
+    the number of partitions rewritten.
+    """
+    from pyspark.sql import functions as F
+
+    probe = (
+        tombstones.select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    )
+    if len(probe) > max_touched_partitions:
+        raise ValueError(
+            f"tombstones touch more than {max_touched_partitions} distinct "
+            f"{partition_col!r} partitions — a delete at that width should "
+            "be a filtered table rewrite, not a pruned incremental delete"
+        )
+    touched = [r[0] for r in probe]
+    est_bytes = sum(_partition_value_bytes(v) for v in touched)
+    if est_bytes > touched_byte_budget:
+        raise ValueError(
+            f"touched-partition values estimate {est_bytes} bytes on the "
+            f"driver, over the {touched_byte_budget}-byte budget"
+        )
+    if not touched:
+        return 0
+    has_table = os.path.isdir(table_dir) and any(
+        e.name.startswith(f"{partition_col}=") for e in os.scandir(table_dir)
+    )
+    if not has_table:
+        return 0
+    join_keys = (
+        key_cols if partition_col in key_cols else [*key_cols, partition_col]
+    )
+    survivors = (
+        spark.read.parquet(table_dir)
+        .filter(F.col(partition_col).isin(touched))
+        .join(
+            tombstones.select(*join_keys).distinct(),
+            on=join_keys,
+            how="left_anti",
+        )
+    )
+    # A partition whose every row is tombstoned yields rows in no output
+    # partition — dynamic overwrite would then leave its old files in
+    # place. Real engines solve this with deletion vectors/metadata; here
+    # the kept-partition set (bounded by `touched`, so driver-safe) is
+    # computed BEFORE the write mutates the table, and emptied partitions
+    # are swept after the commit. Values compare as STRINGS on both
+    # sides: the table read may infer a typed partition column (e.g.
+    # DATE) while the tombstone frame carries strings, and the string
+    # form is what names the partition directory anyway.
+    kept = {
+        r[0]
+        for r in survivors.select(
+            F.col(partition_col).cast("string")
+        ).distinct().collect()
+    }
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(table_dir)
+        )
+        for val in touched:
+            if str(val) not in kept:
+                part_dir = Path(table_dir) / f"{partition_col}={val}"
+                if part_dir.is_dir():
+                    shutil.rmtree(part_dir)
     finally:
         if old is None:
             spark.conf.unset(mode_key)

@@ -119,8 +119,29 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
             w, h = struct.unpack(">II", content[16:24])
             return _valid("png", w, h)
         return None
-    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+    if len(content) >= 14 and content[:6] in (b"GIF87a", b"GIF89a"):
+        # 'GIF87a'/'GIF89a' can begin plain ASCII text too — mirror the
+        # BMP dib-size guard with a logical-screen-descriptor sanity
+        # check so ASCII bytes don't decode as dimensions. The 13-byte
+        # header (signature, w, h, packed, background, aspect) is
+        # followed by the global color table (if the packed-fields flag
+        # says so) and then an introducer: extension 0x21, image
+        # descriptor 0x2C, or trailer 0x3B.
         w, h = struct.unpack("<HH", content[6:10])
+        packed, background = content[10], content[11]
+        if packed & 0x80:
+            # GCT present: 3 * 2^(N+1) table bytes follow the header.
+            gct_end = 13 + 3 * (2 << (packed & 0x07))
+            if len(content) <= gct_end or content[gct_end] not in (
+                0x21, 0x2C, 0x3B,
+            ):
+                return None
+        elif background != 0 or content[13] not in (0x21, 0x2C, 0x3B):
+            # No GCT: the spec fixes the background index at 0 and the
+            # stream continues immediately with an introducer. ASCII
+            # text fails both (printable bytes are nonzero and not
+            # introducers).
+            return None
         return _valid("gif", w, h)
     if len(content) >= 26 and content[:2] == b"BM":
         # 'BM' is also an English word prefix — plain text starting "BM"
@@ -132,6 +153,11 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
         (dib_size,) = struct.unpack("<I", content[14:18])
         if dib_size not in (12, 40, 52, 56, 64, 108, 124):
             return None
+        if dib_size == 12:
+            # BITMAPCOREHEADER (OS/2): width/height are uint16 at bytes
+            # 18-22, not the int32 pair of the BITMAPINFOHEADER family.
+            w, h = struct.unpack("<HH", content[18:22])
+            return _valid("bmp", w, h)
         w, h = struct.unpack("<ii", content[18:26])
         return _valid("bmp", w, abs(h))  # negative height = top-down DIB
     if len(content) >= 4 and content[:2] == b"\xff\xd8":

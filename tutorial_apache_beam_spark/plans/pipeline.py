@@ -108,9 +108,11 @@ def _duration_to_seconds(d: str) -> int:
     # One interval grammar across the engine (r5 review: two drifting
     # parsers for the same Spark interval strings): delegate to the
     # ms-based parser, which also accepts compound/week intervals.
+    # allow_zero: this path feeds watermark-delay components, where
+    # '0 seconds' (no skew / no lateness) is a legitimate value.
     from tutorial_apache_beam_spark.streaming.stateful import _duration_ms
 
-    return _duration_ms(d.strip()) // 1000
+    return _duration_ms(d.strip(), allow_zero=True) // 1000
 
 
 class PCollection:

@@ -254,4 +254,8 @@ def demo2_panes_pipeline(
 def _total_delay(allowed_skew: str, allowed_lateness: str) -> int:
     from tutorial_apache_beam_spark.streaming.stateful import _duration_ms
 
-    return (_duration_ms(allowed_skew) + _duration_ms(allowed_lateness)) // 1000
+    # Watermark components: '0 seconds' skew or lateness is legitimate.
+    return (
+        _duration_ms(allowed_skew, allow_zero=True)
+        + _duration_ms(allowed_lateness, allow_zero=True)
+    ) // 1000

@@ -46,13 +46,19 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "win_ms ARRAY<BIGINT>, pane_idx ARRAY<INT>"
 
 
-def _duration_ms(duration: str) -> int:
+def _duration_ms(duration: str, allow_zero: bool = False) -> int:
     """Parse a Spark interval string to milliseconds — the same grammar
     `F.window` accepts for the calendar-free units: one or more
     '<n> <unit>' pairs ('1 minute 30 seconds'), case-insensitive,
     singular or plural, weeks included. The two consumers of a window
     string (F.window and this parser) must agree on what's valid, or a
-    plan-time string crashes one layer but not the other."""
+    plan-time string crashes one layer but not the other.
+
+    Negative quantities always raise; a zero total raises too unless
+    `allow_zero` — window durations and state TTLs need a strictly
+    positive interval (matching F.window's rejection), while watermark
+    components (allowed skew / lateness) legitimately accept
+    '0 seconds'."""
     unit_ms = {
         "millisecond": 1,
         "second": 1000,
@@ -71,7 +77,18 @@ def _duration_ms(duration: str) -> int:
             raise ValueError(
                 f"unsupported interval unit {unit!r} in {duration!r}"
             )
+        if int(qty) < 0:
+            raise ValueError(
+                f"negative quantity {qty!r} in interval {duration!r}"
+            )
         total += int(qty) * unit_ms[key]
+    if total <= 0 and not allow_zero:
+        # Match F.window's rejection of non-positive intervals: a 0-ms
+        # window/TTL would silently break pane math and state expiry
+        # downstream — fail loudly at plan time instead.
+        raise ValueError(
+            f"interval {duration!r} must be strictly positive"
+        )
     return total
 
 
