@@ -60,6 +60,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # pushdown — count()-bound timings may shift slightly (footer sweeps
 # replace data scans for filterless counts).
 #
+# r5 -> r6 gate-content changes: `ann_topk_methods` keeps its full
+# hash-checked surface (4 oracle-checked tiers + ivf_recall + the
+# trained-ge-sampled invariant) but stops re-paying overhead per pass —
+# one persisted embeddings scan shared by all tiers/searches, k-means at
+# 2 Lloyd's rounds (was 3), and driver-side sample training for small
+# capped training sets (the FAISS coarse-quantizer recipe; distributed
+# loop unchanged for big samples): 15.9 -> ~8 s at sf0.1.
+# `embedding_cosine_near_dups` ADDS the SemDeDup transitive-cluster
+# columns (component, canonical_a — semantic_dup_clusters promoted into
+# the hash-checked surface, VERDICT r5 item 4): expect ~+0.8 s on that
+# slot, added coverage not regression.
+#
+# r6 ratio attribution (VERDICT r5 item 2): the two sf_scaling ratios
+# that moved in r5 with unchanged operator paths both recovered on the
+# settled-machine r6 baseline re-record BEFORE any r6 code change —
+# text_fingerprint_suite 10x ratio 4.15 -> 1.68, ann_topk_fixed_probes
+# 5.15 -> 3.07 — confirming ambient-load noise, not data/planning drift
+# (the row counts recorded alongside each entry were already identical).
+#
 # r4 -> r5 gate-content changes (added coverage, not regressions):
 # `lexical_neardup_pairs` adds a third branch (ngram CONTAINMENT, both
 # orientations) over the same shared shingle scan; `ann_topk_methods`
@@ -270,13 +289,23 @@ def main() -> None:
     # 200k-event synthetic drain, so the demo2 --stateful-api default is
     # re-validated by data every round (recommendation in SCALING.md).
     tws_vs_v1 = None
+    pane_key_curve = None
     if os.environ.get("SPARK_GRAFT_TWS_BENCH", "1") != "0":
         try:
-            from tools.tws_bench import tws_vs_v1_section
+            from tools.tws_bench import (
+                pane_key_scaling_section,
+                tws_vs_v1_section,
+            )
 
             tws_vs_v1 = tws_vs_v1_section(spark)
+            # r6 (VERDICT r5 item 6): the same drain at 3x/10x key
+            # counts, both APIs — reuses the run above as the 1x point.
+            pane_key_curve = pane_key_scaling_section(spark, base=tws_vs_v1)
         except Exception as exc:
-            tws_vs_v1 = {"error": f"{type(exc).__name__}: {exc}"}
+            tws_vs_v1 = tws_vs_v1 or {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
+            pane_key_curve = {"error": f"{type(exc).__name__}: {exc}"}
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     families: dict[str, float] = {}
@@ -299,6 +328,7 @@ def main() -> None:
             "family_totals": families,
             "sf_scaling": sf_scaling,
             "tws_vs_v1": tws_vs_v1,
+            "pane_key_curve": pane_key_curve,
         },
     }
     # Durable FULL copy first (VERDICT r4 item 1a): the driver artifact

@@ -491,6 +491,29 @@ def test_lexical_gate_fusion_matches_standalone_operators(spark):
     assert got_ct == want_ct and len(want_ct) > 0
 
 
+def test_kmeans_driver_and_distributed_paths_agree(spark):
+    """r6: small training sets run Lloyd's in the driver (FAISS-style
+    sample training); forcing the distributed loop on the same data must
+    give the same centroids up to fp summation order — the threshold is
+    an execution choice, never a semantics change."""
+    import numpy as np
+
+    from tutorial_apache_beam_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fast = kmeans_centroids(emb, n_centroids=4, iters=2)  # driver path
+    slow = kmeans_centroids(
+        emb, n_centroids=4, iters=2, driver_train_threshold=0
+    )  # distributed loop
+    a = {r["centroid_id"]: r["cv"] for r in fast.collect()}
+    b = {r["centroid_id"]: r["cv"] for r in slow.collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert np.allclose(a[cid], b[cid], atol=1e-9), cid
+
+
 def test_kmeans_training_sample_cap_bounds_the_training_set(spark):
     """kmeans_centroids trains on a deterministic hash-sample once the
     corpus exceeds training_sample_cap (the 100 TB coarse-quantizer

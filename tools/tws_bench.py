@@ -116,16 +116,58 @@ def tws_vs_v1_section(
     return results
 
 
+def pane_key_scaling_section(
+    spark,
+    events: int = 200_000,
+    key_counts: tuple[int, ...] = (500, 1500, 5000),
+    base: dict | None = None,
+) -> dict:
+    """The pane operators' KEY-COUNT scaling curve (VERDICT r5 item 6):
+    fixed event volume, 1x/3x/10x distinct keys, BOTH stateful APIs —
+    `streaming_discarding_panes` is the one streaming shape whose wall
+    clock tracks key count (per-key Python invocation), so the
+    v1-vs-v2 default must be justified by where each API wins on this
+    curve, not by a single key count. `base` lets bench.py reuse its
+    already-measured tws_vs_v1 run as the first curve point instead of
+    re-draining it."""
+    curve = []
+    for users in key_counts:
+        r = (
+            base
+            if base is not None and base.get("users") == users
+            else tws_vs_v1_section(spark, events, users)
+        )
+        curve.append(
+            {
+                "users": users,
+                "v1_sec": r["v1_applyInPandasWithState"]["sec"],
+                "v2_sec": r["v2_transformWithState"]["sec"],
+            }
+        )
+    return {"events": events, "curve": curve}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=200_000)
     ap.add_argument("--users", type=int, default=500)
+    ap.add_argument(
+        "--key-curve",
+        action="store_true",
+        help="also time the 1x/3x/10x key-count scaling curve",
+    )
     args = ap.parse_args()
 
     from tutorial_apache_beam_spark import get_spark
 
     spark = get_spark(app_name="tws_bench")
-    print(json.dumps(tws_vs_v1_section(spark, args.events, args.users)))
+    base = tws_vs_v1_section(spark, args.events, args.users)
+    out = dict(base)
+    if args.key_curve:
+        out["pane_key_curve"] = pane_key_scaling_section(
+            spark, args.events, base=base
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

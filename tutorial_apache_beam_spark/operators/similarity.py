@@ -412,6 +412,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     training_sample_cap: int | None = 100_000,
+    driver_train_threshold: int = 25_000,
 ) -> DataFrame:
     """Spherical k-means over an embedding column, as DataFrame
     aggregations — the trained-centroid path for `ivf_ann_topk`.
@@ -448,6 +449,19 @@ def kmeans_centroids(
     clusters keep their previous centroid. Output: (centroid_id, cv),
     centroid_id 0..k-1; centroids are mean directions (cosine against
     them is scale-invariant, so no re-normalization is needed).
+
+    `driver_train_threshold` (r6): when the training set is at most this
+    many rows, Lloyd's rounds run IN THE DRIVER on the collected sample
+    — the standard coarse-quantizer recipe (FAISS trains its IVF
+    quantizer on an in-memory sample the same way). One bounded collect
+    (≤ threshold × dim doubles, ~13 MB at the default 25k × 64) replaces
+    iters × (corpus scan + two exchanges + centroid collect) of Spark
+    jobs whose per-job overhead dwarfs the arithmetic at sample scale.
+    Same init ordering, assignment math, and empty-cluster rule as the
+    distributed loop, so results are deterministic and path-equivalent
+    (tests pin cross-call determinism and recall on both paths). Larger
+    training sets (a raised cap, or cap=None full-corpus training) take
+    the distributed loop unchanged.
     """
     import numpy as np
     import pandas as pd
@@ -457,6 +471,7 @@ def kmeans_centroids(
         norms[norms == 0] = 1.0
         return mat / norms[:, None]
 
+    training_rows = None
     if training_sample_cap is not None:
         total = df.count()
         if total > training_sample_cap:
@@ -467,6 +482,36 @@ def kmeans_centroids(
             df = df.filter(
                 F.pmod(F.hash(F.col(id_col)), F.lit(denom)) < keep
             )
+            # Post-filter size ≈ cap by construction; use the cap as the
+            # driver-path estimate rather than paying another count.
+            training_rows = training_sample_cap
+        else:
+            training_rows = total
+
+    if training_rows is not None and training_rows <= driver_train_threshold:
+        sample = df.select(
+            F.hash(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        ).collect()
+        # Same deterministic init order as the distributed loop's
+        # orderBy(hash(id), id).limit(k).
+        sample.sort(key=lambda r: (r["_h"], r["_id"]))
+        mat = np.array([r["v"] for r in sample], dtype=np.float64)
+        um = _unit(mat)
+        cents = _unit(mat[:n_centroids].copy())
+        for _ in range(iters):
+            asg = (um @ _unit(cents).T).argmax(axis=1)
+            new_cents = cents.copy()
+            for c in range(n_centroids):
+                members = um[asg == c]
+                if len(members):
+                    new_cents[c] = members.mean(axis=0)
+            cents = _unit(new_cents)
+        rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+        return df.sparkSession.createDataFrame(
+            rows, "centroid_id INT, cv ARRAY<DOUBLE>"
+        )
 
     init = (
         df.select(as_double(F.col(vec_col)).alias("v"), F.col(id_col))
@@ -622,6 +667,7 @@ def semantic_dup_clusters(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic dedup: transitive clusters over the exact-cosine near-dup
     graph — the embedding-space analog of `queries.llm.near_dup_clusters`
@@ -634,14 +680,22 @@ def semantic_dup_clusters(
     distributed min-label propagation). Output: (id, component,
     is_canonical) — canonical = the min id of its cluster; singleton
     vectors don't appear (they are trivially canonical).
+
+    `pairs` lets a caller that ALREADY materialized the near-dup pair
+    frame (e.g. the `embedding_cosine_near_dups` gate, which returns the
+    pairs themselves) share it instead of re-running the blocked pair
+    generation; it must be persisted by that caller and carry
+    (id_a, id_b) edge columns.
     """
     from tutorial_apache_beam_spark.operators.graph import (
         connected_components,
     )
 
-    pairs = embedding_neardup_pairs(
-        df, threshold=threshold, id_col=id_col, vec_col=vec_col
-    ).persist()
+    owns_pairs = pairs is None
+    if owns_pairs:
+        pairs = embedding_neardup_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        ).persist()
     try:
         # Pass the persisted frame directly (it already carries id_a/id_b)
         # — a .select() projection would reset storageLevel to NONE and
@@ -658,5 +712,6 @@ def semantic_dup_clusters(
         out = out.persist()
         out.count()
     finally:
-        pairs.unpersist()
+        if owns_pairs:
+            pairs.unpersist()
     return out

@@ -72,19 +72,25 @@ _IVF_ASSIGN = f"""
 """
 
 
-def ann_scored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_scored_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """The LAZY four-tier scoring plan of `ann_topk_methods` (no caching,
     no recall rows): each tier contributes SCORED candidates
     (rank=False); one window over (method, probe_id) ranks the union —
     the same rows reach the exchange as with per-tier windows, but in
     ONE shuffle instead of three. Exposed separately so the plan-shape
     assertions (tests/test_plan_quality.py) can read the scoring plan
-    the gate materializes before it is hidden behind the cache scan."""
+    the gate materializes before it is hidden behind the cache scan.
+    `emb` lets the gate pass an already-persisted embeddings frame so
+    the four tiers share one materialized scan instead of four parquet
+    re-reads (r6 gate-cost trim)."""
     from pyspark.sql import Window
 
     from tutorial_apache_beam_spark.functions.vectors import quantize_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
     emb_q8 = emb.select(
         "vec_id", quantize_vector(F.col("embedding")).alias("embedding")
@@ -227,11 +233,17 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Persist the embeddings once for the WHOLE gate: the four scoring
+    # tiers, both probes7 searches, and k-means training all re-read the
+    # same small corpus — one materialized scan replaces ~10 parquet
+    # re-reads (r6 gate-cost trim, VERDICT r5 item 1). At 100 TB a coarse
+    # quantizer would train on the hash-sampled subset (see
+    # kmeans_centroids.training_sample_cap), not a full cached corpus.
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     # Persisted: the frame is read four times (returned rows + the two
     # tier slices feeding ivf_recall) — without the cache each read
     # re-runs all four scoring tiers. Small (4 methods × |probes| × 5).
-    topk = ann_scored_topk(spark, sf_dir).persist()
+    topk = ann_scored_topk(spark, sf_dir, emb=emb).persist()
     topk.count()
 
     exact5 = topk.filter(F.col("method") == "exact").select(
@@ -252,7 +264,12 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled_r = ann_recall_vs_exact(
         exact7, ivf_ann_topk(emb, probes7, k=5, nprobe=2)
     ).select(F.col("recall").alias("recall_sampled"))
-    cents = kmeans_centroids(emb, n_centroids=4, iters=3)
+    # iters=2 (was 3): each Lloyd's round costs a corpus scan + centroid
+    # collect INSIDE the gate, and the trained-ge-sampled invariant has
+    # identical discriminating power at 2 rounds (verified: trained
+    # recall still strictly above sampled at both sf0.01 and sf0.1) —
+    # VERDICT r5 item 1's sanctioned trim.
+    cents = kmeans_centroids(emb, n_centroids=4, iters=2)
     trained_r = ann_recall_vs_exact(
         exact7, ivf_ann_topk(emb, probes7, k=5, nprobe=2, centroids=cents)
     ).select(F.col("recall").alias("recall_trained"))
@@ -273,23 +290,73 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     topk.unpersist()
     exact7.unpersist()
+    emb.unpersist()
     return result
 
 
 @register(
     "embedding_cosine_near_dups",
     oracle=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
-    SELECT id_a, id_b, cos FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos
-      FROM v a JOIN v b ON a.vec_id < b.vec_id)
-    WHERE cos >= 0.35
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    pr AS (
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      WHERE cos >= 0.35),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT pr.id_a, pr.id_b, pr.cos, c.component,
+           (pr.id_a = c.component) AS canonical_a
+    FROM pr JOIN comp c ON c.node = pr.id_a
     """,
 )
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.35 (exact pairwise; the oracle
-    brute-forces the same space)."""
+    brute-forces the same space), each pair tagged with its SemDeDup-style
+    transitive cluster.
+
+    Round 6 (VERDICT r5 item 4): `operators.similarity.semantic_dup_clusters`
+    — the last first-class LLM operator that was pytest-only — is folded
+    into this gate's hash-checked surface without growing the registry
+    past 50. The pair frame is computed once (persisted) and shared with
+    the cluster stage; `component` is id_a's transitive cluster label
+    (= min vec_id of the cluster, identical for id_b by edge-
+    connectivity, so one column checks every non-singleton assignment)
+    and `canonical_a` marks the cluster representative. The oracle
+    recomputes the same closure with the recursive-CTE pattern from
+    `near_dup_clusters`.
+    """
+    from tutorial_apache_beam_spark.operators.similarity import (
+        semantic_dup_clusters,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.35)
+    pairs = embedding_neardup_pairs(emb, threshold=0.35).persist()
+    clusters = semantic_dup_clusters(emb, threshold=0.35, pairs=pairs)
+    out = (
+        pairs.join(
+            clusters.select(
+                F.col("vec_id").alias("id_a"),
+                "component",
+                F.col("is_canonical").alias("canonical_a"),
+            ),
+            "id_a",
+        )
+        .select("id_a", "id_b", "cos", "component", "canonical_a")
+        .persist()
+    )
+    out.count()
+    # Release both intermediates — only the result-sized pair+cluster
+    # frame stays pinned (cache-hygiene contract, tests/test_cache_hygiene).
+    clusters.unpersist()
+    pairs.unpersist()
+    return out
 
 
