@@ -56,12 +56,13 @@ def main() -> None:
         choices=["v1", "v2"],
         default="v1",
         help="discarding-panes only: v1 = applyInPandasWithState (any "
-        "state-store provider; measured faster at warm steady state for "
-        "small per-key state — the data-driven default, see SCALING.md "
-        "and the bench `tws_vs_v1` block re-recorded every round), v2 = "
-        "transformWithStateInPandas (typed state + timers; "
-        "requires/auto-selects RocksDB; wins when per-key state is large "
-        "or needs TTL/ListState/MapState)",
+        "state-store provider; measured faster at warm steady state at "
+        "EVERY key count on the 1x/3x/10x curve re-recorded each round "
+        "— the data-driven default, see SCALING.md `pane_key_curve`), "
+        "v2 = transformWithStateInPandas (typed state + timers; "
+        "requires/auto-selects RocksDB; flat key-count slope — "
+        "extrapolated crossover ~10-15k keys/micro-batch — and wins "
+        "when per-key state is large or needs TTL/ListState/MapState)",
     )
     args = ap.parse_args()
 
