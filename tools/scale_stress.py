@@ -114,6 +114,16 @@ def _gates():
         # aggregation (salting cost must stay linear in rows)
         "asof_join_purchase_last_click": q["asof_join_purchase_last_click"],
         "salted_skew_aggregation": q["salted_skew_aggregation"],
+        # round 6 addition: the promoted pair+cluster gate (blocked-BLAS
+        # O(n²) pair generation + connected components). Unlike the
+        # token-renamed documents, the rotated embedding replicas do NOT
+        # preserve linear pair structure: the 0.35 threshold sits inside
+        # the decorrelated cross-replica cosine bulk, so pair rows grow
+        # ~quadratically (measured 103× at 10× corpus) — which is the
+        # honest shape of exact all-pairs at a fixed threshold. The
+        # ratio to watch is wall vs PAIRS EMITTED (sub-linear: 3.5×
+        # wall for 103× rows), not wall vs corpus.
+        "embedding_cosine_near_dups": q["embedding_cosine_near_dups"],
     }
 
 
