@@ -159,15 +159,19 @@ def test_duration_parser_accepts_compound_and_week_intervals():
         _duration_ms("3 fortnights")
     with pytest.raises(ValueError, match="cannot parse"):
         _duration_ms("90")
-    # Non-positive intervals fail loudly (window math / TTL consumers
-    # need strictly positive), but watermark components may opt into 0.
+    # Non-positive TOTALS fail loudly (window math / TTL consumers need
+    # strictly positive), but watermark components may opt into exactly
+    # 0; negative components are fine while the sum stays positive —
+    # F.window accepts '1 minute -30 seconds', so this parser must too
+    # (one grammar across both layers).
     with pytest.raises(ValueError, match="strictly positive"):
         _duration_ms("0 seconds")
-    with pytest.raises(ValueError, match="negative quantity"):
+    with pytest.raises(ValueError, match="strictly positive"):
         _duration_ms("-5 minutes")
-    with pytest.raises(ValueError, match="negative quantity"):
+    with pytest.raises(ValueError, match="strictly positive"):
         _duration_ms("-5 minutes", allow_zero=True)
     assert _duration_ms("0 seconds", allow_zero=True) == 0
+    assert _duration_ms("1 minute -30 seconds") == 30_000
 
 
 def test_watermark_components_accept_zero_intervals():

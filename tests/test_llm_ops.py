@@ -385,9 +385,26 @@ def test_image_header_real_decode(spark):
     # English text starting 'BM' must NOT parse as BMP (DIB-size check)
     assert parse_image_header(b"BMW dealerships reported record sales") is None
     # English text starting 'GIF89a' must NOT parse as GIF (logical-
-    # screen-descriptor guard: printable ASCII is neither background 0
-    # nor an introducer byte)
+    # screen-descriptor guard: the data stream must continue with a
+    # valid introducer — and a '!' in text position 13 still fails the
+    # extension-label check)
     assert parse_image_header(b"GIF89a came out in 1989, notes the doc") is None
+    assert parse_image_header(b"GIF89a format! A 1989 classic format") is None
+    # Spec-valid GIF with a JUNK background byte and no GCT (the spec
+    # says ignore that field; some encoders emit nonzero) must parse.
+    gif_junk_bg = (
+        b"GIF89a" + struct.pack("<HH", 320, 200)
+        + b"\x00\x03\x00"           # packed=no GCT, background=3 (junk)
+        + b"\x2c" + b"\x00" * 9     # image descriptor (fits)
+    )
+    assert parse_image_header(gif_junk_bg) == ("gif", 320, 200)
+    # Graphic-control extension after the header also passes the label
+    # check.
+    gif_ext = (
+        b"GIF89a" + struct.pack("<HH", 64, 64)
+        + b"\x00\x00\x00" + b"\x21\xf9"
+    )
+    assert parse_image_header(gif_ext) == ("gif", 64, 64)
     # OS/2 BITMAPCOREHEADER (dib_size 12): uint16 dimensions at 18-22
     bmp_core = (
         b"BM" + b"\x00" * 12

@@ -309,6 +309,37 @@ def test_upsert_moving_key_tombstone_recovery_e2e(spark, tmp_path):
     )
 
 
+def test_delete_keys_sweeps_hive_escaped_partition_values(spark, tmp_path):
+    """Review r6: Spark Hive-escapes special characters in partition
+    directory names ('a b:c' -> 'day=a b%3Ac'); the emptied-partition
+    sweep must find those via the REAL directory listing, not by
+    reconstructing the name from the raw value."""
+    import os
+
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        delete_keys,
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a b:c", 1, "v1"), ("plain", 2, "v2")],
+        "day STRING, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 2
+    # The escaped directory actually exists (guards the fixture itself).
+    assert os.path.isdir(os.path.join(tdir, "day=a b%3Ac"))
+
+    tomb = spark.createDataFrame([("a b:c", 1)], "day STRING, k BIGINT")
+    assert delete_keys(spark, tomb, tdir, "day", ["k"]) == 1
+    assert not os.path.isdir(os.path.join(tdir, "day=a b%3Ac"))
+    rows = [
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    ]
+    assert rows == [("plain", 2, "v2")]
+
+
 def test_upsert_partition_probe_is_capped(spark, tmp_path):
     """VERDICT r4 item 7: the touched-partition collect is guarded like
     the union-find edge probe — a width cap (limit-probe, never a full

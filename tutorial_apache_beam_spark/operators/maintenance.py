@@ -162,6 +162,71 @@ def compact_partitions(
 
 
 
+def _probe_touched_partitions(
+    df: DataFrame,
+    partition_col: str,
+    max_touched_partitions: int,
+    touched_byte_budget: int,
+    what: str,
+) -> list:
+    """The guarded driver probe both incremental-maintenance ops share
+    (a fix to the guard logic must not silently diverge between them —
+    same rationale as the module-header note on the byte heuristic):
+    collect at most max+1 DISTINCT partition values, enforce the width
+    cap and the byte budget, return the touched values."""
+    probe = (
+        df.select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    )
+    if len(probe) > max_touched_partitions:
+        raise ValueError(
+            f"{what} touch more than {max_touched_partitions} distinct "
+            f"{partition_col!r} partitions; incremental maintenance at "
+            "that width rewrites most of the table anyway — use a plain "
+            "partitioned overwrite/rewrite, or raise "
+            "max_touched_partitions explicitly"
+        )
+    touched = [r[0] for r in probe]
+    est_bytes = sum(_partition_value_bytes(v) for v in touched)
+    if est_bytes > touched_byte_budget:
+        raise ValueError(
+            f"touched-partition values estimate {est_bytes} bytes on the "
+            f"driver, over the {touched_byte_budget}-byte budget — "
+            "partition values this wide should not be collected; raise "
+            "touched_byte_budget only if the driver is sized for it"
+        )
+    return touched
+
+
+def _has_partitioned_table(table_dir: str, partition_col: str) -> bool:
+    return os.path.isdir(table_dir) and any(
+        e.name.startswith(f"{partition_col}=") for e in os.scandir(table_dir)
+    )
+
+
+class _dynamic_overwrite:
+    """Context manager: set partitionOverwriteMode=dynamic, restore the
+    previous value (or unset) on exit — shared by both maintenance ops."""
+
+    _KEY = "spark.sql.sources.partitionOverwriteMode"
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(self._KEY, "dynamic")
+
+    def __exit__(self, *exc):
+        if self._old is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._old)
+        return False
+
+
 def upsert_partitions(
     spark: SparkSession,
     updates: DataFrame,
@@ -203,34 +268,13 @@ def upsert_partitions(
     is atomic in the committer); idempotent re-run converges, the same
     recovery contract as the checkpointed streaming sink.
     """
-    probe = (
-        updates.select(partition_col)
-        .distinct()
-        .limit(max_touched_partitions + 1)
-        .collect()
+    touched = _probe_touched_partitions(
+        updates, partition_col, max_touched_partitions,
+        touched_byte_budget, "updates",
     )
-    if len(probe) > max_touched_partitions:
-        raise ValueError(
-            f"updates touch more than {max_touched_partitions} distinct "
-            f"{partition_col!r} partitions; an upsert at that width "
-            "rewrites most of the table anyway — use a plain partitioned "
-            "overwrite, or raise max_touched_partitions explicitly"
-        )
-    touched = [r[0] for r in probe]
-    est_bytes = sum(_partition_value_bytes(v) for v in touched)
-    if est_bytes > touched_byte_budget:
-        raise ValueError(
-            f"touched-partition values estimate {est_bytes} bytes on the "
-            f"driver, over the {touched_byte_budget}-byte budget — "
-            "partition values this wide should not be collected; raise "
-            "touched_byte_budget only if the driver is sized for it"
-        )
     if not touched:
         return 0
-    has_table = os.path.isdir(table_dir) and any(
-        e.name.startswith(f"{partition_col}=") for e in os.scandir(table_dir)
-    )
-    if has_table:
+    if _has_partitioned_table(table_dir, partition_col):
         from pyspark.sql import functions as F
 
         existing = spark.read.parquet(table_dir).filter(
@@ -252,20 +296,12 @@ def upsert_partitions(
     else:
         merged = updates
 
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(mode_key, None)
-    spark.conf.set(mode_key, "dynamic")
-    try:
+    with _dynamic_overwrite(spark):
         (
             merged.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(table_dir)
         )
-    finally:
-        if old is None:
-            spark.conf.unset(mode_key)
-        else:
-            spark.conf.set(mode_key, old)
     return len(touched)
 
 
@@ -285,41 +321,32 @@ def delete_keys(
     while rewriting only the partitions the tombstones touch.
 
     `tombstones` needs only the partition + key columns (extra columns
-    are ignored). Same scale guards as the upsert: the only driver
+    are ignored). Same scale guards as the upsert (shared helpers —
+    `_probe_touched_partitions`, `_dynamic_overwrite`): the only driver
     materialization is the limit-probed, byte-budgeted DISTINCT set of
     touched partition values; the rewrite uses dynamic partition
     overwrite so untouched partitions' files are never listed or moved.
     Deleting a key absent from a touched partition is a no-op (idempotent
     re-ship converges — same recovery contract as the upsert). Returns
     the number of partitions rewritten.
+
+    Emptied-table contract: tombstoning a table's LAST rows leaves a
+    data-less table_dir, which a plain `spark.read.parquet` cannot infer
+    a schema from — the same end state `apply_retention` produces when
+    every partition expires. Directory-backed tables have no catalog
+    metadata to survive zero data; readers of a maybe-emptied table must
+    guard (as the maintenance ops themselves do via the partition-dir
+    check) or keep schema in an external catalog.
     """
     from pyspark.sql import functions as F
 
-    probe = (
-        tombstones.select(partition_col)
-        .distinct()
-        .limit(max_touched_partitions + 1)
-        .collect()
+    touched = _probe_touched_partitions(
+        tombstones, partition_col, max_touched_partitions,
+        touched_byte_budget, "tombstones",
     )
-    if len(probe) > max_touched_partitions:
-        raise ValueError(
-            f"tombstones touch more than {max_touched_partitions} distinct "
-            f"{partition_col!r} partitions — a delete at that width should "
-            "be a filtered table rewrite, not a pruned incremental delete"
-        )
-    touched = [r[0] for r in probe]
-    est_bytes = sum(_partition_value_bytes(v) for v in touched)
-    if est_bytes > touched_byte_budget:
-        raise ValueError(
-            f"touched-partition values estimate {est_bytes} bytes on the "
-            f"driver, over the {touched_byte_budget}-byte budget"
-        )
     if not touched:
         return 0
-    has_table = os.path.isdir(table_dir) and any(
-        e.name.startswith(f"{partition_col}=") for e in os.scandir(table_dir)
-    )
-    if not has_table:
+    if not _has_partitioned_table(table_dir, partition_col):
         return 0
     join_keys = (
         key_cols if partition_col in key_cols else [*key_cols, partition_col]
@@ -338,33 +365,42 @@ def delete_keys(
     # place. Real engines solve this with deletion vectors/metadata; here
     # the kept-partition set (bounded by `touched`, so driver-safe) is
     # computed BEFORE the write mutates the table, and emptied partitions
-    # are swept after the commit. Values compare as STRINGS on both
-    # sides: the table read may infer a typed partition column (e.g.
-    # DATE) while the tombstone frame carries strings, and the string
-    # form is what names the partition directory anyway.
+    # are swept after the commit. All value comparisons go through
+    # SPARK'S string form (cast-to-string on both frames): the table
+    # read may infer a typed partition column (DATE, BOOLEAN, ...) while
+    # the tombstone frame carries strings, and Python's str() of the
+    # collected objects does not always match (str(True) vs 'true').
     kept = {
         r[0]
         for r in survivors.select(
             F.col(partition_col).cast("string")
         ).distinct().collect()
     }
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(mode_key, None)
-    spark.conf.set(mode_key, "dynamic")
-    try:
+    touched_strs = {
+        r[0]
+        for r in tombstones.select(F.col(partition_col).cast("string"))
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    }
+    with _dynamic_overwrite(spark):
         (
             survivors.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(table_dir)
         )
-        for val in touched:
-            if str(val) not in kept:
-                part_dir = Path(table_dir) / f"{partition_col}={val}"
-                if part_dir.is_dir():
-                    shutil.rmtree(part_dir)
-    finally:
-        if old is None:
-            spark.conf.unset(mode_key)
-        else:
-            spark.conf.set(mode_key, old)
+        # Sweep by LISTING the real partition directories and unescaping
+        # their values (Spark Hive-escapes special characters in
+        # partition paths, e.g. ':' -> '%3A' — reconstructing the dir
+        # name from the raw value would miss those and silently leave
+        # the stale partition behind).
+        from urllib.parse import unquote
+
+        prefix = f"{partition_col}="
+        for entry in os.scandir(table_dir):
+            if not entry.is_dir() or not entry.name.startswith(prefix):
+                continue
+            val_str = unquote(entry.name[len(prefix):])
+            if val_str in touched_strs and val_str not in kept:
+                shutil.rmtree(entry.path)
     return len(touched)

@@ -126,21 +126,29 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
         # header (signature, w, h, packed, background, aspect) is
         # followed by the global color table (if the packed-fields flag
         # says so) and then an introducer: extension 0x21, image
-        # descriptor 0x2C, or trailer 0x3B.
+        # descriptor 0x2C, or trailer 0x3B. The background-index byte is
+        # deliberately NOT checked: the spec says to ignore it when no
+        # GCT is present, and real encoders do emit junk there.
         w, h = struct.unpack("<HH", content[6:10])
-        packed, background = content[10], content[11]
-        if packed & 0x80:
-            # GCT present: 3 * 2^(N+1) table bytes follow the header.
-            gct_end = 13 + 3 * (2 << (packed & 0x07))
-            if len(content) <= gct_end or content[gct_end] not in (
-                0x21, 0x2C, 0x3B,
+        packed = content[10]
+        # Where the data stream starts: after the GCT when present.
+        start = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+        if len(content) <= start:
+            return None
+        intro = content[start]
+        if intro == 0x21:
+            # Extension introducer must carry a published label byte
+            # (graphic control / comment / plain text / application) —
+            # printable ASCII after a '!' fails this.
+            if len(content) <= start + 1 or content[start + 1] not in (
+                0x01, 0xF9, 0xFE, 0xFF,
             ):
                 return None
-        elif background != 0 or content[13] not in (0x21, 0x2C, 0x3B):
-            # No GCT: the spec fixes the background index at 0 and the
-            # stream continues immediately with an introducer. ASCII
-            # text fails both (printable bytes are nonzero and not
-            # introducers).
+        elif intro == 0x2C:
+            # Image descriptor is 9 more bytes; require it to fit.
+            if len(content) < start + 10:
+                return None
+        elif intro != 0x3B:
             return None
         return _valid("gif", w, h)
     if len(content) >= 26 and content[:2] == b"BM":

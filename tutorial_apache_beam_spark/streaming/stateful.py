@@ -54,11 +54,14 @@ def _duration_ms(duration: str, allow_zero: bool = False) -> int:
     string (F.window and this parser) must agree on what's valid, or a
     plan-time string crashes one layer but not the other.
 
-    Negative quantities always raise; a zero total raises too unless
-    `allow_zero` — window durations and state TTLs need a strictly
-    positive interval (matching F.window's rejection), while watermark
-    components (allowed skew / lateness) legitimately accept
-    '0 seconds'."""
+    Validity is judged on the signed TOTAL, matching F.window's grammar
+    (which accepts negative components like '1 minute -30 seconds' as
+    long as the sum is positive — per-component rejection here would be
+    exactly the one-layer-crashes divergence this docstring warns
+    about): a non-positive total raises, except that `allow_zero`
+    permits exactly zero — window durations and state TTLs need a
+    strictly positive interval, while watermark components (allowed
+    skew / lateness) legitimately accept '0 seconds'."""
     unit_ms = {
         "millisecond": 1,
         "second": 1000,
@@ -77,15 +80,13 @@ def _duration_ms(duration: str, allow_zero: bool = False) -> int:
             raise ValueError(
                 f"unsupported interval unit {unit!r} in {duration!r}"
             )
-        if int(qty) < 0:
-            raise ValueError(
-                f"negative quantity {qty!r} in interval {duration!r}"
-            )
         total += int(qty) * unit_ms[key]
-    if total <= 0 and not allow_zero:
-        # Match F.window's rejection of non-positive intervals: a 0-ms
-        # window/TTL would silently break pane math and state expiry
-        # downstream — fail loudly at plan time instead.
+    if total < 0 or (total == 0 and not allow_zero):
+        # Match F.window's rejection of non-positive intervals: a
+        # negative or 0-ms window/TTL would silently break pane math and
+        # state expiry downstream — fail loudly at plan time instead.
+        # (allow_zero admits exactly zero for watermark components,
+        # never a negative total.)
         raise ValueError(
             f"interval {duration!r} must be strictly positive"
         )
