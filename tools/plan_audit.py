@@ -92,7 +92,15 @@ def main() -> None:
         f"`{SF_DIR}` — regenerate with `python tools/plan_audit.py > "
         "PLANS.md`. Streaming/sink gates are excluded (their builders "
         "drain live queries; their plan properties are asserted in "
-        "tests/test_plan_quality.py and the streaming tests instead)."
+        "tests/test_plan_quality.py and the streaming tests instead). "
+        "Counts are STATIC plans (pre-AQE): SF-linear sides (customer/"
+        "supplier/part and join-derived dims) intentionally carry no "
+        "broadcast hint — at this fixture SF a few of them therefore "
+        "audit as sort-merge, and AQE converts them to broadcast at "
+        "runtime when the built side fits; only bounded-cardinality "
+        "sides (nation/region/one-row aggregates) are hinted, so the "
+        "same plans stay safe at 100-TB SF instead of blowing the "
+        "8 GB broadcast limit."
     )
     print()
     print("| " + " | ".join(cols) + " |")

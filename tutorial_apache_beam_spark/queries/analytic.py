@@ -162,7 +162,12 @@ def multi_dim_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "amount",
     )
-    li.createOrReplaceTempView("lineitem")
+    # A gate must not clobber session-global view names a user may have
+    # registered for a DIFFERENT sf_dir (catalog.register_views): bind the
+    # SQL branch to a private view name and drop it once the plan is
+    # analyzed (spark.sql resolves views eagerly, so the DataFrame stays
+    # valid after the drop).
+    li.createOrReplaceTempView("_mda_lineitem_gsets")
     gsets = spark.sql(
         """
         SELECT 'gsets' AS src,
@@ -171,10 +176,11 @@ def multi_dim_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping_id(l_returnflag, l_suppkey) AS gid,
                count(*) AS n,
                round(sum(l_extendedprice), 2) AS amount
-        FROM lineitem
+        FROM _mda_lineitem_gsets
         GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
         """
     )
+    spark.catalog.dropTempView("_mda_lineitem_gsets")
     wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
@@ -191,6 +197,13 @@ def multi_dim_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("gid"),
         F.lit(None).cast("bigint").alias("n"),
         "amount",
+    ).filter(
+        # pivot() materializes a cell for every (flag, status) combination;
+        # a combination absent from the data unpivots to a NULL-amount row
+        # the oracle's plain GROUP BY never produces. All 6 combos exist in
+        # the TPC-H-ish fixtures, but real TPC-H guarantees ('R','O') is
+        # empty — drop the synthetic cells so semantics match at any SF.
+        F.col("amount").isNotNull()
     )
     return rollup.unionByName(cube).unionByName(gsets).unionByName(pivot_unpivot)
 
@@ -272,8 +285,11 @@ def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     per_nation = (
+        # No forced broadcast: customer grows linearly with SF (policy in
+        # queries/relational.py module docstring) — the size threshold /
+        # AQE picks broadcast exactly when the projected side fits.
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)

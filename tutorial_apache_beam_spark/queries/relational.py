@@ -4,6 +4,15 @@ The reference has no joins/SQL surface (single-stream pipelines only);
 this is the engine-scope extension over the TPC-H-ish star schema, all
 pure built-in DataFrame ops so Catalyst plans them (broadcast joins for
 dims, partial aggregation, pushdown).
+
+Broadcast policy (100-TB contract): an UNCONDITIONAL `F.broadcast` hint
+appears only on sides whose cardinality is bounded at any SF — nation
+(25 rows), region (5), and one-row scalar aggregates. Tables that grow
+linearly with SF (customer/supplier/part, even selectively filtered) and
+join-derived dims carry NO hint: at large SF a forced broadcast blows
+Spark's 8 GB broadcast limit / driver memory, while leaving the choice
+to the size-estimate threshold + AQE picks broadcast exactly when the
+side actually fits (AQE converts post-shuffle when runtime sizes allow).
 """
 
 from __future__ import annotations
@@ -92,7 +101,7 @@ def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
@@ -307,13 +316,19 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
+    # Rank on the RAW price (the oracle's inner ORDER BY is unrounded);
+    # rounding is display-only, applied after membership is decided —
+    # rounding first could flip the rank-25 cutoff at a .005 boundary.
     top_global = top_k(
-        orders.select(
-            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
-        ),
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         25,
-    ).select(F.lit("global").alias("scope"), "*")
+    ).select(
+        F.lit("global").alias("scope"),
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
     per_cust = (
         top_k_per_group(
             orders,
@@ -364,10 +379,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .join(
-            F.broadcast(
-                customer.filter(F.col("c_mktsegment") == "BUILDING").select(
-                    "c_custkey"
-                )
+            customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+                "c_custkey"
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -451,7 +464,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(
-            F.broadcast(customer.select("c_custkey", "c_name")),
+            customer.select("c_custkey", "c_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -571,7 +584,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_partkey", "l_suppkey")
         .distinct()
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal")),
+            supplier.select("s_suppkey", "s_name", "s_acctbal"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
     )
@@ -618,11 +631,11 @@ def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -662,11 +675,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = revenue.join(
-        F.broadcast(
-            customer.join(
-                F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-            ).select("c_custkey", "c_name", "c_acctbal", "n_name")
-        ),
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        ).select("c_custkey", "c_name", "c_acctbal", "n_name"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(
         "c_custkey",
@@ -693,7 +704,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == part.p_partkey,
         )
         .agg(
@@ -730,8 +741,8 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy(
             "supp_nation",
@@ -756,7 +767,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     j = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == part.p_partkey,
     )
     band = (
@@ -833,8 +844,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.round(
@@ -859,14 +870,14 @@ def q16_supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_partkey", "l_suppkey")
         .distinct()
         .join(
-            F.broadcast(blocked),
+            blocked,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
     )
     return (
         ps.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_size")
@@ -897,14 +908,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                part.filter(F.col("p_name").contains("red")).select(
-                    "p_partkey", "p_retailprice"
-                )
+            part.filter(F.col("p_name").contains("red")).select(
+                "p_partkey", "p_retailprice"
             ),
             li.l_partkey == part.p_partkey,
         )
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).alias("profit"))
@@ -989,7 +998,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        .join(supplier.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -1005,9 +1014,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     brand = li.join(
-        F.broadcast(
-            part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-        ),
+        part.filter(F.col("p_brand") == "Brand#23").select("p_partkey"),
         li.l_partkey == part.p_partkey,
     )
     avg_qty = brand.groupBy(F.col("l_partkey").alias("_pk")).agg(
@@ -1040,7 +1047,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     per_ps = (
-        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        li.join(red, li.l_partkey == red.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum("l_quantity").alias("total_qty"),
@@ -1355,7 +1362,10 @@ TPCH_SWEEP_SPECS: dict[str, tuple] = {
     "q22": (q22_global_sales_opportunity, ["cntrycode"], ["numcust", "totacctbal"]),
 }
 
-_SWEEP_WIDTH = 2  # max len(value columns) over the specs
+# Derived, not hardcoded: a future spec with more value columns would
+# otherwise be silently truncated on BOTH the engine and oracle sides —
+# exactly the silent-coverage-loss failure class the sweep exists to stop.
+_SWEEP_WIDTH = max(len(vals) for _fn, _keys, vals in TPCH_SWEEP_SPECS.values())
 
 
 def _sweep_oracle() -> str:

@@ -230,13 +230,17 @@ def streaming_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream ⋈ static dimension enrichment (stateless, broadcast at scale:
-    the static side re-reads per micro-batch, no state store involved)."""
+    """Stream ⋈ static dimension enrichment (stateless, no state store:
+    the static side re-reads per micro-batch). No forced broadcast —
+    customer is SF-linear, so the hint would blow the broadcast limit at
+    large SF; under the size threshold Spark still broadcasts a dim that
+    fits, and otherwise falls back to a per-micro-batch shuffle join,
+    which is the correct scale path for a huge static side."""
     from tutorial_apache_beam_spark.catalog import load_table
 
     sdf = stream_events(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = sdf.join(F.broadcast(dim), sdf.user_id == dim.c_custkey).select(
+    joined = sdf.join(dim, sdf.user_id == dim.c_custkey).select(
         "event_id",
         "user_id",
         F.col("c_mktsegment").alias("segment"),

@@ -118,11 +118,18 @@ def stream_kafka(
     try:
         raw = reader.load()
     except Exception as ex:  # pragma: no cover — depends on classpath
-        raise RuntimeError(
-            "kafka source requires the spark-sql-kafka package on the "
-            "classpath (start the session with spark.jars.packages="
-            f"org.apache.spark:spark-sql-kafka-0-10_2.13:{_spark_version()})"
-        ) from ex
+        # Message-gated like publish_kafka below: only a genuine
+        # missing-datasource failure gets the remediation wrapper; option
+        # typos, auth errors, etc. propagate untouched so the user chases
+        # the real problem, not a phantom dependency.
+        if "Failed to find data source" in str(ex):
+            raise RuntimeError(
+                "kafka source requires the spark-sql-kafka package on the "
+                "classpath (start the session with spark.jars.packages="
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                f"{_spark_version()})"
+            ) from ex
+        raise
     return normalize_kafka(raw)
 
 
