@@ -72,6 +72,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the hash-checked surface, VERDICT r5 item 4): expect ~+0.8 s on that
 # slot, added coverage not regression.
 #
+# Also r6: SF-linear join sides (customer/supplier/part, join-derived
+# dims) lost their forced F.broadcast hints (100-TB safety: a forced
+# broadcast blows the 8 GB limit at large SF). At sf0.1 AQE still
+# converts these to broadcast at runtime, but the conversion decision
+# happens after the build side materializes its shuffle map stage, so
+# relational slots may drift a few hundred ms — the 100-TB-safe plan is
+# now the measured plan.
+#
 # r6 ratio attribution (VERDICT r5 item 2): the two sf_scaling ratios
 # that moved in r5 with unchanged operator paths both recovered on the
 # settled-machine r6 baseline re-record BEFORE any r6 code change —
