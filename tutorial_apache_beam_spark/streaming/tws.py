@@ -36,6 +36,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -94,21 +95,27 @@ class PaneCountProcessor(StatefulProcessor):
                 if w + self._window_ms > watermark_ms
             }
 
-        counts = pdf.groupby("window_start", sort=True).size()
-        out: dict[str, list] = {
-            "window_start": [],
-            "user_id": [],
-            "pane_count": [],
-            "pane_index": [],
-        }
-        for window_start, n in counts.items():
-            w_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+        # Same hot-path counting as the v1 emitter (streaming/stateful
+        # _emit_pane): int64-epoch np.unique instead of a pandas groupby —
+        # one invocation per key per micro-batch is the cost model, and
+        # np.unique keeps groupby(sort=True)'s ascending window order.
+        w_ms_all = pdf["window_start"].to_numpy().astype("datetime64[ms]")
+        uniq_ms, counts = np.unique(w_ms_all.astype("int64"), return_counts=True)
+        pane_indexes = np.empty(len(uniq_ms), dtype="int32")
+        for j, w_ms in enumerate(uniq_ms.tolist()):
             idx = open_windows.get(w_ms, 0)
-            out["window_start"].append(window_start)
-            out["user_id"].append(user_id)
-            out["pane_count"].append(int(n))
-            out["pane_index"].append(idx)
+            pane_indexes[j] = idx
             open_windows[w_ms] = idx + 1
+        out = pd.DataFrame(
+            {
+                "window_start": uniq_ms.astype("datetime64[ms]").astype(
+                    "datetime64[ns]"
+                ),
+                "user_id": np.full(len(uniq_ms), user_id, dtype="int64"),
+                "pane_count": counts.astype("int64"),
+                "pane_index": pane_indexes,
+            }
+        )
 
         self._panes.update(
             (list(open_windows.keys()), list(open_windows.values()))
@@ -129,7 +136,7 @@ class PaneCountProcessor(StatefulProcessor):
                 self._handle.deleteTimer(prev_ms)
             self._handle.registerTimer(target)
             self._timer_ts.update((target,))
-        yield pd.DataFrame(out)
+        yield out
 
     # Keyword-exact signature — see BatchingProcessor.handleExpiredTimer.
     def handleExpiredTimer(
