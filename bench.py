@@ -279,7 +279,11 @@ def main() -> None:
         try:
             from tools.scale_stress import sf_scaling_section
 
-            sf_scaling = sf_scaling_section(spark, runs=1)
+            # min-of-2 like the sweep (r6): the scale sections were the
+            # last min-of-1 numbers in the artifact, and both r5→r6
+            # "ratio moved with no code change" hunts (text_fingerprint,
+            # lexical x10) traced to single-sample ambient outliers.
+            sf_scaling = sf_scaling_section(spark, runs=SWEEP_REPEATS)
         except Exception as exc:  # never fail the bench over the extra check
             sf_scaling = {"error": f"{type(exc).__name__}: {exc}"}
         # r5: the stateful-streaming family at 10x events (disjoint
@@ -289,7 +293,9 @@ def main() -> None:
         try:
             from tools.scale_stress import streaming_scaling_section
 
-            sf_scaling.update(streaming_scaling_section(spark, runs=1))
+            sf_scaling.update(
+                streaming_scaling_section(spark, runs=SWEEP_REPEATS)
+            )
         except Exception as exc:
             sf_scaling["streaming_error"] = f"{type(exc).__name__}: {exc}"
 
