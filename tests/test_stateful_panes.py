@@ -161,3 +161,62 @@ def test_emit_pane_arms_event_time_timer_and_cleans_up():
     state.hasTimedOut = True
     assert list(fn(key, iter([]), state)) == []
     assert state.removed
+
+
+def test_emit_pane_output_contract_vectorized_path():
+    """Pin the r6 vectorized counting path's output contract: ascending
+    window order regardless of input order (groupby(sort=True) parity),
+    exact dtypes for the declared OUTPUT_SCHEMA, multi-frame concat, and
+    robustness to non-nanosecond pandas datetime units (pandas 2 can
+    deliver Arrow batches as datetime64[us])."""
+    import numpy as np
+    import pandas as pd
+
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        _duration_ms,
+        _make_emit_pane,
+    )
+
+    fn = _make_emit_pane(_duration_ms("1 minute"))
+    w1 = pd.Timestamp("2024-01-01 00:05:00")
+    w2 = pd.Timestamp("2024-01-01 00:06:00")
+    w3 = pd.Timestamp("2024-01-01 00:07:00")
+
+    # Shuffled window order, split across two frames, in MICROSECOND unit.
+    f1 = pd.DataFrame(
+        {
+            "window_start": pd.Series([w3, w1, w3]).astype("datetime64[us]"),
+            "user_id": [7] * 3,
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "window_start": pd.Series([w2, w1]).astype("datetime64[us]"),
+            "user_id": [7] * 2,
+        }
+    )
+    state = _FakeState(watermark_ms=0)
+    (out,) = list(fn((7,), iter([f1, f2]), state))
+
+    # Ascending window order — what groupby(sort=True) produced before.
+    assert list(out["window_start"]) == [w1, w2, w3]
+    assert list(out["pane_count"]) == [2, 1, 2]
+    assert list(out["pane_index"]) == [0, 0, 0]
+    assert list(out["user_id"]) == [7, 7, 7]
+
+    # Dtypes must match OUTPUT_SCHEMA (TIMESTAMP, BIGINT, BIGINT, INT) so
+    # Arrow needs no unsafe cast.
+    assert out["window_start"].dtype == np.dtype("datetime64[ns]")
+    assert out["user_id"].dtype == np.dtype("int64")
+    assert out["pane_count"].dtype == np.dtype("int64")
+    assert out["pane_index"].dtype == np.dtype("int32")
+
+    # Second firing for one window continues its pane index from state.
+    (out2,) = list(
+        fn(
+            (7,),
+            iter([pd.DataFrame({"window_start": [w2], "user_id": [7]})]),
+            state,
+        )
+    )
+    assert list(out2["pane_index"]) == [1]
