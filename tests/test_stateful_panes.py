@@ -220,3 +220,44 @@ def test_emit_pane_output_contract_vectorized_path():
         )
     )
     assert list(out2["pane_index"]) == [1]
+
+
+def test_emit_pane_null_window_dropped_null_key_passes_through():
+    """Groupby-path semantics the vectorized body must keep: a NaT
+    window_start row has no window and is dropped (pandas groupby
+    excluded NaT keys), never counted or written into win_ms state; a
+    null grouping key emits rows with null user_id instead of crashing
+    the Python worker."""
+    import pandas as pd
+
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        _duration_ms,
+        _make_emit_pane,
+    )
+
+    fn = _make_emit_pane(_duration_ms("1 minute"))
+    w1 = pd.Timestamp("2024-01-01 00:05:00")
+
+    # NaT rows silently dropped; only the real window is counted/stored.
+    state = _FakeState(watermark_ms=0)
+    batch = pd.DataFrame(
+        {"window_start": [w1, pd.NaT, w1, pd.NaT], "user_id": [7] * 4}
+    )
+    (out,) = list(fn((7,), iter([batch]), state))
+    assert list(out["window_start"]) == [w1]
+    assert list(out["pane_count"]) == [2]
+    assert list(state.get[0]) == [w1.value // 1_000_000]
+
+    # All-NaT batch: empty output frame, no state entries invented.
+    state2 = _FakeState(watermark_ms=0)
+    batch2 = pd.DataFrame({"window_start": [pd.NaT], "user_id": [7]})
+    outs2 = list(fn((7,), iter([batch2]), state2))
+    assert len(outs2) == 1 and len(outs2[0]) == 0
+    assert list(state2.get[0]) == []
+
+    # Null grouping key: null user_id rows, like the pre-vectorized path.
+    state3 = _FakeState(watermark_ms=0)
+    batch3 = pd.DataFrame({"window_start": [w1, w1], "user_id": [None, None]})
+    (out3,) = list(fn((None,), iter([batch3]), state3))
+    assert list(out3["pane_count"]) == [2]
+    assert out3["user_id"].iloc[0] is None

@@ -111,6 +111,52 @@ def _require_utc_session(df: DataFrame, operator: str) -> None:
         )
 
 
+def _count_panes(
+    pdf: pd.DataFrame, open_windows: dict, user_id
+) -> pd.DataFrame:
+    """Count a micro-batch's rows per window and assign pane indexes —
+    the SHARED hot-path body of both pane emitters (this module's
+    applyInPandasWithState form and streaming/tws's transformWithState
+    twin), which runs once per key per micro-batch.
+
+    Counts on the int64-epoch view with np.unique instead of a pandas
+    groupby (~4x less per-call time, measured; np.unique sorts ascending
+    exactly like groupby(sort=True)). window_start is already
+    minute-truncated, so the ms view is lossless. Two semantics carried
+    over from the groupby path it replaced: null window_start rows are
+    DROPPED (pandas groupby excludes NaT keys — a null event time has no
+    window), and a null grouping key emits null user_id rows (object
+    column, like the list-built output before vectorization).
+
+    MUTATES `open_windows` in place: each emitted window's next pane
+    index is bumped. Returns the output frame (possibly empty), dtypes
+    matching OUTPUT_SCHEMA exactly.
+    """
+    w_all = pdf["window_start"].to_numpy().astype("datetime64[ms]")
+    w_all = w_all[~np.isnat(w_all)]
+    uniq_ms, counts = np.unique(w_all.astype("int64"), return_counts=True)
+    pane_indexes = np.empty(len(uniq_ms), dtype="int32")
+    for j, w_ms in enumerate(uniq_ms.tolist()):
+        idx = open_windows.get(w_ms, 0)
+        pane_indexes[j] = idx
+        open_windows[w_ms] = idx + 1
+    n = len(uniq_ms)
+    if user_id is None:
+        uid = pd.Series([None] * n, dtype="object")
+    else:
+        uid = np.full(n, user_id, dtype="int64")
+    return pd.DataFrame(
+        {
+            "window_start": uniq_ms.astype("datetime64[ms]").astype(
+                "datetime64[ns]"
+            ),
+            "user_id": uid,
+            "pane_count": counts.astype("int64"),
+            "pane_index": pane_indexes,
+        }
+    )
+
+
 def _make_emit_pane(window_ms: int):
     """Build the per-USER pane emitter with the window length baked in (the
     window end drives both inline pruning and the idle-key timer)."""
@@ -141,29 +187,7 @@ def _make_emit_pane(window_ms: int):
                 w: i for w, i in open_windows.items() if w + window_ms > watermark_ms
             }
 
-        # Hot path: this body runs once per key per micro-batch (the
-        # operator's whole cost model — see module docstring), so count
-        # windows on the int64 epoch view instead of a pandas groupby
-        # (~4x less per-call time, measured; np.unique sorts ascending
-        # exactly like groupby(sort=True)). window_start is already
-        # minute-truncated, so the ms view is lossless.
-        w_ms_all = pdf["window_start"].to_numpy().astype("datetime64[ms]")
-        uniq_ms, counts = np.unique(w_ms_all.astype("int64"), return_counts=True)
-        pane_indexes = np.empty(len(uniq_ms), dtype="int32")
-        for j, w_ms in enumerate(uniq_ms.tolist()):
-            idx = open_windows.get(w_ms, 0)
-            pane_indexes[j] = idx
-            open_windows[w_ms] = idx + 1
-        yield pd.DataFrame(
-            {
-                "window_start": uniq_ms.astype("datetime64[ms]").astype(
-                    "datetime64[ns]"
-                ),
-                "user_id": np.full(len(uniq_ms), user_id, dtype="int64"),
-                "pane_count": counts.astype("int64"),
-                "pane_index": pane_indexes,
-            }
-        )
+        yield _count_panes(pdf, open_windows, user_id)
 
         state.update(
             (list(open_windows.keys()), list(open_windows.values()))

@@ -36,7 +36,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -51,6 +50,7 @@ from pyspark.sql.streaming.stateful_processor import (
 from tutorial_apache_beam_spark.streaming.stateful import (
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
+    _count_panes,
     _duration_ms,
 )
 
@@ -95,27 +95,10 @@ class PaneCountProcessor(StatefulProcessor):
                 if w + self._window_ms > watermark_ms
             }
 
-        # Same hot-path counting as the v1 emitter (streaming/stateful
-        # _emit_pane): int64-epoch np.unique instead of a pandas groupby —
-        # one invocation per key per micro-batch is the cost model, and
-        # np.unique keeps groupby(sort=True)'s ascending window order.
-        w_ms_all = pdf["window_start"].to_numpy().astype("datetime64[ms]")
-        uniq_ms, counts = np.unique(w_ms_all.astype("int64"), return_counts=True)
-        pane_indexes = np.empty(len(uniq_ms), dtype="int32")
-        for j, w_ms in enumerate(uniq_ms.tolist()):
-            idx = open_windows.get(w_ms, 0)
-            pane_indexes[j] = idx
-            open_windows[w_ms] = idx + 1
-        out = pd.DataFrame(
-            {
-                "window_start": uniq_ms.astype("datetime64[ms]").astype(
-                    "datetime64[ns]"
-                ),
-                "user_id": np.full(len(uniq_ms), user_id, dtype="int64"),
-                "pane_count": counts.astype("int64"),
-                "pane_index": pane_indexes,
-            }
-        )
+        # Shared hot-path body with the v1 emitter (one invocation per
+        # key per micro-batch is the cost model for both APIs); mutates
+        # open_windows in place — see _count_panes.
+        out = _count_panes(pdf, open_windows, user_id)
 
         self._panes.update(
             (list(open_windows.keys()), list(open_windows.values()))
