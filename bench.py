@@ -311,10 +311,14 @@ def main() -> None:
                 tws_vs_v1_section,
             )
 
-            tws_vs_v1 = tws_vs_v1_section(spark)
+            # min-of-SWEEP_REPEATS like every other recorded number (r6):
+            # single-sample curve points drifted 4.4->6.1 s run-to-run.
+            tws_vs_v1 = tws_vs_v1_section(spark, runs=SWEEP_REPEATS)
             # r6 (VERDICT r5 item 6): the same drain at 3x/10x key
             # counts, both APIs — reuses the run above as the 1x point.
-            pane_key_curve = pane_key_scaling_section(spark, base=tws_vs_v1)
+            pane_key_curve = pane_key_scaling_section(
+                spark, base=tws_vs_v1, runs=SWEEP_REPEATS
+            )
         except Exception as exc:
             tws_vs_v1 = tws_vs_v1 or {
                 "error": f"{type(exc).__name__}: {exc}"

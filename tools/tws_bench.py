@@ -70,7 +70,11 @@ def _drain(spark, op, src, work):
 
 
 def tws_vs_v1_section(
-    spark, events: int = 200_000, users: int = 500, warmup: bool = True
+    spark,
+    events: int = 200_000,
+    users: int = 500,
+    warmup: bool = True,
+    runs: int = 1,
 ) -> dict:
     """Time the same pane drain through both stateful APIs; importable by
     bench.py (BENCH extra `tws_vs_v1`, VERDICT r4 item 4) so the
@@ -82,7 +86,11 @@ def tws_vs_v1_section(
     setup (observed +10 s on a 6 s drain) and the first v1 drain absorbs
     pandas-UDF JIT — whichever API runs first eats its setup inside the
     timed window, exactly the comparison noise the key-count curve
-    exists to avoid."""
+    exists to avoid.
+
+    `runs` (r6): min over N timed drains (fresh checkpoint/sink each),
+    same policy as the bench sweep and scale sections — single-sample
+    curve points proved as outlier-prone as the scale ratios were."""
     from tutorial_apache_beam_spark.streaming.stateful import (
         discarding_pane_counts,
     )
@@ -113,9 +121,13 @@ def tws_vs_v1_section(
                     os.makedirs(wwork)
                     _gen_source(wsrc, max(events // 10, 1000), users)
                     _drain(spark, op, wsrc, wwork)
-                t0 = time.monotonic()
-                rows = _drain(spark, op, src, work)
-                dt = time.monotonic() - t0
+                dt, rows = float("inf"), -1
+                for r_i in range(max(runs, 1)):
+                    run_dir = os.path.join(work, f"run{r_i}")
+                    os.makedirs(run_dir)
+                    t0 = time.monotonic()
+                    rows = _drain(spark, op, src, run_dir)
+                    dt = min(dt, time.monotonic() - t0)
             finally:
                 if old is None:
                     spark.conf.unset(provider_key)
@@ -136,6 +148,7 @@ def pane_key_scaling_section(
     events: int = 200_000,
     key_counts: tuple[int, ...] = (500, 1500, 5000),
     base: dict | None = None,
+    runs: int = 1,
 ) -> dict:
     """The pane operators' KEY-COUNT scaling curve (VERDICT r5 item 6):
     fixed event volume, 1x/3x/10x distinct keys, BOTH stateful APIs —
@@ -150,7 +163,7 @@ def pane_key_scaling_section(
         r = (
             base
             if base is not None and base.get("users") == users
-            else tws_vs_v1_section(spark, events, users)
+            else tws_vs_v1_section(spark, events, users, runs=runs)
         )
         curve.append(
             {
