@@ -261,3 +261,70 @@ def test_emit_pane_null_window_dropped_null_key_passes_through():
     (out3,) = list(fn((None,), iter([batch3]), state3))
     assert list(out3["pane_count"]) == [2]
     assert out3["user_id"].iloc[0] is None
+
+
+def test_count_panes_differential_vs_groupby_reference():
+    """Property check: _count_panes must agree with the pre-vectorization
+    groupby(sort=True) reference on randomized inputs — window sets with
+    duplicates, NaT holes, arbitrary order, any pandas datetime unit, and
+    arbitrary pre-existing pane-index state."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tutorial_apache_beam_spark.streaming.stateful import _count_panes
+
+    base_ms = int(pd.Timestamp("2024-01-01").value // 1_000_000)
+
+    def reference(pdf, open_windows, user_id):
+        counts = pdf.groupby("window_start", sort=True).size()
+        out = {"window_start": [], "user_id": [], "pane_count": [], "pane_index": []}
+        for window_start, cnt in counts.items():
+            w_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            idx = open_windows.get(w_ms, 0)
+            out["window_start"].append(pd.Timestamp(window_start))
+            out["user_id"].append(user_id)
+            out["pane_count"].append(int(cnt))
+            out["pane_index"].append(idx)
+            open_windows[w_ms] = idx + 1
+        return out
+
+    @given(
+        mins=st.lists(
+            st.one_of(st.integers(min_value=0, max_value=8), st.none()),
+            min_size=1,
+            max_size=40,
+        ),
+        state_idx=st.dictionaries(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=1, max_value=5),
+            max_size=4,
+        ),
+        unit=st.sampled_from(["ns", "us", "ms"]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(mins, state_idx, unit):
+        ts = [
+            pd.NaT if m is None else pd.Timestamp(base_ms + m * 60_000, unit="ms")
+            for m in mins
+        ]
+        pdf = pd.DataFrame(
+            {
+                "window_start": pd.Series(ts).astype(f"datetime64[{unit}]"),
+                "user_id": [7] * len(ts),
+            }
+        )
+        state_a = {base_ms + m * 60_000: i for m, i in state_idx.items()}
+        state_b = dict(state_a)
+
+        got = _count_panes(pdf, state_a, 7)
+        want = reference(pdf, state_b, 7)
+
+        assert [pd.Timestamp(t) for t in got["window_start"]] == want["window_start"]
+        assert list(got["pane_count"]) == want["pane_count"]
+        assert list(got["pane_index"]) == want["pane_index"]
+        assert list(got["user_id"]) == want["user_id"]
+        assert state_a == state_b  # identical post-call pane-index state
+
+    check()
