@@ -414,3 +414,38 @@ def test_compaction_partition_filter_protects_open_partitions(spark, tmp_path):
     assert after == before  # untouched, not just "not merged"
     # table content survives intact
     assert spark.read.parquet(str(tdir)).count() == 16
+
+
+def test_delete_keys_sweep_survives_tombstone_type_divergence(spark, tmp_path):
+    """Review r6 (live-verified bug): a tombstone whose partition column
+    TYPE diverges from the table's (double 1.0 vs bigint 1) still joins
+    via implicit cast and empties the partition — but a sweep set built
+    from the TOMBSTONE's string form ('1.0') misses the real directory
+    name ('day=1'), leaving the old files behind so the deleted rows
+    resurrect. Both sweep sets must derive from the table-side column."""
+    import os
+
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        delete_keys,
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "v1"), (2, 20, "v2")],
+        "day BIGINT, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 2
+    assert os.path.isdir(os.path.join(tdir, "day=1"))
+
+    # Tombstone built with a float partition value (e.g. via pandas
+    # float64): str form '1.0' != directory value '1'.
+    tomb = spark.createDataFrame([(1.0, 10)], "day DOUBLE, k BIGINT")
+    assert delete_keys(spark, tomb, tdir, "day", ["k"]) == 1
+    # The emptied partition's directory must be swept...
+    assert not os.path.isdir(os.path.join(tdir, "day=1"))
+    # ...so the deleted row cannot resurrect.
+    rows = [
+        (r["day"], r["k"], r["v"]) for r in spark.read.parquet(tdir).collect()
+    ]
+    assert rows == [(2, 20, "v2")]

@@ -162,7 +162,9 @@ def pane_key_scaling_section(
     for users in key_counts:
         r = (
             base
-            if base is not None and base.get("users") == users
+            if base is not None
+            and base.get("users") == users
+            and base.get("events") == events
             else tws_vs_v1_section(spark, events, users, runs=runs)
         )
         curve.append(

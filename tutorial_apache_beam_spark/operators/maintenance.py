@@ -351,25 +351,29 @@ def delete_keys(
     join_keys = (
         key_cols if partition_col in key_cols else [*key_cols, partition_col]
     )
-    survivors = (
-        spark.read.parquet(table_dir)
-        .filter(F.col(partition_col).isin(touched))
-        .join(
-            tombstones.select(*join_keys).distinct(),
-            on=join_keys,
-            how="left_anti",
-        )
+    touched_table = spark.read.parquet(table_dir).filter(
+        F.col(partition_col).isin(touched)
     )
+    survivors = touched_table.join(
+        tombstones.select(*join_keys).distinct(),
+        on=join_keys,
+        how="left_anti",
+    ).persist()
     # A partition whose every row is tombstoned yields rows in no output
     # partition — dynamic overwrite would then leave its old files in
     # place. Real engines solve this with deletion vectors/metadata; here
     # the kept-partition set (bounded by `touched`, so driver-safe) is
     # computed BEFORE the write mutates the table, and emptied partitions
-    # are swept after the commit. All value comparisons go through
-    # SPARK'S string form (cast-to-string on both frames): the table
-    # read may infer a typed partition column (DATE, BOOLEAN, ...) while
-    # the tombstone frame carries strings, and Python's str() of the
-    # collected objects does not always match (str(True) vs 'true').
+    # are swept after the commit. BOTH sweep sets (kept AND touched_strs)
+    # derive from the TABLE-side typed column cast to Spark's string
+    # form: the table read may infer a typed partition column (DATE,
+    # BOOLEAN, ...) while the tombstone frame carries a divergent type
+    # that still JOINS via implicit cast (double 1.0 vs bigint 1, string
+    # 'True' vs boolean) — a tombstone-derived string ('1.0') would then
+    # miss the real directory name ('day=1') and silently leave the
+    # emptied partition's old files behind, resurrecting deleted rows.
+    # (survivors is persisted: the kept collect and the overwrite below
+    # would otherwise each run the touched-partition scan + anti-join.)
     kept = {
         r[0]
         for r in survivors.select(
@@ -378,9 +382,8 @@ def delete_keys(
     }
     touched_strs = {
         r[0]
-        for r in tombstones.select(F.col(partition_col).cast("string"))
+        for r in touched_table.select(F.col(partition_col).cast("string"))
         .distinct()
-        .limit(max_touched_partitions + 1)
         .collect()
     }
     with _dynamic_overwrite(spark):
@@ -403,4 +406,5 @@ def delete_keys(
             val_str = unquote(entry.name[len(prefix):])
             if val_str in touched_strs and val_str not in kept:
                 shutil.rmtree(entry.path)
+    survivors.unpersist()
     return len(touched)

@@ -105,7 +105,16 @@ def parse_image_header(content: bytes) -> tuple[str, int, int] | None:
     (format, width, height) for PNG / GIF / BMP / JPEG, None otherwise.
     Dimensions live in fixed header fields (PNG IHDR, GIF logical screen,
     BMP info header) or SOF markers (JPEG) — no codec needed; pixel
-    decode stays behind `try_real_decoder`."""
+    decode stays behind `try_real_decoder`.
+
+    Contract note: `content` is expected to be the FULL byte column, not
+    a fixed-size sniff prefix — the text-vs-container guards validate
+    structure PAST the fixed header (GIF: through the global color table
+    to the first introducer, up to 13+768+1 bytes for a 256-entry GCT;
+    JPEG: the marker walk to SOFn), so a truncated real image can return
+    None rather than its dimensions. That trade is deliberate: the gate
+    feeds arbitrary corpus text tagged as media, where 'GIF87a'-prefixed
+    ASCII decoding to garbage dimensions is the worse failure."""
     import struct
 
     def _valid(fmt: str, w: int, h: int):

@@ -168,19 +168,23 @@ def multi_dim_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analyzed (spark.sql resolves views eagerly, so the DataFrame stays
     # valid after the drop).
     li.createOrReplaceTempView("_mda_lineitem_gsets")
-    gsets = spark.sql(
-        """
-        SELECT 'gsets' AS src,
-               l_returnflag AS k1,
-               CAST(l_suppkey AS STRING) AS k2,
-               grouping_id(l_returnflag, l_suppkey) AS gid,
-               count(*) AS n,
-               round(sum(l_extendedprice), 2) AS amount
-        FROM _mda_lineitem_gsets
-        GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
-        """
-    )
-    spark.catalog.dropTempView("_mda_lineitem_gsets")
+    try:
+        gsets = spark.sql(
+            """
+            SELECT 'gsets' AS src,
+                   l_returnflag AS k1,
+                   CAST(l_suppkey AS STRING) AS k2,
+                   grouping_id(l_returnflag, l_suppkey) AS gid,
+                   count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS amount
+            FROM _mda_lineitem_gsets
+            GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey))
+            """
+        )
+    finally:
+        # finally: a failing spark.sql must not leak the private view
+        # into the session catalog.
+        spark.catalog.dropTempView("_mda_lineitem_gsets")
     wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])

@@ -365,8 +365,11 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → grouped revenue.
 
-    The customer filter broadcasts; both date predicates push to the
-    parquet scans, so the join only sees qualifying rows.
+    The filtered customer side carries no forced hint (customer is
+    SF-linear — module broadcast policy); the size threshold / AQE
+    broadcasts it exactly when the filtered side fits. Both date
+    predicates push to the parquet scans, so the join only sees
+    qualifying rows.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -1036,11 +1039,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     'promotable' means all-time qty > 2x the 1996 demand ('red%' parts
     stand in for Q20's 'forest%').
 
-    Scale shape: the part-family filter broadcasts onto the lineitem
-    scan, one grouped aggregate per (part, supplier) carries both sums
-    (no second fact pass), and the supplier join is a broadcast semi —
-    quantities are integral doubles, so the 2x compare is fp-exact on
-    both engines.
+    Scale shape: the part-family filter joins onto the lineitem scan
+    (unhinted — part is SF-linear, so AQE/size threshold decides the
+    broadcast; module policy), one grouped aggregate per (part,
+    supplier) carries both sums (no second fact pass), and the supplier
+    semi-join likewise defers to AQE — quantities are integral doubles,
+    so the 2x compare is fp-exact on both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
