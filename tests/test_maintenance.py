@@ -449,3 +449,46 @@ def test_delete_keys_sweep_survives_tombstone_type_divergence(spark, tmp_path):
         (r["day"], r["k"], r["v"]) for r in spark.read.parquet(tdir).collect()
     ]
     assert rows == [(2, 20, "v2")]
+
+
+def test_upsert_aligns_divergent_partition_type(spark, tmp_path):
+    """Review r6 follow-up (live-verified sibling of the delete_keys
+    sweep bug): updates whose partition column type diverges from the
+    table's (double 1.0 vs bigint 1) used to widen through unionByName
+    and write a NEW 'day=1.0' directory next to 'day=1' — the replaced
+    row then survived alongside its replacement. Lossless casts are now
+    aligned to the table's type; lossy ones raise."""
+    import os
+
+    import pytest
+
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10, "v1"), (2, 20, "v2")],
+        "day BIGINT, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 2
+
+    upd = spark.createDataFrame(
+        [(1.0, 10, "v1b")], "day DOUBLE, k BIGINT, v STRING"
+    )
+    assert upsert_partitions(spark, upd, tdir, "day", ["k"]) == 1
+    # ONE directory per logical partition, and the old row is replaced.
+    dirs = sorted(d for d in os.listdir(tdir) if d.startswith("day="))
+    assert dirs == ["day=1", "day=2"]
+    rows = sorted(
+        (r["day"], r["k"], r["v"]) for r in spark.read.parquet(tdir).collect()
+    )
+    assert rows == [(1, 10, "v1b"), (2, 20, "v2")]
+
+    # A lossy partition value (1.5 would truncate into day=1) raises
+    # instead of silently misplacing the row.
+    bad = spark.createDataFrame(
+        [(1.5, 11, "x")], "day DOUBLE, k BIGINT, v STRING"
+    )
+    with pytest.raises(ValueError, match="losslessly"):
+        upsert_partitions(spark, bad, tdir, "day", ["k"])

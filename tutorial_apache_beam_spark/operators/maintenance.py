@@ -280,6 +280,38 @@ def upsert_partitions(
         existing = spark.read.parquet(table_dir).filter(
             F.col(partition_col).isin(touched)
         )
+        # Partition values DETERMINE directory names, so the updates'
+        # partition column must be in the TABLE's type before the union:
+        # a divergent type (double 1.0 vs the table's bigint 1) would
+        # widen through unionByName and write a NEW 'day=1.0' directory
+        # NEXT TO 'day=1' — dynamic overwrite then replaces neither, and
+        # the "replaced" row survives alongside its replacement
+        # (verified live). Lossy casts (string 'x' -> null, double 1.5
+        # -> bigint 1) would silently misplace rows, so they raise.
+        table_pc_type = existing.schema[partition_col].dataType
+        if updates.schema[partition_col].dataType != table_pc_type:
+            aligned = F.col(partition_col).cast(table_pc_type)
+            lossy = updates.filter(
+                F.col(partition_col).isNotNull()
+                & (
+                    aligned.isNull()
+                    | (
+                        aligned.cast(
+                            updates.schema[partition_col].dataType
+                        )
+                        != F.col(partition_col)
+                    )
+                )
+            )
+            if lossy.limit(1).count():
+                raise ValueError(
+                    f"upsert_partitions: updates' {partition_col!r} type "
+                    f"({updates.schema[partition_col].dataType.simpleString()}) "
+                    "does not losslessly cast to the table's partition "
+                    f"type ({table_pc_type.simpleString()}); cast the "
+                    "updates frame explicitly"
+                )
+            updates = updates.withColumn(partition_col, aligned)
         # Anti-join on (key, partition): keep existing rows not replaced
         # by an update IN THE SAME PARTITION — see the semantics note.
         join_keys = (
