@@ -153,3 +153,36 @@ def test_distributed_path_at_10x_matches_union_find(spark):
     )
     base_comps = connected_components(base_pairs).select("component").distinct().count()
     assert distributed.select("component").distinct().count() == 10 * base_comps
+
+
+def test_distributed_cc_deep_chain_truncates_lineage(spark):
+    """r6 review regression: before per-round checkpointing, each round's
+    plan referenced the previous round's twice, doubling the logical plan
+    per round — a 9-vertex chain (diameter 8) OOM'd the driver during plan
+    analysis. With lineage truncation it converges in seconds, and the
+    only block left persisted afterwards is the returned frame."""
+    import pytest
+
+    from tutorial_apache_beam_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = connected_components(edges, local_edge_threshold=0)
+    assert {r.vertex: r.component for r in out.collect()} == {
+        i: 0 for i in range(9)
+    }
+
+    # Diameter > max_iter must RAISE, not silently return a split
+    # component (dedup_keep_canonical would keep duplicate "canonicals").
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(deep, local_edge_threshold=0, max_iter=10)
+    ok = connected_components(deep, local_edge_threshold=0, max_iter=30)
+    assert {r.vertex: r.component for r in ok.collect()} == {
+        i: 0 for i in range(25)
+    }

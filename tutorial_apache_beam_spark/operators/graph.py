@@ -14,9 +14,12 @@ planted-cluster pytests):
 
 Scale notes: each iteration is one shuffle-by-vertex join + aggregation;
 iteration count is the graph diameter (tiny for near-dup graphs, which are
-mostly small cliques). Labels persist per round and the previous round is
-unpersisted — state in flight is one (vertex, label) pair per vertex.
-Convergence is checked with a cheap changed-count aggregate.
+mostly small cliques). Each round is eagerly checkpointed — lineage
+truncation, not mere persistence, is what keeps the plan O(1) per round
+instead of doubling (the GraphFrames pattern); superseded rounds are freed
+by the ContextCleaner. Convergence is checked with a cheap changed-count
+aggregate, and exhausting max_iter without converging raises instead of
+returning partially-propagated labels.
 """
 
 from __future__ import annotations
@@ -171,22 +174,52 @@ def connected_components(
             .distinct()
             .persist()
         )
-        labels = (
+        # Each round's labels are materialized with localCheckpoint (or a
+        # reliable checkpoint when the session has a checkpoint dir, which
+        # survives executor loss at cluster scale): checkpointing TRUNCATES
+        # LINEAGE, which persist() does not. Without truncation every
+        # round's plan references the previous round's twice (neighbor_min
+        # + the join), so the logical plan doubles per round and plan
+        # analysis OOMs the driver around diameter ~8. Dataset.unpersist()
+        # does not reach checkpointed RDDs (they bypass the cache
+        # manager), so superseded rounds are freed by unpersisting the
+        # LogicalRDD's backing RDD directly (best-effort — the
+        # ContextCleaner reaps them at the next JVM GC regardless).
+        reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+        def _free(df: DataFrame) -> None:
+            try:
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # non-LogicalRDD plan or already cleaned
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True) if reliable else (
+                df.localCheckpoint(eager=True)
+            )
+
+        # labels_cp is the CHECKPOINTED frame (the thing _free can reach);
+        # labels may be a projection of it.
+        labels_cp = _materialize(
             sym.select(F.col("u").alias("vertex"))
             .distinct()
             .withColumn("component", F.col("vertex"))
-            .persist()
         )
+        labels = labels_cp
 
+        converged = False
         for _ in range(max_iter):
             neighbor_min = (
                 sym.join(labels, sym.v == labels.vertex)
                 .groupBy(F.col("u").alias("vertex"))
                 .agg(F.min("component").alias("nbr_component"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "vertex", "left")
-                .select(
+            # Eager checkpoint = the one action per iteration: it
+            # materializes the round AND truncates lineage; the
+            # convergence aggregate below then reads the materialized
+            # result, not the join plan.
+            new_labels = _materialize(
+                labels.join(neighbor_min, "vertex", "left").select(
                     "vertex",
                     F.least(
                         F.col("component"),
@@ -197,18 +230,25 @@ def connected_components(
                         < F.col("component")
                     ).alias("_changed"),
                 )
-                .persist()
             )
-            # One action per iteration: materializes the cache AND reads
-            # the convergence signal.
             changed = new_labels.agg(
                 F.sum(F.col("_changed").cast("int")).alias("ch")
             ).collect()[0]["ch"]
-            labels.unpersist()
+            _free(labels_cp)
+            labels_cp = new_labels
             labels = new_labels.drop("_changed")
             if not changed:
+                converged = True
                 break
         sym.unpersist()
+        if not converged:
+            # Partially-propagated labels would silently split one real
+            # component into several — dedup_keep_canonical would then
+            # keep multiple "canonical" copies of the same cluster.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (graph diameter exceeds max_iter); raise max_iter"
+            )
         return labels
     finally:
         if own_persist:
