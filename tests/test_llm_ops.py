@@ -266,6 +266,61 @@ def test_semantic_dup_clusters(spark):
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False)}
 
 
+def test_similarity_ops_accept_string_ids(spark):
+    """r6 review regression: the blocked pair generator, the IVF centroid
+    sampler, and the centroid-assignment UDF all hard-coded int64 ids —
+    string ids (content hashes, the other id type the module advertises
+    via cosine_topk and connected_components) crashed in the executor or
+    silently produced empty centroid sets. They now flow through with the
+    id type preserved; unsupported id types raise at the API boundary."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tutorial_apache_beam_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        ivf_ann_topk,
+        semantic_dup_clusters,
+    )
+
+    base = [1.0] + [0.0] * 7
+    tilt = [0.97, 0.24] + [0.0] * 6
+    tilt2 = [0.88, 0.47] + [0.0] * 6
+    ortho = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [("ha", base), ("hb", tilt), ("hc", tilt2), ("hd", ortho)],
+        "vec_id string, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(df, threshold=0.9, id_col="vec_id")
+    assert pairs.schema.simpleString() == (
+        "struct<id_a:string,id_b:string,cos:double>"
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {
+        ("ha", "hb"),
+        ("hb", "hc"),
+    }
+    rows = {
+        r["vec_id"]: (r["component"], r["is_canonical"])
+        for r in semantic_dup_clusters(
+            df, threshold=0.9, id_col="vec_id"
+        ).collect()
+    }
+    assert rows == {
+        "ha": ("ha", True),
+        "hb": ("ha", False),
+        "hc": ("ha", False),
+    }
+    # IVF centroid sampling must not null out on string ids (`id % N`).
+    ivf = ivf_ann_topk(
+        df, df.limit(2), k=2, id_col="vec_id", every_nth_centroid=1
+    )
+    assert ivf.count() > 0
+    with pytest.raises(TypeError, match="numeric or string"):
+        embedding_neardup_pairs(
+            df.select(F.struct("vec_id").alias("vec_id"), "embedding"),
+            threshold=0.9,
+        )
+
+
 def test_wav_features_real_decode(spark):
     """The audio tier decodes REAL PCM WAV (stdlib wave, r5): stdlib-
     synthesized sine/square fixtures round-trip through the Arrow

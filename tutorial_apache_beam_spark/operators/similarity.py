@@ -27,6 +27,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tutorial_apache_beam_spark.functions.vectors import (
     as_double,
@@ -204,8 +205,36 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
+    # Ids flow through packed numpy blocks, so the id dtype must be known
+    # up front: integral ids pack as int64, string ids (content hashes)
+    # as numpy str arrays — elementwise <, minimum, maximum all behave
+    # identically. Anything else (e.g. struct keys) fails loudly here
+    # instead of as an executor-side ValueError.
+    id_is_str = isinstance(df.schema[id_col].dataType, T.StringType)
+    if not id_is_str and not isinstance(
+        df.schema[id_col].dataType, T.NumericType
+    ):
+        raise TypeError(
+            f"embedding_neardup_pairs: id column {id_col!r} must be "
+            f"numeric or string, got "
+            f"{df.schema[id_col].dataType.simpleString()}"
+        )
+    sql_id = "STRING" if id_is_str else "BIGINT"
+    conv = str if id_is_str else int
+
     if n_blocks is None:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est >= (1 << 50):
+            # Plan-time stats unavailable (Catalyst's defaultSizeInBytes
+            # fallback is Long.MaxValue for no-stats leaves and survives
+            # joins): without this guard n_blocks pegs at 4096 and each
+            # vector is replicated to ~2049 combo partners — a one-scan
+            # count is far cheaper than that movement blowup.
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.size(F.col(vec_col))).alias("d"),
+            ).first()
+            est = int(row["n"]) * (int(row["d"] or 0) * 8 + 24)
         n_blocks = int(min(4096, max(4, est // block_bytes)))
 
     vecs = df.select(
@@ -215,7 +244,11 @@ def embedding_neardup_pairs(
     )
 
     def pack_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        ids = (
+            pdf["vid"].to_numpy()
+            if id_is_str
+            else pdf["vid"].to_numpy(dtype=np.int64)
+        )
         mat = np.array(list(pdf["v"]), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
@@ -231,7 +264,7 @@ def embedding_neardup_pairs(
 
     packed = vecs.groupBy("block").applyInPandas(
         pack_block,
-        "block INT, ids ARRAY<BIGINT>, mat ARRAY<DOUBLE>, dim INT",
+        f"block INT, ids ARRAY<{sql_id}>, mat ARRAY<DOUBLE>, dim INT",
     )
     a = packed.select(
         F.col("block").alias("block_a"),
@@ -251,8 +284,10 @@ def embedding_neardup_pairs(
             out_a, out_b, out_c = [], [], []
             for _, row in pdf.iterrows():
                 dim = int(row["dim_a"])
-                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
-                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                # dtype inferred: '<U…' for string ids, int64 for ints —
+                # both support elementwise < / minimum / maximum below.
+                ids_a = np.asarray(row["ids_a"])
+                ids_b = np.asarray(row["ids_b"])
                 ua = np.asarray(row["mat_a"], dtype=np.float64).reshape(-1, dim)
                 ub = np.asarray(row["mat_b"], dtype=np.float64).reshape(-1, dim)
                 sims = np.round(ua @ ub.T, 4)
@@ -271,15 +306,17 @@ def embedding_neardup_pairs(
                     ii, jj = np.nonzero(sims >= threshold)
                     lo = np.minimum(ids_a[ii], ids_b[jj])
                     hi = np.maximum(ids_a[ii], ids_b[jj])
-                out_a.extend(int(x) for x in lo)
-                out_b.extend(int(x) for x in hi)
+                out_a.extend(conv(x) for x in lo)
+                out_b.extend(conv(x) for x in hi)
                 out_c.extend(float(x) for x in sims[ii, jj])
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
-    return combos.mapInPandas(block_pairs, "id_a BIGINT, id_b BIGINT, cos DOUBLE")
+    return combos.mapInPandas(
+        block_pairs, f"id_a {sql_id}, id_b {sql_id}, cos DOUBLE"
+    )
 
 
-def _all_buckets_udf(spark_df: DataFrame):
+def _all_buckets_udf():
     """Arrow-vectorized SRP bucketing: one pandas_udf computing every hash
     table's bucket id per vector in a single (rows × dims) @ (dims ×
     tables·planes) BLAS product. The previous per-plane interpreted
@@ -307,10 +344,10 @@ def _all_buckets_udf(spark_df: DataFrame):
     return F.pandas_udf(_buckets, "array<bigint>")
 
 
-def _bucket_rows(df: DataFrame, id_cols: list[F.Column], vec_col: str) -> DataFrame:
+def _bucket_rows(df: DataFrame, vec_col: str) -> DataFrame:
     """Explode each vector into one row per hash table with its bucket key
     (table, bucket) — the multi-table LSH index."""
-    buckets = _all_buckets_udf(df)
+    buckets = _all_buckets_udf()
     return df.select(
         *[c for c in df.columns if c != vec_col],
         F.col(vec_col),
@@ -333,12 +370,9 @@ def srp_ann_topk(
     is N_TABLES·(|corpus| + |probes|), independent of the pair space. More
     tables / fewer planes per table trade cost for recall.
     """
-    c = _bucket_rows(
-        corpus.select(F.col(id_col), F.col(vec_col)), [F.col(id_col)], vec_col
-    )
+    c = _bucket_rows(corpus.select(F.col(id_col), F.col(vec_col)), vec_col)
     p = _bucket_rows(
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")),
-        [F.col("probe_id")],
         "pv",
     )
     pair_cos = cosine_pairs_udf()
@@ -378,7 +412,17 @@ def _nearest_centroids(
     import pandas as pd
 
     cent_rows = centroids.orderBy("centroid_id").collect()
-    c_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    # Centroid ids follow the corpus id type: numeric ids pack as int64,
+    # string ids (content hashes) as a numpy str array — indexing and
+    # tolist() behave identically, and the UDF return type mirrors it.
+    cid_dt = centroids.schema["centroid_id"].dataType
+    c_ids = (
+        np.array([r["centroid_id"] for r in cent_rows])
+        if isinstance(cid_dt, T.StringType)
+        else np.array(
+            [r["centroid_id"] for r in cent_rows], dtype=np.int64
+        )
+    )
     c_mat = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
     c_norm = np.linalg.norm(c_mat, axis=1)
     c_norm[c_norm == 0] = 1.0
@@ -398,7 +442,7 @@ def _nearest_centroids(
         return pd.Series([ids[row].tolist() for row in order])
 
     _nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    nearest = F.pandas_udf(_nearest, "array<bigint>")
+    nearest = F.pandas_udf(_nearest, f"array<{cid_dt.simpleString()}>")
     return vectors.select(
         F.col(id_col),
         F.explode(nearest(as_double(F.col(vec_col)))).alias("centroid_id"),
@@ -634,7 +678,17 @@ def ivf_ann_topk(
     IVF pruning factor.
     """
     if centroids is None:
-        centroids = corpus.filter(F.col(id_col) % every_nth_centroid == 0).select(
+        # `id % N` only selects centroids for numeric ids (on strings it
+        # nulls out -> empty centroid set -> numpy axis error downstream);
+        # string ids (content hashes) get the same deterministic 1-in-N
+        # sample via the hash.
+        sel = (
+            F.col(id_col) % every_nth_centroid == 0
+            if isinstance(corpus.schema[id_col].dataType, T.NumericType)
+            else F.pmod(F.hash(F.col(id_col)), F.lit(every_nth_centroid))
+            == 0
+        )
+        centroids = corpus.filter(sel).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
         )
     corpus_buckets = _nearest_centroids(
