@@ -157,3 +157,56 @@ def test_stratified_mix_sql_default_columns(docs, duck):
         "epoch", F.col("epoch").cast("long")
     )
     assert_matches_oracle(out, duck, stratified_mix_sql("documents", weights))
+
+
+def test_hash_sample_null_keys_match_oracle(spark, duck):
+    """r6 review regression: Spark's concat_ws SKIPS a NULL key ("salt")
+    while DuckDB's concat skips only the value ("salt:"), so the two
+    engines hashed different strings for NULL keys and the bit-identical
+    decision contract broke. Both now coalesce NULL to '' before
+    hashing; the decision for every NULL-key row agrees cross-engine."""
+    rows = [(None, "a"), (None, "b"), ("", "c"), ("k1", "d"), ("k2", "e")]
+    df = spark.createDataFrame(rows, "doc_id string, payload string")
+    duck.execute("CREATE OR REPLACE TABLE nulldocs AS SELECT * FROM (VALUES "
+                 + ", ".join(
+                     ("(NULL, '%s')" % p) if k is None else ("('%s', '%s')" % (k, p))
+                     for k, p in rows
+                 )
+                 + ") t(doc_id, payload)")
+    for frac in (0.3, 0.7):
+        out = {
+            r["payload"]
+            for r in hash_sample(df, frac, salt="nk").select("payload").collect()
+        }
+        oracle = {
+            r[0]
+            for r in duck.execute(
+                f"SELECT payload FROM nulldocs "
+                f"WHERE {bucket_sql('doc_id', 'nk')} < {threshold(frac)}"
+            ).fetchall()
+        }
+        assert out == oracle
+    # NULL and '' deliberately collide: identical decision per salt.
+    both = df.filter(F.col("payload").isin("a", "c"))
+    for salt in ("x", "y", "z"):
+        kept = {
+            r["payload"]
+            for r in hash_sample(both, 0.5, salt=salt).select("payload").collect()
+        }
+        assert kept in (set(), {"a", "c"})
+
+
+def test_minhash_params_validated(docs):
+    """r6 review regression: k % bands != 0 silently dropped signature
+    values (a different LSH curve than documented), and k beyond the
+    frozen coefficient table crashed with a missing-column
+    AnalysisException mid-plan. Both now raise at the API boundary."""
+    from tutorial_apache_beam_spark.functions.hashing import MINHASH_COEFFS
+    from tutorial_apache_beam_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="positive multiple"):
+        minhash_lsh_pairs(docs, k=10, bands=4)
+    with pytest.raises(ValueError, match="positive multiple"):
+        minhash_lsh_pairs(docs, k=12, bands=0)
+    with pytest.raises(ValueError, match="coefficient"):
+        minhash_lsh_pairs(docs, k=4 * (len(MINHASH_COEFFS) + 4) // 4, bands=4)

@@ -102,27 +102,17 @@ def with_hashed_shingles(
     regardless of document-length skew.
 
     Documents with fewer than n tokens yield no rows (no shingles).
+
+    Thin aggregation over `_shingle_rows` — the single implementation of
+    the lead-window/tail-filter/hash pipeline every near-dup operator
+    shares (a previous copy of that logic here had already drifted from
+    being maintained together).
     """
-    w = Window.partitionBy(id_col).orderBy("pos")
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    return (
+        _shingle_rows(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("hashes"))
     )
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    shingle_rows = (
-        toks.select(
-            F.col(id_col),
-            *[lead.alias(f"t{i}") for i, lead in enumerate(leads)],
-        )
-        # concat_ws skips NULLs, so tail positions must be dropped explicitly.
-        .filter(F.col(f"t{n - 1}").isNotNull())
-        .select(
-            F.col(id_col),
-            portable_hash64(
-                F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
-            ).alias("h"),
-        )
-    )
-    return shingle_rows.groupBy(id_col).agg(F.collect_set("h").alias("hashes"))
 
 
 def _shingle_rows(
@@ -385,6 +375,22 @@ def minhash_lsh_pairs(
     `shingle_rows`: caller-persisted (id, h) rows to share the
     tokenize+hash scan across methods (see `ngram_jaccard_pairs`).
     """
+    # Validate at the API boundary: k % bands != 0 would silently drop
+    # the trailing signature values (a different LSH curve than the
+    # documented k), and k beyond the frozen coefficient table would
+    # surface as an obscure missing-column AnalysisException mid-plan.
+    if k <= 0 or bands <= 0 or k % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: k ({k}) must be a positive multiple of "
+            f"bands ({bands}) — every signature value must land in "
+            "exactly one band"
+        )
+    if k > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"minhash_lsh_pairs: k ({k}) exceeds the "
+            f"{len(MINHASH_COEFFS)} frozen universal-hash coefficient "
+            "pairs (extend MINHASH_COEFFS to raise the cap)"
+        )
     r = k // bands
     caller_owns = shingle_rows is not None
     # Materialize the shingle-hash rows once: the signature aggregation,

@@ -42,13 +42,30 @@ BUCKETS = 1 << 20
 
 def _bucket(key: Column, salt: str) -> Column:
     """Uniform bucket in [0, BUCKETS) from (salt, key) — decision column
-    shared by every sampler here."""
-    return portable_hash64(F.concat_ws(":", F.lit(salt), key.cast("string"))) % BUCKETS
+    shared by every sampler here.
+
+    NULL keys hash as the empty string ON BOTH ENGINES (NULL and ''
+    deliberately collide): without the coalesce, Spark's concat_ws skips
+    the NULL ("salt") while DuckDB's concat skips only the value
+    ("salt:"), so the engines hash DIFFERENT strings and the
+    bit-identical-decision contract breaks exactly on the rows hardest
+    to debug."""
+    return (
+        portable_hash64(
+            F.concat_ws(
+                ":", F.lit(salt), F.coalesce(key.cast("string"), F.lit(""))
+            )
+        )
+        % BUCKETS
+    )
 
 
 def bucket_sql(key_expr: str, salt: str) -> str:
-    """The identical bucket in DuckDB SQL (oracle side)."""
-    h = portable_hash64_sql(f"concat('{salt}', ':', CAST({key_expr} AS VARCHAR))")
+    """The identical bucket in DuckDB SQL (oracle side) — NULL keys
+    coalesce to '' exactly like `_bucket`."""
+    h = portable_hash64_sql(
+        f"concat('{salt}', ':', COALESCE(CAST({key_expr} AS VARCHAR), ''))"
+    )
     return f"({h} % {BUCKETS})"
 
 
