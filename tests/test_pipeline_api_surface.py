@@ -345,3 +345,128 @@ def test_registry_driver_contract_shape():
         "SELECT json_serialize_sql($$SELECT FROM WHERE$$)"
     ).fetchone()
     assert json.loads(res)["error"] is True
+
+
+def test_partition_pmod_and_collision_safety(spark):
+    """r6 review regression: Partition used sign-following % (negative
+    partition expressions like F.hash() landed in {-(n-1)..-1} and
+    matched no branch — silent row loss) and clobbered a caller's
+    '_part' column."""
+    from tutorial_apache_beam_spark.plans.pipeline import Partition
+
+    p = Pipeline(spark)
+    df = spark.range(1000).toDF("user_id").withColumn("_part", F.lit("keep"))
+    parts = Partition(4, F.hash("user_id")).split(p.create(df))
+    assert sum(pc.df.count() for pc in parts) == 1000
+    for pc in parts:
+        assert "_part" in pc.df.columns  # caller's column survives
+        assert pc.df.select("_part").distinct().collect()[0][0] == "keep"
+
+
+def test_cogroupbykey_windowed(spark):
+    """r6 review regression: Beam's CoGroupByKey groups per WINDOW per
+    key, but the transform ignored an active windowing context and
+    merged values across all windows. Windowed sides now group through
+    the shared windowed-agg helper and join on (window, key); mixed
+    windowed/unwindowed inputs and session windows raise."""
+    import pytest
+
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        CoGroupByKey,
+        Sessions,
+    )
+
+    p = Pipeline(spark)
+    rows_a = [
+        ("2024-01-01 00:00:10", 1, "a1"),
+        ("2024-01-01 00:00:50", 1, "a2"),
+        ("2024-01-01 00:01:10", 1, "a3"),
+    ]
+    rows_b = [
+        ("2024-01-01 00:00:20", 1, "b1"),
+        ("2024-01-01 00:01:40", 1, "b2"),
+    ]
+    schema = "ts STRING, k INT, v STRING"
+    mk = lambda rows: p.create(
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+    ).apply("T", WithTimestamps("ts")).apply(
+        "W", WindowInto(FixedWindows("1 minute"))
+    )
+    a, b = mk(rows_a), mk(rows_b)
+    cg = a.apply("CG", CoGroupByKey(b, "v", "v", "k"))
+    got = {
+        (r.window_start.strftime("%H:%M"), r.k): (
+            sorted(r.values_a),
+            sorted(r.values_b),
+        )
+        for r in cg.df.collect()
+    }
+    assert got == {
+        ("00:00", 1): (["a1", "a2"], ["b1"]),
+        ("00:01", 1): (["a3"], ["b2"]),
+    }
+    # mixed windowed/unwindowed raises
+    plain = p.create(
+        spark.createDataFrame(rows_b, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        a.apply("Bad", CoGroupByKey(plain, "v", "v", "k"))
+    # session windows raise (Beam merges sessions ACROSS inputs)
+    sa = mk(rows_a).apply("S", WindowInto(Sessions("30 seconds")))
+    sb = mk(rows_b).apply("S2", WindowInto(Sessions("30 seconds")))
+    with pytest.raises(NotImplementedError, match="session"):
+        sa.apply("BadS", CoGroupByKey(sb, "v", "v", "k"))
+
+
+def test_singleton_side_input_enforced(spark):
+    """r6 review regression: a multi-row side input silently multiplied
+    every main-input row. Reading ANY side column now raises (Beam's
+    AsSingleton contract). Boundary: a value-blind plan (bare count)
+    prunes the side entirely and cannot trip the guard."""
+    import pytest
+
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        WithSingletonSideInput,
+    )
+
+    p = Pipeline(spark)
+    main = p.create(spark.range(5).toDF("x"))
+    two = p.create(spark.createDataFrame([(10,), (20,)], "total BIGINT"))
+    bad = main.apply("S", WithSingletonSideInput(two))
+    with pytest.raises(Exception, match="more than one row"):
+        bad.df.select("x", "total").collect()
+
+
+def test_flatmap_alias_collision(spark):
+    """r6 review regression: FlatMap's default keep=all-columns plus
+    default alias 'value' emitted two 'value' columns when the input
+    already had one — the first downstream reference died with
+    AMBIGUOUS_REFERENCE. The alias is now excluded from the default
+    keep-set."""
+    from tutorial_apache_beam_spark.plans.pipeline import FlatMap
+
+    p = Pipeline(spark)
+    pc = p.create(spark.createDataFrame([("a,b",), ("c",)], "value STRING"))
+    out = pc.apply("Split", FlatMap(lambda df: F.split(F.col("value"), ",")))
+    assert out.df.columns == ["value"]
+    assert out.df.filter(F.col("value") == "a").count() == 1
+
+
+def test_watermark_preserves_subsecond_delay(spark):
+    """r6 review regression: sub-second skew/lateness was floor-divided
+    to 0 seconds, silently dropping events inside the declared
+    tolerance. The watermark is now emitted in milliseconds."""
+    from tutorial_apache_beam_spark.plans.pipeline import WindowingSpec
+
+    spec = WindowingSpec(
+        window_fn=FixedWindows("1 minute"),
+        ts_col="ts",
+        allowed_skew="500 milliseconds",
+        allowed_lateness="1 second",
+    )
+    assert spec.watermark_delay_ms() == 1500
+    assert spec.watermark_delay_seconds() == 1

@@ -80,3 +80,32 @@ def test_salted_shuffle_join_matches_plain_join(spark):
         plain_l.filter(F.col("user_events").isNull()).count()
         == salted_l.filter(F.col("user_events").isNull()).count()
     )
+
+
+def test_salted_agg_survives_user_salt_column(spark):
+    """r6 review regression: salted_agg hardcoded '_salt' (and '_p_*')
+    working columns; a caller frame already carrying '_salt' — e.g. from
+    an upstream salting step — was silently overwritten, corrupting any
+    aggregate that read it. Working names now dodge caller columns (the
+    salted_shuffle_join guard, applied here)."""
+    from pyspark.sql import functions as F
+
+    from tutorial_apache_beam_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, 5, 100), (1, 7, 200), (2, 9, 300)],
+        "k INT, _salt INT, v INT",
+    )
+    # Aggregate the caller's _salt column itself: before the guard, the
+    # internal withColumn('_salt', ...) replaced it and the sums were
+    # bucket ids, not data.
+    out = {
+        r["k"]: (r["salt_sum"], r["v_sum"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            F.hash("v"),
+            {"salt_sum": ("_salt", "sum"), "v_sum": ("v", "sum")},
+        ).collect()
+    }
+    assert out == {1: (12, 300), 2: (9, 300)}

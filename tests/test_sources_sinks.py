@@ -310,49 +310,85 @@ def test_commit_batch_exactly_once_converges_from_partial_attempt(
     spark, tmp_path
 ):
     """Drive _commit_batch_exactly_once directly through its worst
-    on-disk states (r5): after a clean commit of batches 1 and 2, the
-    table is polluted with what a crash mid-replay of batch 2 leaves
-    behind — a half-renamed duplicate file under the batch's bid prefix
-    AND a leftover _staging dir with divergent content. Replaying the
-    batch must converge to exactly batches 1 ∪ 2: its own stale files
-    deleted (never batch 1's — and bid2- must not match bid20-), staging
-    rebuilt and swept."""
+    on-disk states (r5, marker-aware since r6): after clean commits of
+    batches 1, 2 and 20, the table is polluted with what a crash
+    mid-replay of the LATEST batch (20 — the only batch structured
+    streaming ever replays: its `_eo-attempt-20` marker is still on
+    disk) leaves behind — a half-renamed duplicate file under the
+    batch's bid prefix AND a leftover _staging dir with divergent
+    content. Replaying the batch must converge to exactly batches
+    1 ∪ 2 ∪ 20. The digit-prefix hazard (bid2- must never match bid20-
+    files) is exercised by simulating batch 2 as the uncommitted-latest
+    (touching its marker) and replaying it against a bid2- duplicate."""
     import shutil
 
     from tutorial_apache_beam_spark.plans.pipeline import (
         _commit_batch_exactly_once,
     )
 
+    expected = (
+        list(range(0, 10)) + list(range(100, 110)) + list(range(2000, 2010))
+    )
     out = tmp_path / "tbl"
     b1 = spark.range(0, 10).withColumnRenamed("id", "v")
     b2 = spark.range(100, 110).withColumnRenamed("id", "v")
     _commit_batch_exactly_once(b1, 1, str(out), None)
     _commit_batch_exactly_once(b2, 2, str(out), None)
-    # also a batch whose id shares the digit prefix: bid20- files must
-    # survive a bid2- replay untouched
     b20 = spark.range(2000, 2010).withColumnRenamed("id", "v")
     _commit_batch_exactly_once(b20, 20, str(out), None)
     assert spark.read.parquet(str(out)).count() == 30
+    # Only the latest batch's attempt marker survives (older batches'
+    # epochs are committed and can never replay).
+    assert [p.name for p in out.iterdir() if p.name.startswith("_eo-")] == [
+        "_eo-attempt-20"
+    ]
 
-    # pollute: duplicate one bid2- file (half-renamed prior attempt with
+    # pollute: duplicate one bid20- file (half-renamed prior attempt with
     # a different task split) + leftover staging with divergent rows
-    bid2 = [p for p in out.iterdir() if p.name.startswith("bid2-")]
-    assert bid2
-    shutil.copy(bid2[0], out / ("bid2-" + "deadbeef-" + bid2[0].name[5:]))
-    dup_rows = spark.read.parquet(str(bid2[0])).count()
+    bid20 = [p for p in out.iterdir() if p.name.startswith("bid20-")]
+    assert bid20
+    shutil.copy(bid20[0], out / ("bid20-" + "deadbeef-" + bid20[0].name[6:]))
+    dup_rows = spark.read.parquet(str(bid20[0])).count()
     assert dup_rows > 0
-    staging = out / "_staging-2"
+    staging = out / "_staging-20"
     spark.range(5000, 5003).withColumnRenamed("id", "v").write.mode(
         "overwrite"
     ).parquet(str(staging))
-    # the polluted table over-counts batch 2 (readers exclude _staging)
+    # the polluted table over-counts batch 20 (readers exclude _staging)
     assert spark.read.parquet(str(out)).count() == 30 + dup_rows
 
+    _commit_batch_exactly_once(b20, 20, str(out), None)
+    spark.catalog.clearCache()
+    vals = sorted(r["v"] for r in spark.read.parquet(str(out)).collect())
+    assert vals == expected
+    assert not any(p.name.startswith("_staging") for p in out.iterdir())
+
+    # Digit-prefix hazard: replay batch 2 (simulate it being the
+    # uncommitted-latest by restoring its marker) against a stale bid2-
+    # duplicate — bid20- files must survive untouched.
+    (out / "_eo-attempt-2").touch()
+    bid2 = [p for p in out.iterdir() if p.name.startswith("bid2-")]
+    assert bid2
+    shutil.copy(bid2[0], out / ("bid2-" + "deadbeef-" + bid2[0].name[5:]))
     _commit_batch_exactly_once(b2, 2, str(out), None)
     spark.catalog.clearCache()
-    result = spark.read.parquet(str(out))
-    vals = sorted(r["v"] for r in result.collect())
-    assert vals == list(range(0, 10)) + list(range(100, 110)) + list(
-        range(2000, 2010)
+    vals = sorted(r["v"] for r in spark.read.parquet(str(out)).collect())
+    assert vals == expected
+    # A replay without a marker (an already-committed epoch — outside
+    # streaming's replay window, which only ever re-runs the LATEST
+    # uncommitted batch) skips the sweep: the stale duplicate survives
+    # and the re-rename lands a second copy of the batch — documenting
+    # the contract boundary the marker scheme trades for O(1) commits.
+    bid2 = [p for p in out.iterdir() if p.name.startswith("bid2-")]
+    dup2 = out / ("bid2-" + "cafebabe-" + bid2[0].name[5:])
+    shutil.copy(bid2[0], dup2)
+    dup2_rows = spark.read.parquet(str(dup2)).count()
+    for p in out.iterdir():
+        if p.name.startswith("_eo-attempt-"):
+            p.unlink()
+    _commit_batch_exactly_once(b2, 2, str(out), None)
+    spark.catalog.clearCache()
+    assert (
+        spark.read.parquet(str(out)).count()
+        == len(expected) + dup2_rows + 10
     )
-    assert not any(p.name.startswith("_staging") for p in out.iterdir())

@@ -51,13 +51,18 @@ def with_processing_time(df: DataFrame) -> DataFrame:
     return df.withColumn("processing_time", F.current_timestamp())
 
 
-def parse_json_props(df: DataFrame, col: str, schema: str) -> DataFrame:
-    """Parse a JSON string column into typed fields (drop-on-malformed).
+def parse_json_props(
+    df: DataFrame, col: str, schema: str, out_col: str = "_parsed"
+) -> DataFrame:
+    """Parse a JSON string column into a typed struct — NULL on malformed.
 
     The fixture `events.props` carries JSON like '{"k": 87}'; this is the
     engine's generic JSON-extraction surface (`from_json` → struct).
+    Malformed rows are KEPT with a NULL `out_col` (from_json semantics) —
+    follow with `.filter(F.col(out_col).isNotNull())` to drop them, or
+    use `parse_click_messages_with_dlq` for a dead-letter side output.
     """
-    return df.withColumn("_parsed", F.from_json(F.col(col), schema))
+    return df.withColumn(out_col, F.from_json(F.col(col), schema))
 
 
 def parse_click_messages_with_dlq(

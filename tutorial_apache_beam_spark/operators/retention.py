@@ -31,6 +31,7 @@ def apply_retention(
     partition_col: str,
     keep_days: int,
     today: date,
+    spark: SparkSession | None = None,
 ) -> RetentionReport:
     """Drop `<table>/<partition_col>=<date>` directories older than
     `today - keep_days`. Returns what was kept/dropped.
@@ -38,12 +39,55 @@ def apply_retention(
     `today` is explicit (no wall-clock reads) so runs are reproducible and
     testable. Partition values must be ISO dates — the layout produced by
     `df.write.partitionBy(to_date(...))`.
+
+    Filesystem access goes through Hadoop's FileSystem API (the sink's
+    convention) so retention works on ANY supported scheme — an earlier
+    pathlib implementation silently no-op'd on hdfs:// / s3a:// tables,
+    returning an empty "success" report while TTL was never enforced.
+    `spark` defaults to the active session; the pathlib fallback is used
+    only for local paths when no session exists, and a non-local path
+    without a session raises instead of pretending.
     """
     cutoff = today - timedelta(days=keep_days)
-    root = Path(table_path)
+    prefix = f"{partition_col}="
     kept: list[str] = []
     dropped: list[str] = []
-    prefix = f"{partition_col}="
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        root = HPath(table_path)
+        fs = root.getFileSystem(hconf)
+        children = (
+            sorted(fs.listStatus(root), key=lambda s: s.getPath().getName())
+            if fs.exists(root)
+            else []
+        )
+        for st in children:
+            name = st.getPath().getName()
+            if not st.isDirectory() or not name.startswith(prefix):
+                continue
+            value = name[len(prefix):]
+            try:
+                part_date = date.fromisoformat(value)
+            except ValueError:
+                kept.append(name)  # non-date partition: never expire
+                continue
+            if part_date < cutoff:
+                fs.delete(st.getPath(), True)
+                dropped.append(name)
+            else:
+                kept.append(name)
+        return RetentionReport(kept=kept, dropped=dropped)
+
+    if "://" in table_path and not table_path.startswith("file:"):
+        raise ValueError(
+            f"apply_retention on non-local path {table_path!r} requires "
+            "an active SparkSession (Hadoop FileSystem access)"
+        )
+    root = Path(table_path)
     for child in sorted(root.iterdir()) if root.exists() else []:
         if not child.is_dir() or not child.name.startswith(prefix):
             continue

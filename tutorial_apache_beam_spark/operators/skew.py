@@ -49,16 +49,33 @@ def salted_agg(
         if fn not in combiners:
             raise ValueError(f"unsupported aggregate {fn!r} for {name!r}")
 
-    salted = df.withColumn("_salt", F.pmod(salt_source, F.lit(salt_buckets)))
-    partial = salted.groupBy(*key_cols, "_salt").agg(
+    # The working columns must not collide with real input columns —
+    # withColumn silently overwrites, and a user '_salt' (e.g. produced
+    # by an upstream salting step) feeding an agg would corrupt results
+    # (same guard as salted_shuffle_join below).
+    salt_name = "_salt"
+    while salt_name in df.columns:
+        salt_name = f"_{salt_name}"
+
+    def _p(name: str) -> str:
+        p = f"_p_{name}"
+        while p in df.columns:
+            p = f"_{p}"
+        return p
+
+    partials = {name: _p(name) for name in aggs}
+    salted = df.withColumn(
+        salt_name, F.pmod(salt_source, F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*key_cols, salt_name).agg(
         *[
-            combiners[fn](col).alias(f"_p_{name}")
+            combiners[fn](col).alias(partials[name])
             for name, (col, fn) in aggs.items()
         ]
     )
     return partial.groupBy(*key_cols).agg(
         *[
-            recombine[fn](f"_p_{name}").alias(name)
+            recombine[fn](partials[name]).alias(name)
             for name, (col, fn) in aggs.items()
         ]
     )

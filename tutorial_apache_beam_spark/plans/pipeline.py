@@ -94,17 +94,24 @@ class WindowingSpec:
     allowed_skew: str | None = None
     allowed_lateness: str | None = None
 
-    def watermark_delay_seconds(self) -> int:
+    def watermark_delay_ms(self) -> int:
         """Beam keeps skew and lateness separate; Spark has one watermark
-        delay — the faithful composition is their sum (SURVEY §7.4.2)."""
+        delay — the faithful composition is their sum (SURVEY §7.4.2).
+        Milliseconds, NOT floored to seconds: a declared tolerance of
+        '500 milliseconds' must not truncate to a 0-second watermark
+        that drops every event inside it."""
         total = 0
         for d in (self.allowed_skew, self.allowed_lateness):
             if d:
-                total += _duration_to_seconds(d)
+                total += _duration_to_ms(d)
         return total
 
+    def watermark_delay_seconds(self) -> int:
+        """Whole-second view of `watermark_delay_ms` (diagnostics)."""
+        return self.watermark_delay_ms() // 1000
 
-def _duration_to_seconds(d: str) -> int:
+
+def _duration_to_ms(d: str) -> int:
     # One interval grammar across the engine (r5 review: two drifting
     # parsers for the same Spark interval strings): delegate to the
     # ms-based parser, which also accepts compound/week intervals.
@@ -112,7 +119,7 @@ def _duration_to_seconds(d: str) -> int:
     # '0 seconds' (no skew / no lateness) is a legitimate value.
     from tutorial_apache_beam_spark.streaming.stateful import _duration_ms
 
-    return _duration_ms(d.strip(), allow_zero=True) // 1000
+    return _duration_ms(d.strip(), allow_zero=True)
 
 
 class PCollection:
@@ -323,8 +330,10 @@ class WindowInto(PTransform):
         )
         df = pcoll.df
         if df.isStreaming:
-            delay = spec.watermark_delay_seconds()
-            df = df.withWatermark(spec.ts_col, f"{max(delay, 0)} seconds")
+            delay_ms = spec.watermark_delay_ms()
+            df = df.withWatermark(
+                spec.ts_col, f"{max(delay_ms, 0)} milliseconds"
+            )
         return pcoll._with(df, spec)
 
 
@@ -348,10 +357,17 @@ def _windowed_group_agg(
 ) -> DataFrame:
     """Group by (window bucket if a windowing context is active, plus any
     key columns) and unwrap the window struct to flat
-    window_start/window_end columns — the ONE place that knows which
-    struct name (`window` vs `session_window`) Spark emits. Every
-    windowed combiner (Count/Sum/Mean.perKey, CombinePerKey,
-    GroupByKey, CombineGlobally) routes through here."""
+    window_start/window_end columns — the ONE place in the pipeline API
+    that maps a WindowFn to the struct name (`window` vs
+    `session_window`) Spark emits; the unwrap itself is shared with the
+    operator layer (`operators.windowing._flatten_window`) so the
+    struct-shape knowledge is not duplicated. Every windowed combiner
+    (Count/Sum/Mean.perKey, CombinePerKey, GroupByKey, CombineGlobally,
+    CoGroupByKey) routes through here."""
+    from tutorial_apache_beam_spark.operators.windowing import (
+        _flatten_window,
+    )
+
     spec = pcoll.spec
     if spec.window_fn is None:
         return pcoll.df.groupBy(*key_cols).agg(*agg_exprs)
@@ -360,12 +376,7 @@ def _windowed_group_agg(
     struct_col = (
         "session_window" if isinstance(spec.window_fn, Sessions) else "window"
     )
-    return out.select(
-        F.col(f"{struct_col}.start").alias("window_start"),
-        F.col(f"{struct_col}.end").alias("window_end"),
-        *key_cols,
-        *[c for c in out.columns if c not in (struct_col, *key_cols)],
-    )
+    return _flatten_window(out, key_cols, struct_col=struct_col)
 
 
 class Count:
@@ -586,7 +597,26 @@ def _commit_batch_exactly_once(
     w.parquet(f"{path}/_staging-{batch_id}")
 
     prefix = f"bid{batch_id}-"
-    if fs.exists(root):
+    # Stale `bid<id>-` files can only exist when THIS batch id already
+    # attempted a commit (a crash-replay). Detecting that with the
+    # recursive full-table listing on EVERY batch makes commit latency
+    # grow with table size (thousands of LIST calls per micro-batch on
+    # object stores, sweeping for files that almost never exist).
+    # Instead each attempt drops a zero-byte `_eo-attempt-<id>` marker
+    # at the root BEFORE any rename: replay detection is one exists()
+    # call, and the sweep runs only then. Markers of other batch ids are
+    # superseded (their epochs are committed — structured streaming only
+    # ever replays the LATEST uncommitted batch), removed with one
+    # non-recursive glob of the root.
+    marker = HPath(f"{path}/_eo-attempt-{batch_id}")
+    replay = fs.exists(marker)
+    old_markers = fs.globStatus(HPath(f"{path}/_eo-attempt-*"))
+    if old_markers is not None:
+        for st in old_markers:
+            if st.getPath().getName() != marker.getName():
+                fs.delete(st.getPath(), False)
+    fs.create(marker, True).close()
+    if replay and fs.exists(root):
         stale = []
         it = fs.listFiles(root, True)
         while it.hasNext():
@@ -737,7 +767,15 @@ class FlatMap(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         arr = self.fn(pcoll.df)
         exploder = F.explode_outer if self.outer else F.explode
-        keep = self.keep if self.keep is not None else pcoll.df.columns
+        # Exclude the output alias from the default keep-set: exploding a
+        # 'value' column into alias 'value' would otherwise emit TWO
+        # 'value' columns, and the first downstream F.col('value') dies
+        # with AMBIGUOUS_REFERENCE far from the cause.
+        keep = (
+            self.keep
+            if self.keep is not None
+            else [c for c in pcoll.df.columns if c != self.alias]
+        )
         out = pcoll.df.select(*keep, exploder(arr).alias(self.alias))
         return pcoll._with(out)
 
@@ -842,9 +880,17 @@ class Partition(PTransform):
         raise TypeError("Partition produces multiple outputs; use .split(pcoll)")
 
     def split(self, pcoll: PCollection) -> list[PCollection]:
-        tagged = pcoll.df.withColumn("_part", self.partition_expr % self.n)
+        # pmod, not %: Spark's % follows the dividend's sign, so a
+        # negative partition expression (e.g. F.hash(...)) would land in
+        # {-(n-1)..-1} and match NO branch — silent row loss. The working
+        # column name also dodges caller columns instead of clobbering
+        # an existing '_part'.
+        part = _temp_col_name("part", pcoll.df.columns)
+        tagged = pcoll.df.withColumn(
+            part, F.pmod(self.partition_expr, F.lit(self.n))
+        )
         return [
-            pcoll._with(tagged.filter(F.col("_part") == i).drop("_part"))
+            pcoll._with(tagged.filter(F.col(part) == i).drop(part))
             for i in range(self.n)
         ]
 
@@ -866,19 +912,47 @@ class CoGroupByKey(PTransform):
         self.key_cols = list(key_cols)
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        left = pcoll.df.groupBy(*self.key_cols).agg(
-            F.collect_list(self.value_col).alias("values_a")
+        # Beam's CoGroupByKey groups per WINDOW per key. When a windowing
+        # context is active, each side aggregates through the shared
+        # windowed-group helper (flat window_start/window_end columns)
+        # and the join key gains the window bounds — fixed/sliding
+        # windows bucket deterministically, so equal bounds align across
+        # sides. Session windows are sessionized per input; Beam merges
+        # sessions ACROSS inputs, which an independent per-side grouping
+        # cannot reproduce — refuse rather than silently diverge.
+        spec_a, spec_b = pcoll.spec, self.other.spec
+        if (spec_a.window_fn is None) != (spec_b.window_fn is None):
+            raise ValueError(
+                "CoGroupByKey requires both sides unwindowed or both "
+                "windowed (apply WindowInto to both inputs)"
+            )
+        if isinstance(spec_a.window_fn, Sessions) or isinstance(
+            spec_b.window_fn, Sessions
+        ):
+            raise NotImplementedError(
+                "CoGroupByKey over session windows: Beam merges sessions "
+                "across inputs; per-side sessionization would diverge"
+            )
+        join_cols = list(self.key_cols)
+        if spec_a.window_fn is not None:
+            join_cols = ["window_start", "window_end", *join_cols]
+        left = _windowed_group_agg(
+            pcoll,
+            self.key_cols,
+            [F.collect_list(self.value_col).alias("values_a")],
         )
-        right = self.other.df.groupBy(*self.key_cols).agg(
-            F.collect_list(self.other_value_col).alias("values_b")
+        right = _windowed_group_agg(
+            self.other,
+            self.key_cols,
+            [F.collect_list(self.other_value_col).alias("values_b")],
         )
-        joined = left.join(right, self.key_cols, "full_outer")
+        joined = left.join(right, join_cols, "full_outer")
         empties = {
             name: F.array().cast(joined.schema[name].dataType)
             for name in ("values_a", "values_b")
         }
         joined = joined.select(
-            *self.key_cols,
+            *join_cols,
             F.coalesce("values_a", empties["values_a"]).alias("values_a"),
             F.coalesce("values_b", empties["values_b"]).alias("values_b"),
         )
@@ -916,14 +990,44 @@ class WithSingletonSideInput(PTransform):
 
     `side` must be a 1-row PCollection (e.g. a global aggregate); its
     columns join onto every main-input row via a broadcast cross join —
-    the Spark realization of Beam's broadcast side input.
+    the Spark realization of Beam's broadcast side input. The 1-row
+    precondition is ENFORCED in the plan (Beam's AsSingleton fails
+    loudly on a multi-element view; a silent cross join against 2 side
+    rows would duplicate every main-input row): a window count over the
+    side feeds assert_true, so a multi-row side fails the job at
+    execution with a clear message instead of corrupting row counts.
     """
 
     def __init__(self, side: PCollection):
         self.side = side
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        return pcoll._with(pcoll.df.crossJoin(F.broadcast(self.side.df)))
+        side_df = self.side.df
+        # The guard must live INSIDE the surviving output columns — an
+        # assert in a dropped helper column is pruned away by Catalyst
+        # (verified live). Every side column is wrapped: with exactly
+        # one row the when-branch passes the value through; with more,
+        # reading ANY side value raises at execution. Boundary: a plan
+        # that never reads a side column (e.g. a bare count) prunes the
+        # side entirely and cannot trip the guard — but then no side
+        # VALUE can corrupt results either; only such value-blind row
+        # counts see the multiplied cardinality unchecked.
+        cnt = F.count(F.lit(1)).over(Window.partitionBy())
+        err = F.raise_error(
+            F.lit(
+                "WithSingletonSideInput: side input has more than one "
+                "row (Beam AsSingleton precondition)"
+            )
+        )
+        checked = side_df.select(
+            *[
+                F.when(cnt == 1, F.col(c))
+                .otherwise(err.cast(side_df.schema[c].dataType))
+                .alias(c)
+                for c in side_df.columns
+            ]
+        )
+        return pcoll._with(pcoll.df.crossJoin(F.broadcast(checked)))
 
 
 class Counter:
