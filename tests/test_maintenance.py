@@ -492,3 +492,52 @@ def test_upsert_aligns_divergent_partition_type(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="losslessly"):
         upsert_partitions(spark, bad, tdir, "day", ["k"])
+
+
+def test_maintenance_ops_work_on_file_scheme_uris(spark, tmp_path):
+    """r6: every filesystem touch in upsert/delete goes through Hadoop's
+    FileSystem API — an os.path implementation reported "no table" for
+    any URI scheme, making upsert skip its anti-join merge (data loss:
+    untouched same-partition rows replaced by just the updates) and
+    delete_keys a silent no-op. `file:` is the scheme this sandbox can
+    exercise; the code path is scheme-generic."""
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        delete_keys,
+        upsert_partitions,
+    )
+
+    import os
+
+    turi = f"file:{tmp_path}/tbl"
+    base = spark.createDataFrame(
+        [(1, 10, "keep"), (1, 11, "replace"), (2, 20, "other")],
+        "day BIGINT, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, turi, "day", ["k"]) == 2
+    upd = spark.createDataFrame([(1, 11, "new")], "day BIGINT, k BIGINT, v STRING")
+    assert upsert_partitions(spark, upd, turi, "day", ["k"]) == 1
+    rows = sorted(
+        (r["day"], r["k"], r["v"]) for r in spark.read.parquet(turi).collect()
+    )
+    # The merge ran: the untouched same-partition row survives.
+    assert rows == [(1, 10, "keep"), (1, 11, "new"), (2, 20, "other")]
+
+    tomb = spark.createDataFrame([(2, 20)], "day BIGINT, k BIGINT")
+    assert delete_keys(spark, tomb, turi, "day", ["k"]) == 1
+    spark.catalog.clearCache()
+    rows = sorted(
+        (r["day"], r["k"], r["v"]) for r in spark.read.parquet(turi).collect()
+    )
+    assert rows == [(1, 10, "keep"), (1, 11, "new")]
+    # The emptied day=2 directory was swept (Hadoop-FS sweep).
+    assert sorted(
+        d for d in os.listdir(tmp_path / "tbl") if d.startswith("day=")
+    ) == ["day=1"]
+
+
+def test_compaction_refuses_object_store_paths(spark):
+    """r6: compaction's atomicity is a rename guarantee; on an object
+    store the swap is copy+delete and can crash half-done — and the old
+    pathlib listing silently reported an empty success. Refuse loudly."""
+    with pytest.raises(ValueError, match="non-local"):
+        compact_partitions(spark, "s3a://bucket/tbl")

@@ -101,6 +101,42 @@ def test_foreachbatch_idempotent_append(spark, tmp_path):
     assert spark.read.parquet(f"{out}/batch=0").count() == first == 10
 
 
+def test_retention_sessionless_fallback_and_nonlocal_guard(
+    spark, tmp_path, monkeypatch
+):
+    """r6: retention went through Hadoop's FileSystem API so TTL works on
+    any scheme. The two non-Hadoop branches need pinning too: with no
+    active session a LOCAL path falls back to pathlib (same report), and
+    a non-local path raises instead of silently no-op'ing (the original
+    bug this rewrite fixed)."""
+    from datetime import date
+
+    import pytest
+    from pyspark.sql import SparkSession
+
+    from tutorial_apache_beam_spark.operators import retention as ret
+
+    root = tmp_path / "tbl"
+    for name in ("dt=2024-01-01", "dt=2024-01-20", "dt=oddball"):
+        (root / name).mkdir(parents=True)
+        (root / name / "part-0.parquet").write_bytes(b"x")
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    report = ret.apply_retention(
+        str(root), "dt", keep_days=7, today=date(2024, 1, 21)
+    )
+    assert report.dropped == ["dt=2024-01-01"]
+    assert sorted(report.kept) == ["dt=2024-01-20", "dt=oddball"]
+    assert not (root / "dt=2024-01-01").exists()
+
+    with pytest.raises(ValueError, match="requires"):
+        ret.apply_retention(
+            "s3a://bucket/tbl", "dt", keep_days=7, today=date(2024, 1, 21)
+        )
+
+
 def test_retention_drops_old_partitions(spark, tmp_path):
     from datetime import date
 

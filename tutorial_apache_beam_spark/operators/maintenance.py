@@ -118,7 +118,23 @@ def compact_partitions(
     way — a replay into a dropped partition is re-dropped by the next
     run.
     """
-    root = Path(table_path)
+    if "://" in table_path and not table_path.startswith("file:"):
+        # The temp-write-then-double-rename swap below is atomic only on
+        # filesystems with real directory renames (local, HDFS). Object
+        # stores emulate rename as copy+delete — a crash mid-"swap" CAN
+        # leave a mixed or missing partition, voiding the one guarantee
+        # this job makes, so refuse loudly instead of silently no-op'ing
+        # (Path.exists() is false for s3a:// and would report an empty
+        # "success"). At cluster scale on object storage, compaction
+        # belongs to a transactional table format's rewrite (Delta
+        # OPTIMIZE / Iceberg rewrite_data_files).
+        raise ValueError(
+            f"compact_partitions on non-local path {table_path!r}: the "
+            "atomic partition swap requires rename semantics (local/HDFS "
+            "paths); use a transactional table format's compaction on "
+            "object stores"
+        )
+    root = Path(table_path.removeprefix("file:"))
     report = CompactionReport()
     part_dirs = [
         d for d in sorted(root.iterdir()) if d.is_dir() and "=" in d.name
@@ -200,10 +216,39 @@ def _probe_touched_partitions(
     return touched
 
 
-def _has_partitioned_table(table_dir: str, partition_col: str) -> bool:
-    return os.path.isdir(table_dir) and any(
-        e.name.startswith(f"{partition_col}=") for e in os.scandir(table_dir)
-    )
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via Hadoop's API — the same
+    any-scheme access retention uses. Every filesystem touch in the
+    incremental-maintenance ops goes through this: an os.path/scandir
+    implementation silently reported "no table" on hdfs:// / s3a://
+    paths, which made `upsert_partitions` skip the anti-join merge
+    (replacing whole partitions with just the updates — data loss) and
+    made `delete_keys` a silent no-op, exactly the bug class the
+    retention rewrite fixed for local-only TTL."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _partition_dir_names(
+    spark: SparkSession, table_dir: str, partition_col: str
+) -> list[str]:
+    """Names of `<partition_col>=...` child directories, any scheme."""
+    fs, root = _hadoop_fs(spark, table_dir)
+    if not fs.exists(root):
+        return []
+    prefix = f"{partition_col}="
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+
+
+def _has_partitioned_table(
+    spark: SparkSession, table_dir: str, partition_col: str
+) -> bool:
+    return bool(_partition_dir_names(spark, table_dir, partition_col))
 
 
 class _dynamic_overwrite:
@@ -274,7 +319,7 @@ def upsert_partitions(
     )
     if not touched:
         return 0
-    if _has_partitioned_table(table_dir, partition_col):
+    if _has_partitioned_table(spark, table_dir, partition_col):
         from pyspark.sql import functions as F
 
         existing = spark.read.parquet(table_dir).filter(
@@ -378,7 +423,7 @@ def delete_keys(
     )
     if not touched:
         return 0
-    if not _has_partitioned_table(table_dir, partition_col):
+    if not _has_partitioned_table(spark, table_dir, partition_col):
         return 0
     join_keys = (
         key_cols if partition_col in key_cols else [*key_cols, partition_col]
@@ -428,15 +473,21 @@ def delete_keys(
         # their values (Spark Hive-escapes special characters in
         # partition paths, e.g. ':' -> '%3A' — reconstructing the dir
         # name from the raw value would miss those and silently leave
-        # the stale partition behind).
+        # the stale partition behind). Hadoop FS, like every other
+        # filesystem touch here, so the sweep works on any scheme.
+        # (The listed Path objects are deleted directly — re-building a
+        # Path from an escaped name string would URI-unescape it and
+        # target a directory that doesn't exist.)
         from urllib.parse import unquote
 
         prefix = f"{partition_col}="
-        for entry in os.scandir(table_dir):
-            if not entry.is_dir() or not entry.name.startswith(prefix):
+        fs, root = _hadoop_fs(spark, table_dir)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not st.isDirectory() or not name.startswith(prefix):
                 continue
-            val_str = unquote(entry.name[len(prefix):])
+            val_str = unquote(name[len(prefix):])
             if val_str in touched_strs and val_str not in kept:
-                shutil.rmtree(entry.path)
+                fs.delete(st.getPath(), True)
     survivors.unpersist()
     return len(touched)
