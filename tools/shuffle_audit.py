@@ -51,14 +51,17 @@ def _mb(n: float) -> float:
     return round(n / (1024 * 1024), 2)
 
 
-def audit(spark, base: str) -> list[dict]:
+def audit(spark, base: str, only: set[str] | None = None) -> list[dict]:
     from bench import _family_of
     from tutorial_apache_beam_spark import registry
 
     rows = []
     for name, fn in sorted(registry.queries().items()):
         fam = _family_of(name)
-        if fam in SKIP_FAMILIES:
+        if only is not None:
+            if name not in only:
+                continue
+        elif fam in SKIP_FAMILIES:
             continue
         before = set(_stages(base))
         fn(spark, SF_DIR).count()
@@ -88,7 +91,21 @@ def audit(spark, base: str) -> list[dict]:
 
 
 def main() -> None:
+    import argparse
+
     from tutorial_apache_beam_spark import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "gates", nargs="*",
+        help="audit only these gates (default: every batch gate)",
+    )
+    ap.add_argument(
+        "--section", default=None,
+        help="emit a '## <section>' markdown fragment (for appending to "
+        "SHUFFLE.md) instead of the full document header",
+    )
+    args = ap.parse_args()
 
     spark = get_spark(
         app_name="shuffle_audit",
@@ -103,22 +120,28 @@ def main() -> None:
     )
     app_id = spark.sparkContext.applicationId
     base = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
-    rows = audit(spark, base)
+    rows = audit(spark, base, only=set(args.gates) or None)
     cols = [
         "gate", "family", "shuffle_write_mb", "input_mb", "spill_mb",
         "tasks", "stages",
     ]
-    print("# SHUFFLE — measured per-gate data movement (generated)")
-    print()
-    print(
-        f"Stage-metric deltas per batch gate at `{SF_DIR}` via the Spark "
-        "monitoring REST API — regenerate with `python "
-        "tools/shuffle_audit.py > SHUFFLE.md`. shuffle_write_mb is the "
-        "byte count a cluster run moves across the network (the 100x "
-        "multiplier target); input_mb checks pruning reached the scans; "
-        "spill_mb must be 0 at fixture scale. Streaming/sink gates are "
-        "excluded for the same attribution reason as PLANS.md."
-    )
+    if args.section:
+        print(f"## {args.section}")
+        print()
+        print(f"Same metrics at `{SF_DIR}`.")
+    else:
+        print("# SHUFFLE — measured per-gate data movement (generated)")
+        print()
+        print(
+            f"Stage-metric deltas per batch gate at `{SF_DIR}` via the "
+            "Spark monitoring REST API — regenerate with `python "
+            "tools/shuffle_audit.py > SHUFFLE.md`. shuffle_write_mb is the "
+            "byte count a cluster run moves across the network (the 100x "
+            "multiplier target); input_mb checks pruning reached the "
+            "scans; spill_mb must be 0 at fixture scale. Streaming/sink "
+            "gates are excluded for the same attribution reason as "
+            "PLANS.md."
+        )
     print()
     print("| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
