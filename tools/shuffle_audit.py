@@ -9,8 +9,9 @@ metrics (Spark monitoring REST API, /api/v1/applications/<id>/stages):
   network once at cluster scale; THE number a 100x scale-up multiplies);
 - input_mb — bytes read from the source scans (pruning/pushdown check:
   this should track the projected columns, not the table width);
-- spill_mb — memory+disk spill (must be 0 at fixture scale; any nonzero
-  means a partition already outgrew its task at sf0.1);
+- spill_disk_mb / spill_mem_mb — spill written to disk / cumulative
+  deserialized size at spill time (must be 0 at fixture scale; any
+  nonzero means a partition already outgrew its task at sf0.1);
 - tasks — total tasks launched (fixed overhead proxy).
 
 Usage: python tools/shuffle_audit.py > SHUFFLE.md
@@ -76,12 +77,14 @@ def audit(spark, base: str, only: set[str] | None = None) -> list[dict]:
                     sum(s.get("shuffleWriteBytes", 0) for s in new)
                 ),
                 "input_mb": _mb(sum(s.get("inputBytes", 0) for s in new)),
-                "spill_mb": _mb(
-                    sum(
-                        s.get("memoryBytesSpilled", 0)
-                        + s.get("diskBytesSpilled", 0)
-                        for s in new
-                    )
+                # memory spill counts the DESERIALIZED size at each spill
+                # event (inflated, often 10-20x disk); disk spill is the
+                # honest bytes-written number. Report both.
+                "spill_mem_mb": _mb(
+                    sum(s.get("memoryBytesSpilled", 0) for s in new)
+                ),
+                "spill_disk_mb": _mb(
+                    sum(s.get("diskBytesSpilled", 0) for s in new)
                 ),
                 "tasks": sum(s.get("numCompleteTasks", 0) for s in new),
                 "stages": len(new),
@@ -122,8 +125,8 @@ def main() -> None:
     base = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
     rows = audit(spark, base, only=set(args.gates) or None)
     cols = [
-        "gate", "family", "shuffle_write_mb", "input_mb", "spill_mb",
-        "tasks", "stages",
+        "gate", "family", "shuffle_write_mb", "input_mb",
+        "spill_disk_mb", "spill_mem_mb", "tasks", "stages",
     ]
     if args.section:
         print(f"## {args.section}")
@@ -138,7 +141,7 @@ def main() -> None:
             "tools/shuffle_audit.py > SHUFFLE.md`. shuffle_write_mb is the "
             "byte count a cluster run moves across the network (the 100x "
             "multiplier target); input_mb checks pruning reached the "
-            "scans; spill_mb must be 0 at fixture scale. Streaming/sink "
+            "scans; spill must be 0 at fixture scale. Streaming/sink "
             "gates are excluded for the same attribution reason as "
             "PLANS.md."
         )
@@ -152,7 +155,7 @@ def main() -> None:
         f"Totals: {len(rows)} gates, "
         f"{round(sum(r['shuffle_write_mb'] for r in rows), 1)} MB shuffled, "
         f"{round(sum(r['input_mb'] for r in rows), 1)} MB scanned, "
-        f"{round(sum(r['spill_mb'] for r in rows), 1)} MB spilled."
+        f"{round(sum(r['spill_disk_mb'] for r in rows), 1)} MB disk-spilled."
     )
 
 
