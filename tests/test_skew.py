@@ -109,3 +109,25 @@ def test_salted_agg_survives_user_salt_column(spark):
         ).collect()
     }
     assert out == {1: (12, 300), 2: (9, 300)}
+
+
+def test_salted_agg_count_follows_sql_null_semantics(spark):
+    """r6: ('col', 'count') used to count ROWS whatever column was named
+    — silently diverging from SQL count(col) on the first NULL. 'count'
+    now skips nulls like every SQL engine; 'count_rows' is the explicit
+    count(*)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, None), (1, 3.0), (2, None)],
+        "k INT, v DOUBLE",
+    )
+    out = {
+        r["k"]: (r["nv"], r["nr"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            F.hash("v"),
+            {"nv": ("v", "count"), "nr": ("v", "count_rows")},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert out == {1: (2, 3), 2: (0, 1)}

@@ -39,12 +39,29 @@ def salted_agg(
     """Two-stage skew-safe aggregation.
 
     `aggs` maps output column name → (input column, fn) with fn in
-    {sum, count, min, max}. The partial stage computes fn over
-    (keys, salt); the final stage re-combines partials per key (count
-    re-combines with sum). Result equals the direct groupBy exactly.
+    {sum, count, count_rows, min, max}. The partial stage computes fn
+    over (keys, salt); the final stage re-combines partials per key
+    (counts re-combine with sum). Result equals the direct groupBy
+    exactly. `count` follows SQL count(col) — non-null values of the
+    named column (an earlier version silently counted ROWS whatever
+    column was named, diverging from every SQL engine's count(col) the
+    moment a null appeared); `count_rows` is the explicit count(*),
+    ignoring its column argument.
     """
-    combiners = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
-    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    combiners = {
+        "sum": F.sum,
+        "count": F.count,
+        "count_rows": lambda c: F.count(F.lit(1)),
+        "min": F.min,
+        "max": F.max,
+    }
+    recombine = {
+        "sum": F.sum,
+        "count": F.sum,
+        "count_rows": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
     for name, (col, fn) in aggs.items():
         if fn not in combiners:
             raise ValueError(f"unsupported aggregate {fn!r} for {name!r}")

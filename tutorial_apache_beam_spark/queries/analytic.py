@@ -449,7 +449,7 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         ["user_id"],
         salt_source=F.col("event_id"),
-        aggs={"total_raw": ("value", "sum"), "n": ("value", "count")},
+        aggs={"total_raw": ("value", "sum"), "n": ("value", "count_rows")},
         salt_buckets=16,
     )
     return out.select(
