@@ -131,3 +131,34 @@ def test_salted_agg_count_follows_sql_null_semantics(spark):
         ).collect()
     }
     assert out == {1: (2, 3), 2: (0, 1)}
+
+
+def test_working_columns_dodge_caller_columns(spark):
+    """r6: top_k_per_group and stratified_mix used hardcoded working
+    columns ('_rn', '_copies'); a caller frame already carrying one was
+    silently overwritten and dropped. Both now dodge."""
+    from tutorial_apache_beam_spark.operators.relational import (
+        top_k_per_group,
+    )
+    from tutorial_apache_beam_spark.operators.sampling import stratified_mix
+
+    df = spark.createDataFrame(
+        [(1, 5, "keep-a"), (1, 3, "keep-b"), (2, 9, "keep-c")],
+        "g INT, v INT, _rn STRING",
+    )
+    got = {
+        (r["g"], r["v"], r["_rn"])
+        for r in top_k_per_group(df, ["g"], [F.col("v").desc()], 1).collect()
+    }
+    assert got == {(1, 5, "keep-a"), (2, 9, "keep-c")}
+
+    mix_in = spark.createDataFrame(
+        [(1, "hi", 7), (2, "lo", 8)],
+        "doc_id BIGINT, tier STRING, _copies INT",
+    )
+    out = stratified_mix(
+        mix_in, stratum_col="tier", weights={"hi": 2.0, "lo": 1.0}
+    )
+    rows = {(r["doc_id"], r["epoch"], r["_copies"]) for r in out.collect()}
+    # caller's _copies column survives; 'hi' doc appears in 2 epochs
+    assert rows == {(1, 0, 7), (1, 1, 7), (2, 0, 8)}

@@ -31,11 +31,17 @@ def top_k_per_group(
     skewed groups at 100 TB, pre-aggregate or salt before this — AQE's skew
     handling does not split a single window partition.
     """
+    # The working column must dodge caller columns — withColumn silently
+    # overwrites, so a caller frame already carrying '_rn' would lose it
+    # (same guard as Partition/salted_agg).
+    rn = "_rn"
+    while rn in df.columns:
+        rn = f"_{rn}"
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= k)
+        .drop(rn)
     )
 
 

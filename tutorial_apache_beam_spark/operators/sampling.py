@@ -134,11 +134,18 @@ def stratified_mix(
         ).otherwise(frac_hit)
 
     copies = whole + F.when(frac_hit, 1).otherwise(0)
+    # Working column dodges caller columns (withColumn silently
+    # overwrites — same guard as top_k_per_group/salted_agg); 'epoch' is
+    # the documented OUTPUT column and intentionally replaces any input
+    # column of that name.
+    cc = "_copies"
+    while cc in df.columns:
+        cc = f"_{cc}"
     return (
-        df.withColumn("_copies", copies)
-        .filter(F.col("_copies") > 0)
-        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
-        .drop("_copies")
+        df.withColumn(cc, copies)
+        .filter(F.col(cc) > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col(cc) - 1)))
+        .drop(cc)
     )
 
 
