@@ -1,0 +1,179 @@
+"""Clean-room avro fallback: spec-vector, golden-byte, and round-trip
+verification.
+
+No avro reader exists in this container (no jar, no fastavro), so the
+verification strategy is layered instead of circular:
+1. the binary primitives are pinned to the Apache Avro spec's OWN worked
+   examples (the table in §Binary Encoding and the 'foo' string example),
+2. a whole container with an injected sync marker is pinned as golden
+   bytes (any encode change fails loudly),
+3. the distributed writer round-trips through the reader across every
+   supported type, nulls, unicode, and empty partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+from datetime import date, datetime
+
+import pytest
+
+from tutorial_apache_beam_spark.sources.avro_fallback import (
+    decode_long,
+    encode_long,
+    read_avro_fallback,
+    read_container,
+    spark_schema_to_avro,
+    write_avro_fallback,
+)
+
+
+def test_long_encoding_matches_spec_examples():
+    """The exact example table from the Avro spec (§Binary Encoding):
+    0→00, -1→01, 1→02, -2→03, 2→04, plus the boundary forms -64→7f and
+    64→80 01 that exercise the varint continuation bit."""
+    spec_vectors = {
+        0: b"\x00",
+        -1: b"\x01",
+        1: b"\x02",
+        -2: b"\x03",
+        2: b"\x04",
+        -64: b"\x7f",
+        64: b"\x80\x01",
+    }
+    for n, wire in spec_vectors.items():
+        assert encode_long(n) == wire, n
+        assert decode_long(io.BytesIO(wire)) == n
+
+
+def test_long_encoding_roundtrips_extremes():
+    for n in (2**62, -(2**62), 2**63 - 1, -(2**63), 123456789, -987654321):
+        assert decode_long(io.BytesIO(encode_long(n))) == n
+
+
+def test_string_encoding_matches_spec_example():
+    """Spec: the three-character string 'foo' encodes as 06 66 6f 6f."""
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _encode_value,
+    )
+
+    out = bytearray()
+    _encode_value("string", "foo", out)
+    assert bytes(out) == b"\x06\x66\x6f\x6f"
+
+
+def test_golden_container_bytes():
+    """A fixed record set with an injected sync marker produces pinned
+    bytes — any drift in header framing, union branch indexes, or value
+    encoding fails here before it can corrupt interchange files."""
+    from pyspark.sql import types as T
+
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _field_plan,
+        write_container,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    rows = [(1, "a", 1.5), (2, None, None), (3, "β", -0.25)]
+    fh = io.BytesIO()
+    n = write_container(
+        rows,
+        _field_plan(schema),
+        spark_schema_to_avro(schema),
+        fh,
+        sync=b"\x00" * 16,
+    )
+    assert n == 3
+    digest = hashlib.md5(fh.getvalue()).hexdigest()
+    assert digest == GOLDEN_MD5, (
+        f"container bytes drifted: {digest} (len {len(fh.getvalue())})"
+    )
+    # and the reader recovers the records exactly
+    fh.seek(0)
+    got_schema, got_rows = read_container(fh)
+    assert [f["name"] for f in got_schema["fields"]] == [
+        "id", "name", "score",
+    ]
+    assert got_rows == rows
+
+
+# Pinned after byte-level verification against the spec: header =
+# magic + 2-entry metadata map + zero sync; block = count 0x06 (=3),
+# size 0x3c (=30); records verified nibble-by-nibble (id varints, union
+# branch indexes, string lengths, LE doubles) in the r6 session log.
+GOLDEN_MD5 = "1a8c4cac79ff7c4e14fbc7955ac70931"
+
+
+def test_write_read_roundtrip_all_types(spark, tmp_path):
+    """Distributed write (one container per partition) → reader → exact
+    value and schema equality across every supported type, with nulls,
+    unicode, bytes, and an EMPTY partition in the mix."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("small", T.IntegerType(), True),
+            T.StructField("ratio", T.DoubleType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    rows = [
+        (1, True, 7, 2.5, "héllo", bytearray(b"\x00\xff"), date(2024, 1, 31),
+         datetime(2024, 1, 31, 23, 59, 59, 123456)),
+        (2, None, None, None, None, None, None, None),
+        (3, False, -1, -0.125, "", bytearray(b""), date(1969, 12, 31),
+         datetime(1960, 6, 1, 0, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(4)  # empty parts
+    out = str(tmp_path / "tbl.avro")
+    write_avro_fallback(df, out, codec="deflate")
+    back = read_avro_fallback(spark, out)
+    assert back.schema == schema
+    canon = lambda df: sorted(
+        (r["id"], r["flag"], r["small"], r["ratio"], r["name"],
+         bytes(r["payload"]) if r["payload"] is not None else None,
+         r["d"], r["ts"])
+        for r in df.collect()
+    )
+    assert canon(back) == canon(df)
+
+
+def test_writer_surface_falls_back_without_jar(spark, tmp_path):
+    """write_table/read_table with fmt='avro': no spark-avro on this
+    classpath, so the surface transparently uses the fallback and the
+    round-trip still succeeds (the pre-r6 behavior was a hard error)."""
+    from tutorial_apache_beam_spark.sources.writers import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    out = str(tmp_path / "t.avro")
+    write_table(df, out, fmt="avro")
+    back = read_table(spark, out, fmt="avro")
+    assert sorted(r["v"] for r in back.collect()) == list(range(100))
+
+
+def test_fallback_guards(spark, tmp_path):
+    """Non-local paths and complex types refuse with the jar remediation
+    instead of mis-writing."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="spark-avro"):
+        write_avro_fallback(df, "s3a://bucket/t.avro")
+    nested = df.select(F.struct("id").alias("s"))
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro_fallback(nested, str(tmp_path / "x.avro"))

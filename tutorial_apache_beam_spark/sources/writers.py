@@ -21,19 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 _FORMATS = ("parquet", "orc", "json", "csv", "avro")
 
 
-def _rethrow_if_avro_missing(fmt: str, ex: Exception) -> None:
+def _avro_jar_missing(fmt: str, ex: Exception) -> bool:
     """Avro is the one native format Spark ships as an EXTERNAL module
-    (spark-avro); translate its classpath failure into the same clear
-    remediation error the kafka transport gives."""
-    if fmt == "avro" and "Failed to find data source" in str(ex):
-        from tutorial_apache_beam_spark.sources.readers import _spark_version
-
-        raise RuntimeError(
-            "avro format requires the spark-avro package on the classpath "
-            "(start the session with spark.jars.packages="
-            f"org.apache.spark:spark-avro_2.13:{_spark_version()})"
-        ) from ex
-    raise ex
+    (spark-avro); detect exactly its classpath failure (option typos,
+    path errors, etc. must propagate untouched)."""
+    return fmt == "avro" and "Failed to find data source" in str(ex)
 
 
 def write_table(
@@ -62,7 +54,29 @@ def write_table(
     try:
         writer.save(path)
     except Exception as ex:  # pragma: no branch
-        _rethrow_if_avro_missing(fmt, ex)
+        if not _avro_jar_missing(fmt, ex):
+            raise
+        # No spark-avro on the classpath: fall back to the clean-room
+        # pure-Python container writer (sources/avro_fallback.py — flat
+        # primitive schemas, local paths, distributed one-file-per-
+        # partition). Anything outside its subset raises THERE with the
+        # jar remediation, so nothing is silently mis-written.
+        if partition_by:
+            from tutorial_apache_beam_spark.sources.readers import (
+                _spark_version,
+            )
+
+            raise RuntimeError(
+                "avro with partition_by requires the spark-avro package "
+                "(spark.jars.packages=org.apache.spark:spark-avro_2.13:"
+                f"{_spark_version()}); the no-JAR fallback writes flat "
+                "directories only"
+            ) from ex
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            write_avro_fallback,
+        )
+
+        write_avro_fallback(df, path, mode=mode)
 
 
 def read_table(
@@ -95,4 +109,10 @@ def read_table(
     try:
         return reader.load(path)
     except Exception as ex:  # pragma: no branch
-        _rethrow_if_avro_missing(fmt, ex)
+        if not _avro_jar_missing(fmt, ex):
+            raise
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            read_avro_fallback,
+        )
+
+        return read_avro_fallback(spark, path)
