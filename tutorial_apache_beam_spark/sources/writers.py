@@ -37,7 +37,8 @@ def write_table(
     **options: str,
 ) -> None:
     """Write `df` to `path` in any native format (parquet/orc/json/csv,
-    plus avro where the spark-avro module is on the classpath).
+    plus avro — via the spark-avro module when on the classpath, else
+    the pure-Python fallback for flat schemas; see avro_fallback.py).
 
     CSV gets a header by default (schema-first on read-back — never
     inferSchema in production, it is a full extra pass).
