@@ -58,3 +58,20 @@ def test_fingerprint_summary_matches_explode(spark):
     exploded = chunk_documents(df, size=8, stride=5).count()
     assert row["n"] == exploded
     assert len(row["fps"].split("|")) == exploded
+
+
+def test_chunking_rejects_nonpositive_window(spark):
+    """r6: size <= 0 silently produced empty chunks for every document
+    (slice with non-positive length returns []); stride <= 0 only blew
+    up in the executor. Both now raise at plan time."""
+    import pytest
+
+    from tutorial_apache_beam_spark.operators.chunking import (
+        chunk_fingerprints_sql,
+    )
+
+    for size, stride in ((0, 48), (64, 0), (-4, 3), (4, -3)):
+        with pytest.raises(ValueError, match="size > 0"):
+            chunk_documents(_doc(spark, "a b c"), size=size, stride=stride)
+        with pytest.raises(ValueError, match="size > 0"):
+            chunk_fingerprints_sql("toks", size=size, stride=stride)

@@ -30,11 +30,26 @@ def _chunk_starts(n_tokens: Column, stride: int) -> Column:
     ).otherwise(F.array().cast("array<int>"))
 
 
+def _validate_window(size: int, stride: int) -> None:
+    """Loud plan-time rejection (the _duration_ms philosophy): size <= 0
+    silently yields empty chunks for every document (F.slice with a
+    non-positive length returns []), and stride <= 0 only fails deep in
+    the executor's sequence() — both should fail at the call site."""
+    if size <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunking needs size > 0 and stride > 0, got size={size} "
+            f"stride={stride}"
+        )
+
+
 def chunk_token_arrays(
     toks: Column, size: int = 64, stride: int = 48
 ) -> Column:
     """array<array<string>>: overlapping token windows of `size`, step
-    `stride` (the final windows may be shorter). Row-local."""
+    `stride` (the final windows may be shorter; stride > size leaves
+    gaps, which sampling-style callers may legitimately want).
+    Row-local."""
+    _validate_window(size, stride)
     return F.transform(
         _chunk_starts(F.size(toks), stride),
         lambda s: F.slice(toks, s + 1, size),
@@ -95,6 +110,7 @@ def chunk_fingerprints_sql(
         portable_hash64_sql,
     )
 
+    _validate_window(size, stride)
     starts = f"range(0, greatest(len({toks_expr}), 0), {stride})"
     chunk = f"list_slice({toks_expr}, s + 1, s + {size})"
     chunk_text = f"array_to_string({chunk}, ' ')"
