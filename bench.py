@@ -371,10 +371,17 @@ def main() -> None:
     }
     # Durable FULL copy first (VERDICT r4 item 1a): the driver artifact
     # keeps only a ~2000-char tail of stdout and the full result outgrew
-    # it — the repo file can never be truncated that way.
+    # it — the repo file can never be truncated that way. A
+    # --headline-only run writes a SEPARATE file: letting the quick mode
+    # overwrite bench_last.json would silently replace the durable
+    # 50-query snapshot with an 11-query partial (bitten live in r6).
+    fname = (
+        "bench_headline.json"
+        if "--headline-only" in sys.argv
+        else "bench_last.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_last.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
         "w",
     ) as fh:
         fh.write(json.dumps(result) + "\n")
@@ -392,7 +399,7 @@ def main() -> None:
         "extra": {
             "demo2_stream_mib_per_s": mib_per_s,
             "all_queries_total": result["extra"]["all_queries_total"],
-            "full": "bench_last.json",
+            "full": fname,
         },
     }
     # Stop Spark BEFORE printing so the JSON is the LAST thing on
