@@ -541,3 +541,87 @@ def test_compaction_refuses_object_store_paths(spark):
     pathlib listing silently reported an empty success. Refuse loudly."""
     with pytest.raises(ValueError, match="non-local"):
         compact_partitions(spark, "s3a://bucket/tbl")
+
+
+def test_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """ADVICE r6: a NULL partition value is a real partition
+    (__HIVE_DEFAULT_PARTITION__). `isin(touched)` never matches NULL, so
+    the pre-fix upsert read no existing rows for it yet dynamic overwrite
+    still replaced the directory with updates-only rows — silently
+    dropping every existing non-updated NULL-partition row. The anti-join
+    must also be null-safe on the partition column, or the replaced key's
+    old row survives as a stale duplicate."""
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            (None, 1, "null-keep"),
+            (None, 2, "null-old"),
+            ("2024-01-01", 3, "dated"),
+        ],
+        "day STRING, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 2
+
+    updates = spark.createDataFrame(
+        [(None, 2, "null-NEW"), (None, 9, "null-ins")],
+        "day STRING, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, updates, tdir, "day", ["k"]) == 1
+
+    got = sorted(
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    )
+    assert got == [
+        ("2024-01-01", 3, "dated"),
+        ("None", 1, "null-keep"),  # existing non-updated NULL row survives
+        ("None", 2, "null-NEW"),   # replaced exactly once (null-safe join)
+        ("None", 9, "null-ins"),
+    ]
+
+
+def test_delete_keys_deletes_and_sweeps_null_partition(spark, tmp_path):
+    """ADVICE r6 (delete half): tombstones carrying a NULL partition value
+    must actually delete the NULL-partition rows, and an emptied NULL
+    partition's __HIVE_DEFAULT_PARTITION__ directory must be swept like
+    any other (None casts to SQL NULL, not the magic dir string)."""
+    import os
+
+    from tutorial_apache_beam_spark.operators.maintenance import (
+        delete_keys,
+        upsert_partitions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "b"), ("2024-01-01", 3, "c")],
+        "day STRING, k BIGINT, v STRING",
+    )
+    assert upsert_partitions(spark, base, tdir, "day", ["k"]) == 2
+
+    # Delete one of two NULL-partition rows: row gone, directory stays.
+    tomb = spark.createDataFrame([(None, 2)], "day STRING, k BIGINT")
+    assert delete_keys(spark, tomb, tdir, "day", ["k"]) == 1
+    spark.catalog.clearCache()
+    got = sorted(
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    )
+    assert got == [("2024-01-01", 3, "c"), ("None", 1, "a")]
+
+    # Delete the last NULL-partition row: directory swept.
+    tomb2 = spark.createDataFrame([(None, 1)], "day STRING, k BIGINT")
+    assert delete_keys(spark, tomb2, tdir, "day", ["k"]) == 1
+    spark.catalog.clearCache()
+    assert sorted(
+        d for d in os.listdir(tmp_path / "tbl") if d.startswith("day=")
+    ) == ["day=2024-01-01"]
+    got2 = [
+        (str(r["day"]), r["k"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    ]
+    assert got2 == [("2024-01-01", 3, "c")]

@@ -216,6 +216,66 @@ def _probe_touched_partitions(
     return touched
 
 
+# Directory name Spark/Hive gives the NULL partition. A NULL partition
+# VALUE is a real, writable partition — the maintenance ops must treat it
+# as one, not let it fall through null-propagating predicates.
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _touched_filter(partition_col: str, touched: list):
+    """Row predicate for "partition value is in `touched`", NULL-correct.
+
+    A plain `col.isin(touched)` evaluates to NULL (→ row dropped) for
+    every NULL partition value, so when `touched` contains None the read
+    silently excluded the __HIVE_DEFAULT_PARTITION__ rows: upsert then
+    dynamic-overwrote that directory with updates-only rows (dropping
+    every existing non-updated row), and delete_keys never saw the rows
+    it was shipped tombstones for. NULL membership has to be an explicit
+    isNull() branch, not a list element.
+    """
+    from pyspark.sql import functions as F
+
+    non_null = [v for v in touched if v is not None]
+    pred = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if len(non_null) != len(touched):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
+
+
+def _keyed_anti_join(
+    existing: DataFrame,
+    keyed: DataFrame,
+    join_keys: list[str],
+    partition_col: str,
+) -> DataFrame:
+    """existing LEFT ANTI JOIN keyed on `join_keys`, with NULL-SAFE
+    equality on the partition column only. A NULL partition value names a
+    real partition (__HIVE_DEFAULT_PARTITION__), so an update/tombstone
+    carrying NULL must match the existing NULL-partition rows — plain
+    `=` never matches NULL, and the old row would survive as a stale
+    duplicate (upsert) or silently escape deletion (delete_keys). NULLs
+    in the KEY columns keep SQL MERGE semantics: no match, so a NULL-key
+    update inserts and a NULL-key tombstone deletes nothing."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    left, right = existing.alias("__ex"), keyed.alias("__up")
+    cond = functools.reduce(
+        operator.and_,
+        [
+            F.col(f"__ex.{c}").eqNullSafe(F.col(f"__up.{c}"))
+            if c == partition_col
+            else F.col(f"__ex.{c}") == F.col(f"__up.{c}")
+            for c in join_keys
+        ],
+    )
+    return left.join(right, on=cond, how="left_anti")
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for `path` via Hadoop's API — the same
     any-scheme access retention uses. Every filesystem touch in the
@@ -323,7 +383,7 @@ def upsert_partitions(
         from pyspark.sql import functions as F
 
         existing = spark.read.parquet(table_dir).filter(
-            F.col(partition_col).isin(touched)
+            _touched_filter(partition_col, touched)
         )
         # Partition values DETERMINE directory names, so the updates'
         # partition column must be in the TABLE's type before the union:
@@ -364,10 +424,11 @@ def upsert_partitions(
             if partition_col in key_cols
             else [*key_cols, partition_col]
         )
-        survivors = existing.join(
+        survivors = _keyed_anti_join(
+            existing,
             updates.select(*join_keys).distinct(),
-            on=join_keys,
-            how="left_anti",
+            join_keys,
+            partition_col,
         )
         merged = survivors.select(*updates.columns).unionByName(updates)
     else:
@@ -429,12 +490,13 @@ def delete_keys(
         key_cols if partition_col in key_cols else [*key_cols, partition_col]
     )
     touched_table = spark.read.parquet(table_dir).filter(
-        F.col(partition_col).isin(touched)
+        _touched_filter(partition_col, touched)
     )
-    survivors = touched_table.join(
+    survivors = _keyed_anti_join(
+        touched_table,
         tombstones.select(*join_keys).distinct(),
-        on=join_keys,
-        how="left_anti",
+        join_keys,
+        partition_col,
     ).persist()
     # A partition whose every row is tombstoned yields rows in no output
     # partition — dynamic overwrite would then leave its old files in
@@ -451,14 +513,18 @@ def delete_keys(
     # emptied partition's old files behind, resurrecting deleted rows.
     # (survivors is persisted: the kept collect and the overwrite below
     # would otherwise each run the touched-partition scan + anti-join.)
+    # (None → the Hive default-partition directory name: a NULL value
+    # casts to SQL NULL, not to the magic string the directory carries,
+    # so without the mapping an emptied NULL partition's files would
+    # survive the sweep and resurrect the deleted rows.)
     kept = {
-        r[0]
+        r[0] if r[0] is not None else _HIVE_DEFAULT_PARTITION
         for r in survivors.select(
             F.col(partition_col).cast("string")
         ).distinct().collect()
     }
     touched_strs = {
-        r[0]
+        r[0] if r[0] is not None else _HIVE_DEFAULT_PARTITION
         for r in touched_table.select(F.col(partition_col).cast("string"))
         .distinct()
         .collect()
