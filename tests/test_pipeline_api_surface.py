@@ -420,6 +420,19 @@ def test_cogroupbykey_windowed(spark):
     sb = mk(rows_b).apply("S2", WindowInto(Sessions("30 seconds")))
     with pytest.raises(NotImplementedError, match="session"):
         sa.apply("BadS", CoGroupByKey(sb, "v", "v", "k"))
+    # ADVICE r6: DIFFERENT window params must raise like Beam's
+    # incompatible-windows error — fixed 1-min vs fixed 5-min would
+    # otherwise full-outer-join on misaligned bounds into mostly-empty
+    # co-groups.
+    b5 = p.create(
+        spark.createDataFrame(rows_b, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+    ).apply("T5", WithTimestamps("ts")).apply(
+        "W5", WindowInto(FixedWindows("5 minutes"))
+    )
+    with pytest.raises(ValueError, match="SAME window"):
+        a.apply("BadW", CoGroupByKey(b5, "v", "v", "k"))
 
 
 def test_singleton_side_input_enforced(spark):

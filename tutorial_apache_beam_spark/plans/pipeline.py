@@ -933,6 +933,18 @@ class CoGroupByKey(PTransform):
                 "CoGroupByKey over session windows: Beam merges sessions "
                 "across inputs; per-side sessionization would diverge"
             )
+        if spec_a.window_fn != spec_b.window_fn:
+            # Beam raises on incompatible WindowFns; a silent full-outer
+            # join on misaligned (window_start, window_end) bounds —
+            # fixed 1-min vs fixed 5-min — would yield mostly-empty
+            # co-groups instead. Frozen-dataclass equality covers
+            # size/slide params.
+            raise ValueError(
+                "CoGroupByKey requires both sides windowed with the SAME "
+                f"window fn and parameters; got {spec_a.window_fn!r} vs "
+                f"{spec_b.window_fn!r} — apply the same WindowInto to "
+                "both inputs"
+            )
         join_cols = list(self.key_cols)
         if spec_a.window_fn is not None:
             join_cols = ["window_start", "window_end", *join_cols]
