@@ -177,3 +177,86 @@ def test_fallback_guards(spark, tmp_path):
     nested = df.select(F.struct("id").alias("s"))
     with pytest.raises(NotImplementedError, match="spark-avro"):
         write_avro_fallback(nested, str(tmp_path / "x.avro"))
+
+
+def test_task_commit_protocol_deterministic_names(spark, tmp_path):
+    """ADVICE r6: filenames are deterministic per (job salt, Spark
+    partition id), written via dot-hidden temp + os.replace — so a
+    retried attempt overwrites its predecessor instead of leaving a
+    truncated file beside a complete one. Verify the layout contract:
+    names are part-{partitionId:05d}-{salt}.avro, no temp residue, and
+    the reader skips a crashed attempt's lingering temp file."""
+    import os
+    import re
+
+    df = spark.range(40).repartition(4)
+    out = str(tmp_path / "t.avro")
+    write_avro_fallback(df, out)
+    names = sorted(os.listdir(out))
+    assert all(re.fullmatch(r"part-\d{5}-[0-9a-f]{8}\.avro", n) for n in names)
+    # one salt per job, one file per non-empty Spark partition id
+    salts = {n.split("-")[2].split(".")[0] for n in names}
+    assert len(salts) == 1
+    pids = sorted(int(n.split("-")[1]) for n in names)
+    assert pids == sorted(set(pids))  # distinct partition ids
+    # a crashed attempt's temp file is invisible to the reader
+    with open(os.path.join(out, ".part-99999-deadbeef.avro.tmp-7"), "wb") as f:
+        f.write(b"truncated garbage")
+    back = read_avro_fallback(spark, out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(40))
+
+
+def test_partitioned_layout_escaping_and_null(spark, tmp_path):
+    """Hive-style partition dirs: values escaped exactly as Spark's
+    catalog escapes them (':' -> '%3A'), NULL -> __HIVE_DEFAULT_PARTITION__,
+    partition columns dropped from the container payload and appended
+    (typed) on read-back."""
+    import os
+
+    df = spark.createDataFrame(
+        [("a:1", 1, "x"), ("plain", 2, "y"), (None, 3, "z")],
+        "k STRING, v BIGINT, w STRING",
+    )
+    out = str(tmp_path / "p.avro")
+    write_avro_fallback(df, out, partition_by=["k"])
+    dirs = sorted(d for d in os.listdir(out) if "=" in d)
+    assert dirs == ["k=__HIVE_DEFAULT_PARTITION__", "k=a%3A1", "k=plain"]
+    back = read_avro_fallback(spark, out)
+    # partition column appended after data columns, NULL restored
+    assert back.columns == ["v", "w", "k"]
+    got = sorted(
+        ((r["k"] or ""), r["v"], r["w"]) for r in back.collect()
+    )
+    assert got == [("", 3, "z"), ("a:1", 1, "x"), ("plain", 2, "y")]
+    # mixed typed/untyped values across files demote the column to string
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, 20)], "day BIGINT, v BIGINT"
+    )
+    out2 = str(tmp_path / "p2.avro")
+    write_avro_fallback(df2, out2, partition_by=["day"])
+    typed = read_avro_fallback(spark, out2)
+    assert dict(typed.dtypes)["day"] == "bigint"
+
+
+def test_non_utc_session_refused_for_timestamps(spark, tmp_path):
+    """ADVICE r6: the timestamp-micros codec assumes naive == UTC; a
+    non-UTC session would shift every value silently, so both paths
+    verify the session zone (timestamp-free schemas stay unaffected)."""
+    df_ts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0))], "id BIGINT, ts TIMESTAMP"
+    )
+    out = str(tmp_path / "tz.avro")
+    write_avro_fallback(df_ts, out)  # UTC session: fine
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            write_avro_fallback(df_ts, str(tmp_path / "tz2.avro"))
+        with pytest.raises(ValueError, match="timeZone"):
+            read_avro_fallback(spark, out)
+        # timestamp-free schema is zone-independent: still allowed
+        write_avro_fallback(
+            spark.range(3), str(tmp_path / "tz3.avro")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

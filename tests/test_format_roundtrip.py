@@ -57,12 +57,9 @@ def test_avro_works_without_module_via_fallback(spark, tmp_path):
     """Avro is the one native format Spark ships as an external module.
     Through r5 a missing spark-avro could only raise a remediation error;
     since r6 the writer surface falls back to the clean-room pure-Python
-    container writer for flat schemas (sources/avro_fallback.py) and the
-    round-trip succeeds. Outside the fallback's subset — here
-    partition_by, which needs the jar's directory layout — the clear
-    remediation error remains."""
-    import pytest
-
+    container writer for flat schemas (sources/avro_fallback.py), and
+    since r7 the fallback also lays out Hive-style partition_by
+    directories, so the partitioned round-trip succeeds too."""
     from tutorial_apache_beam_spark.sources.writers import (
         read_table,
         write_table,
@@ -75,7 +72,17 @@ def test_avro_works_without_module_via_fallback(spark, tmp_path):
     assert sorted((r["id"], r["s"]) for r in back.collect()) == [
         (0, "0"), (1, "1"), (2, "2"),
     ]
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        write_table(
-            df, str(tmp_path / "p"), fmt="avro", partition_by=["s"]
-        )
+    # VERDICT r6 #6: partitioned avro round-trip, no jar needed.
+    pout = str(tmp_path / "p")
+    write_table(df, pout, fmt="avro", partition_by=["s"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(pout) if d.startswith("s=")
+    ) == ["s=0", "s=1", "s=2"]
+    # Partition values come back type-INFERRED from the dir names
+    # (long here), matching Spark's own partition-column inference.
+    pback = read_table(spark, pout, fmt="avro")
+    assert sorted((r["id"], r["s"]) for r in pback.collect()) == [
+        (0, 0), (1, 1), (2, 2),
+    ]

@@ -321,12 +321,99 @@ def _require_local(path: str, what: str) -> str:
     return path.removeprefix("file:")
 
 
+_UTC_NAMES = ("UTC", "GMT", "Z", "ETC/UTC")
+
+
+def _require_utc_for_timestamps(
+    spark: SparkSession, has_timestamp: bool, what: str
+) -> None:
+    """ADVICE r6: the timestamp-micros codec treats naive datetimes as
+    UTC (that's what Spark hands Python workers — and what
+    createDataFrame assumes on the way back — ONLY when the session
+    timezone is UTC). A non-UTC spark.sql.session.timeZone would
+    round-trip every timestamp shifted by the zone offset with no error,
+    so verify instead of assuming (same contract as streaming's
+    _require_utc_session)."""
+    if not has_timestamp:
+        return
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz.upper() not in _UTC_NAMES:
+        raise ValueError(
+            f"{what} fallback requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}) when the schema has timestamp columns: the "
+            "codec maps naive datetimes to UTC epoch micros, which is "
+            "only correct in a UTC session — set the session zone or "
+            "use the spark-avro package"
+        )
+
+
+# Hive partition-path escaping — the exact char set Spark's catalog
+# escapes (ExternalCatalogUtils; verified against Spark-written parquet
+# dirs, e.g. ':' -> '%3A'), so fallback-written directories read back
+# under spark-avro/parquet conventions and vice versa.
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(i) for i in range(1, 32)
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_escape(value) -> str:
+    if value is None:
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c
+        for c in str(value)
+    )
+
+
 def write_avro_fallback(
-    df: DataFrame, path: str, mode: str = "overwrite", codec: str = "null"
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    codec: str = "null",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Distributed avro write without spark-avro: each DataFrame partition
-    streams one container file into `path` via foreachPartition."""
+    streams container files into `path` via foreachPartition.
+
+    Task-commit protocol (ADVICE r6): the output filename is
+    DETERMINISTIC per (job salt, Spark partition id) — each attempt
+    writes a dot-hidden temp name unique to the attempt, then
+    os.replace()s it over the final name. A retried task therefore
+    overwrites its failed predecessor instead of leaving a truncated
+    `.avro` beside a complete one (which read back as silently
+    duplicated rows), and a speculative duplicate attempt atomically
+    replaces the same final file with identical content. A crashed
+    attempt can leave only a `.part-*.tmp-*` file, which both this
+    reader (suffix filter) and Spark's own readers (dot prefix) skip.
+
+    `partition_by` lays out Hive-style `col=value` directories (values
+    escaped exactly as Spark's catalog escapes them, NULL →
+    __HIVE_DEFAULT_PARTITION__), with the partition columns dropped from
+    the container payload like every Spark file sink. Rows are grouped
+    per partition value IN MEMORY per task before writing — fine at the
+    fallback's interchange scale; repartition on the partition columns
+    first if a task mixes many values.
+    """
     local = _require_local(path, "avro write")
+    _require_utc_for_timestamps(
+        df.sparkSession,
+        any(
+            isinstance(f.dataType, T.TimestampType) for f in df.schema.fields
+        ),
+        "avro write",
+    )
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in frame: {missing}")
+    data_fields = [
+        f for f in df.schema.fields if f.name not in partition_by
+    ]
+    if partition_by and not data_fields:
+        raise ValueError(
+            "partition_by covers every column; nothing left to write"
+        )
     if os.path.exists(local):
         if mode == "overwrite":
             shutil.rmtree(local)
@@ -335,50 +422,141 @@ def write_avro_fallback(
         elif mode != "append":
             raise ValueError(f"unsupported mode {mode!r}")
     os.makedirs(local, exist_ok=True)
-    avro_schema = spark_schema_to_avro(df.schema)
-    plan = _field_plan(df.schema)
+    data_schema = T.StructType(data_fields)
+    avro_schema = spark_schema_to_avro(data_schema)
+    plan = _field_plan(data_schema)
     names = [p[0] for p in plan]
+    pcols = partition_by
     salt = os.urandom(4).hex()
 
     def write_partition(rows):
         import os as _os
 
-        first = None
-        for first in rows:
-            break
-        else:
-            return  # empty partition: no file
-        pid = _os.getpid()
-        fname = f"{local}/part-{pid}-{salt}-{_os.urandom(4).hex()}.avro"
+        from pyspark import TaskContext
 
-        def all_rows():
-            yield tuple(first[n] for n in names)
-            for r in rows:
-                yield tuple(r[n] for n in names)
-
-        with open(fname, "wb") as fh:
-            write_container(all_rows(), plan, avro_schema, fh, codec=codec)
+        ctx = TaskContext.get()
+        task_part = ctx.partitionId() if ctx else _os.getpid()
+        attempt = (
+            ctx.taskAttemptId() if ctx else int.from_bytes(
+                _os.urandom(4), "big"
+            )
+        )
+        groups: dict[tuple, list[tuple]] = {}
+        for r in rows:
+            key = tuple(r[c] for c in pcols) if pcols else ()
+            groups.setdefault(key, []).append(tuple(r[n] for n in names))
+        for key, grows in groups.items():
+            out_dir = local
+            for col, v in zip(pcols, key):
+                out_dir = f"{out_dir}/{col}={_hive_escape(v)}"
+            _os.makedirs(out_dir, exist_ok=True)
+            base = f"part-{task_part:05d}-{salt}.avro"
+            tmp = f"{out_dir}/.{base}.tmp-{attempt}"
+            with open(tmp, "wb") as fh:
+                write_container(
+                    iter(grows), plan, avro_schema, fh, codec=codec
+                )
+            _os.replace(tmp, f"{out_dir}/{base}")
 
     df.foreachPartition(write_partition)
 
 
+def _infer_partition_value(raw: str):
+    """One partition value from its directory string, Spark-style: try
+    long, then double, then ISO date; else keep the string. NULL comes
+    back from the Hive default-partition marker."""
+    if raw == _HIVE_DEFAULT_PARTITION:
+        return None
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            continue
+    try:
+        return date.fromisoformat(raw)
+    except ValueError:
+        return raw
+
+
+def _partition_spark_type(values: list):
+    non_null = [v for v in values if v is not None]
+    if non_null and all(isinstance(v, int) for v in non_null):
+        return T.LongType()
+    if non_null and all(isinstance(v, (int, float)) for v in non_null):
+        return T.DoubleType()
+    if non_null and all(isinstance(v, date) for v in non_null):
+        return T.DateType()
+    return T.StringType()
+
+
 def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory of avro container files (this writer's subset)
-    back into a DataFrame. Driver-side materialization — interchange
-    scale, not scan scale (the jar is the 100 TB path)."""
+    """Read a directory (or Hive-partitioned tree) of avro container
+    files (this writer's subset) back into a DataFrame. Partition
+    columns are recovered from the `col=value` directory names
+    (unescaped, __HIVE_DEFAULT_PARTITION__ → NULL) and appended after
+    the data columns with Spark's default inference (long → double →
+    date → string). Driver-side materialization — interchange scale,
+    not scan scale (the jar is the 100 TB path)."""
+    from urllib.parse import unquote
+
     local = _require_local(path, "avro read")
-    files = sorted(
-        f"{local}/{n}" for n in os.listdir(local) if n.endswith(".avro")
-    )
+    files: list[tuple[str, tuple[tuple[str, str], ...]]] = []
+    for dirpath, dirnames, filenames in os.walk(local):
+        dirnames[:] = sorted(
+            d for d in dirnames if "=" in d and not d.startswith(".")
+        )
+        rel = os.path.relpath(dirpath, local)
+        pparts = () if rel == "." else tuple(
+            tuple(seg.split("=", 1)) for seg in rel.split(os.sep)
+        )
+        for n in sorted(filenames):
+            if n.endswith(".avro") and not n.startswith("."):
+                files.append((os.path.join(dirpath, n), pparts))
     if not files:
         raise FileNotFoundError(f"no .avro files under {path!r}")
+    pcols = [c for c, _ in files[0][1]]
+    if any([c for c, _ in pp] != pcols for _, pp in files):
+        raise ValueError(
+            f"inconsistent partition directory levels under {path!r}"
+        )
+
     schema = None
-    rows: list[tuple] = []
-    for fp in files:
+    data_rows: list[tuple[tuple[str | None, ...], list[tuple]]] = []
+    praw_per_col: list[set] = [set() for _ in pcols]
+    for fp, pparts in files:
         with open(fp, "rb") as fh:
             s, r = read_container(fh)
         schema = schema or s
-        rows.extend(r)
+        praw = tuple(
+            None if raw == _HIVE_DEFAULT_PARTITION else unquote(raw)
+            for _, raw in pparts
+        )
+        for i, v in enumerate(praw):
+            praw_per_col[i].add(v)
+        data_rows.append((praw, r))
+
+    # Per-column type from ALL files' values (a mix of `day=1` and
+    # `day=x` must demote the whole column to string, not leave typed
+    # and raw values side by side), then one caster per column.
+    ptypes = [
+        _partition_spark_type(
+            [None if v is None else _infer_partition_value(v) for v in vals]
+        )
+        for vals in praw_per_col
+    ]
+    _CASTERS = {
+        T.LongType: int,
+        T.DoubleType: float,
+        T.DateType: date.fromisoformat,
+        T.StringType: str,
+    }
+    rows: list[tuple] = []
+    for praw, file_rows in data_rows:
+        pvals = tuple(
+            None if v is None else _CASTERS[type(ptypes[i])](v)
+            for i, v in enumerate(praw)
+        )
+        rows.extend(tuple(row) + pvals for row in file_rows)
 
     _AVRO_TO_SPARK = {
         "boolean": T.BooleanType(), "int": T.IntegerType(),
@@ -396,4 +574,14 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
         if isinstance(t, dict):
             t = t.get("logicalType") or t["type"]
         fields.append(T.StructField(f["name"], _AVRO_TO_SPARK[t], nullable))
+    _require_utc_for_timestamps(
+        spark,
+        any(isinstance(f.dataType, T.TimestampType) for f in fields),
+        "avro read",
+    )
+    # Partition columns append after the data columns, Spark-style;
+    # always nullable (the Hive default partition carries NULL).
+    fields.extend(
+        T.StructField(c, ptypes[i], True) for i, c in enumerate(pcols)
+    )
     return spark.createDataFrame(rows, T.StructType(fields))

@@ -60,24 +60,14 @@ def write_table(
         # No spark-avro on the classpath: fall back to the clean-room
         # pure-Python container writer (sources/avro_fallback.py — flat
         # primitive schemas, local paths, distributed one-file-per-
-        # partition). Anything outside its subset raises THERE with the
-        # jar remediation, so nothing is silently mis-written.
-        if partition_by:
-            from tutorial_apache_beam_spark.sources.readers import (
-                _spark_version,
-            )
-
-            raise RuntimeError(
-                "avro with partition_by requires the spark-avro package "
-                "(spark.jars.packages=org.apache.spark:spark-avro_2.13:"
-                f"{_spark_version()}); the no-JAR fallback writes flat "
-                "directories only"
-            ) from ex
+        # partition, Hive `col=value` layout for partition_by). Anything
+        # outside its subset raises THERE with the jar remediation, so
+        # nothing is silently mis-written.
         from tutorial_apache_beam_spark.sources.avro_fallback import (
             write_avro_fallback,
         )
 
-        write_avro_fallback(df, path, mode=mode)
+        write_avro_fallback(df, path, mode=mode, partition_by=partition_by)
 
 
 def read_table(
