@@ -199,6 +199,35 @@ def _family_of(name: str) -> str:
     return "other"
 
 
+LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
+LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
+# Clean-vs-contaminated calibration from the two on-record r6 full runs
+# at the SAME HEAD: clean (loadavg_start 0.05) had a median per-gate
+# max/min sample spread of 1.59; the ambient-loaded driver run
+# (loadavg_start 7.67) measured 2.38. 2.0 splits them with margin.
+SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_SPREAD_MAX", "2.0"))
+
+
+def _load_gate() -> dict:
+    """VERDICT r6 #2: don't START a benchmark on a busy machine.
+
+    BENCH_r06 went on record 66% inflated because the driver launched it
+    at 1-min loadavg 7.67; the instrumentation recorded that but nothing
+    acted on it. Now the bench WAITS (up to LOAD_WAIT_S, polling) for
+    the 1-min load to drop under LOAD_MAX before the JVM starts, and
+    reports how long it waited + whether it gave up — so the artifact is
+    self-adjudicating from its own fields."""
+    waited = 0
+    while os.getloadavg()[0] > LOAD_MAX and waited < LOAD_WAIT_S:
+        time.sleep(15)
+        waited += 15
+    return {
+        "threshold": LOAD_MAX,
+        "waited_s": waited,
+        "gave_up": os.getloadavg()[0] > LOAD_MAX,
+    }
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Ambient-load audit trail: the sandbox shares hardware, and a
@@ -206,7 +235,9 @@ def main() -> None:
     # minutes (observed live: one gate's MEDIAN-of-3 at 44 s vs 5 s
     # reproduced in isolation minutes later). Recording the 1/5/15-min
     # load at start and end makes such an outlier attributable from the
-    # artifact alone instead of requiring a re-run to diagnose.
+    # artifact alone instead of requiring a re-run to diagnose — and
+    # since r7 the load GATE below refuses to start into a spike at all.
+    load_gate = _load_gate()
     load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="bench")
     queries = registry.queries()
@@ -256,16 +287,18 @@ def main() -> None:
             # achievable time (the sweep's convention all along); the raw
             # sorted samples are recorded in extra.headline_samples so the
             # spread — and any ambient poisoning — stays visible.
-            samples.sort()
+            ordered = sorted(samples)
             pick = (
-                samples[(len(samples) - 1) // 2]
+                ordered[(len(ordered) - 1) // 2]
                 if stat == "median"
-                else samples[0]
+                else ordered[0]
             )
             timings[name] = round(pick, 3)
             if stat == "headline":
-                # Raw sorted samples for the headline set: the spread is
-                # what distinguishes "this gate regressed" from "the
+                # Raw samples in EXECUTION order (r7 — they were sorted
+                # through r6, which made "samples degrade monotonically"
+                # vacuously true of every run): the spread and ordering
+                # are what distinguish "this gate regressed" from "the
                 # machine was busy" without a re-run.
                 headline_samples[name] = [round(s, 3) for s in samples]
 
@@ -342,6 +375,24 @@ def main() -> None:
             }
             pane_key_curve = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Self-adjudication (VERDICT r6 #2): stamp the artifact contaminated
+    # when either the gate gave up (run started into ambient load anyway)
+    # or the per-gate sample spread betrays interference MID-run. The
+    # spread statistic is the median over headline gates of max/min
+    # sample time — calibrated on the two same-HEAD r6 full runs (clean
+    # 1.59 vs loaded 2.38, SPREAD_MAX=2.0 between them). Robust to the
+    # first-gate codegen-warmup outlier by construction (median).
+    spreads = sorted(
+        max(v) / min(v) for v in headline_samples.values() if min(v) > 0
+    )
+    spread_median = (
+        round(spreads[(len(spreads) - 1) // 2], 2) if spreads else None
+    )
+    load_contaminated = bool(
+        load_gate["gave_up"]
+        or (spread_median is not None and spread_median > SPREAD_MAX)
+    )
+
     total = round(sum(timings[n] for n in HEADLINE), 3)
     families: dict[str, float] = {}
     for name, sec in timings.items():
@@ -367,6 +418,9 @@ def main() -> None:
             "headline_samples": headline_samples,
             "loadavg_start": load_start,
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "load_gate": load_gate,
+            "headline_spread_median": spread_median,
+            "load_contaminated": load_contaminated,
         },
     }
     # Durable FULL copy first (VERDICT r4 item 1a): the driver artifact
@@ -399,6 +453,8 @@ def main() -> None:
         "extra": {
             "demo2_stream_mib_per_s": mib_per_s,
             "all_queries_total": result["extra"]["all_queries_total"],
+            "load_contaminated": load_contaminated,
+            "headline_spread_median": spread_median,
             "full": fname,
         },
     }
