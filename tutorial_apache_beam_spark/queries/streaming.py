@@ -346,26 +346,33 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     ]
-    p1, c1 = sides()
-    p2, c2 = sides()
-    p3, c3 = sides()
+    p, c = sides()
     full_cols = [
         "purchase_id",
         "click_id",
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     ]
-    # The three drains are independent queries — start them all, await
-    # all (run_streams_to_memory): wall time is the slowest drain, not
-    # the sum of three ~equal ones.
-    inner, outer, full = run_streams_to_memory(
-        [
-            (p1.join(c1, cond(p1, c1)).select(*out_cols), "append"),
-            (p2.join(c2, cond(p2, c2), "leftOuter").select(*out_cols), "append"),
-            (p3.join(c3, cond(p3, c3), "fullOuter").select(*full_cols), "append"),
-        ],
+    # ONE full-outer drain carries all three join modes (r7 — this gate
+    # ran three ~equal concurrent drains through r6, tripling join state
+    # and source replay for no information): the full-outer availableNow
+    # result is exactly inner ∪ unmatched-left ∪ unmatched-right under
+    # the emission rules above, so inner = rows with both ids present
+    # and left_outer = rows with the purchase side present. Matched rows
+    # emit identically in all three modes, unmatched-side rows follow
+    # the same per-side watermark rule whether drained as left- or
+    # full-outer, and user_id agrees because coalesce(p_user, c_user)
+    # equals p_user whenever the purchase side exists. One join state,
+    # one source replay — the 100-TB-shape as well as the fast one.
+    full = run_stream_to_memory(
+        p.join(c, cond(p, c), "fullOuter").select(*full_cols),
         spark,
+        output_mode="append",
     )
+    inner = full.filter(
+        F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    )
+    outer = full.filter(F.col("purchase_id").isNotNull())
     return (
         inner.select(F.lit("inner").alias("join_type"), "*")
         .unionByName(outer.select(F.lit("left_outer").alias("join_type"), "*"))
