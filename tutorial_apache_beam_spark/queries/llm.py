@@ -226,39 +226,51 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_containment_pairs,
     )
 
+    from tutorial_apache_beam_spark.operators.dedup import (
+        _join_expansion_scope,
+        _plan_est_bytes,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     inv = _shingle_rows(docs, "text", "doc_id", 3).persist()
     stats = _counting_pair_stats(
         inv, "doc_id", 100, both_directions=True
     ).persist()
+    # This gate owns the shared scan, so it owns the join-expansion
+    # reducer sizing too (the operators' internal scopes are bypassed by
+    # pair_stats/shingle_rows sharing): all three branch materializations
+    # — including the persisted stats frame's own — run inside one scope
+    # sized from the inverted index (VERDICT r6 #1; measured spill-free
+    # at the 100x fixture).
     try:
-        # The operators OWN the score expressions and thresholds; the
-        # gate only shares the scan (shingle_rows) and the candidate
-        # join (pair_stats) so each runs once for all branches.
-        ng = ngram_jaccard_pairs(
-            docs, threshold=0.2, max_doc_freq=100, pair_stats=stats
-        ).select(
-            F.lit("ngram").alias("method"),
-            "id_a",
-            "id_b",
-            F.col("jaccard").alias("score"),
-        )
-        ct = ngram_containment_pairs(
-            docs, threshold=0.5, max_doc_freq=100, pair_stats=stats
-        ).select(
-            F.lit("containment").alias("method"),
-            "id_a",
-            "id_b",
-            F.col("containment").alias("score"),
-        )
-        mh = minhash_lsh_pairs(
-            docs, n=3, k=12, bands=4, threshold=0.2, shingle_rows=inv
-        ).select(
-            F.lit("minhash").alias("method"),
-            "id_a",
-            "id_b",
-            F.col("jaccard").alias("score"),
-        )
+        with _join_expansion_scope(spark, _plan_est_bytes(inv)):
+            # The operators OWN the score expressions and thresholds; the
+            # gate only shares the scan (shingle_rows) and the candidate
+            # join (pair_stats) so each runs once for all branches.
+            ng = ngram_jaccard_pairs(
+                docs, threshold=0.2, max_doc_freq=100, pair_stats=stats
+            ).select(
+                F.lit("ngram").alias("method"),
+                "id_a",
+                "id_b",
+                F.col("jaccard").alias("score"),
+            )
+            ct = ngram_containment_pairs(
+                docs, threshold=0.5, max_doc_freq=100, pair_stats=stats
+            ).select(
+                F.lit("containment").alias("method"),
+                "id_a",
+                "id_b",
+                F.col("containment").alias("score"),
+            )
+            mh = minhash_lsh_pairs(
+                docs, n=3, k=12, bands=4, threshold=0.2, shingle_rows=inv
+            ).select(
+                F.lit("minhash").alias("method"),
+                "id_a",
+                "id_b",
+                F.col("jaccard").alias("score"),
+            )
     finally:
         # All branches are materialized (eager counts), so the shared
         # scans can be released before the union plan is returned.
