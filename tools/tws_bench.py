@@ -146,18 +146,20 @@ def tws_vs_v1_section(
 def pane_key_scaling_section(
     spark,
     events: int = 200_000,
-    key_counts: tuple[int, ...] = (500, 1500, 5000),
+    key_counts: tuple[int, ...] = (500, 1500, 5000, 15000, 30000),
     base: dict | None = None,
     runs: int = 1,
 ) -> dict:
     """The pane operators' KEY-COUNT scaling curve (VERDICT r5 item 6):
-    fixed event volume, 1x/3x/10x distinct keys, BOTH stateful APIs —
-    `streaming_discarding_panes` is the one streaming shape whose wall
-    clock tracks key count (per-key Python invocation), so the
+    fixed event volume, 1x/3x/10x/30x/60x distinct keys, BOTH stateful
+    APIs — `streaming_discarding_panes` is the one streaming shape whose
+    wall clock tracks key count (per-key Python invocation), so the
     v1-vs-v2 default must be justified by where each API wins on this
-    curve, not by a single key count. `base` lets bench.py reuse its
-    already-measured tws_vs_v1 run as the first curve point instead of
-    re-draining it."""
+    curve, not by a single key count. The 15k/30k points (VERDICT r6
+    #5) sit on both sides of the crossover r5 extrapolated to ~10-15k,
+    so the `demo2.py --stateful-api` guidance rests on measured data at
+    real key counts. `base` lets bench.py reuse its already-measured
+    tws_vs_v1 run as the first curve point instead of re-draining it."""
     curve = []
     for users in key_counts:
         r = (
