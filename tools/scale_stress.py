@@ -127,20 +127,29 @@ def _gates():
     }
 
 
+def scale_dir_for(mult: int) -> str:
+    """Fixture directory for a replica multiplier: .scaledata/sf1 for
+    10×, .scaledata/sf10 for 100× (dir names carry the EQUIVALENT SF of
+    the /root/testdata naming, not the multiplier)."""
+    return os.path.join(REPO, ".scaledata", f"sf{mult // 10}")
+
+
 def ensure_scale_fixture(mult: int = 10) -> str:
-    """Generate the 10× fixture if absent (deterministic, ~10 s).
+    """Generate the mult× fixture if absent (deterministic; ~10 s at
+    10×, ~2 min at 100×).
 
     All three tables are checked — a fixture dir generated before events
     scaling existed (round 4) is regenerated in full.
     """
+    d = scale_dir_for(mult)
     if not all(
-        os.path.exists(f"{SCALE_DIR}/{t}.parquet")
+        os.path.exists(f"{d}/{t}.parquet")
         for t in ("documents", "embeddings", "events")
     ):
         from tools.gen_scale_fixture import generate
 
-        generate(BASE_DIR, SCALE_DIR, mult)
-    return SCALE_DIR
+        generate(BASE_DIR, d, mult)
+    return d
 
 
 def _drain_with_state_metrics(spark, streaming_df, output_mode="append"):
@@ -286,6 +295,38 @@ def streaming_scaling_section(spark, runs: int = 1, mult: int = 10) -> dict:
     return out
 
 
+def streaming_100x_section(spark, runs: int = 2) -> dict:
+    """VERDICT r6 #8 — the 100× streaming state-store measurement.
+
+    Batch had 100× SHUFFLE.md coverage; streaming stopped at 10×. This
+    drains the Demo2-equivalent windowed aggregation and the custom
+    discarding-panes operator over the 100× events fixture (10M events,
+    replica-disjoint keys), recording wall, sink rows, PEAK state-store
+    rows, and sustained MiB/s — the last unmeasured scale axis. Run as
+    `python tools/scale_stress.py --streaming-100x`; results recorded in
+    SCALING.md's streaming tables (one-off, not per-bench: ~2 min)."""
+    scale_dir = ensure_scale_fixture(100)
+    gates = _streaming_gates()
+    out: dict[str, dict] = {}
+    for name in ("streaming_demo2_append", "streaming_discarding_panes"):
+        build = gates[name]
+        mib = os.path.getsize(f"{scale_dir}/events.parquet") / (1024 * 1024)
+        best_wall, rows, state_rows = float("inf"), -1, 0
+        for _ in range(runs):
+            sdf, mode = build(spark, scale_dir)
+            wall, rows, state_rows = _drain_with_state_metrics(
+                spark, sdf, mode
+            )
+            best_wall = min(best_wall, wall)
+        out[name] = {
+            "x100_sec": round(best_wall, 3),
+            "x100_rows": rows,
+            "x100_state_rows": state_rows,
+            "x100_mib_per_s": round(mib / best_wall, 2),
+        }
+    return out
+
+
 def sf_scaling_section(spark, runs: int = 2, mult: int = 10) -> dict:
     """Time each gate at the base and 10× dirs; report secs + ratio.
 
@@ -324,9 +365,17 @@ def main() -> None:
         action="store_true",
         help="run only the stateful-streaming drains",
     )
+    ap.add_argument(
+        "--streaming-100x",
+        action="store_true",
+        help="run ONLY the one-off 100x streaming state measurement",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="scale_stress")
     result = {}
+    if args.streaming_100x:
+        print(json.dumps(streaming_100x_section(spark, runs=args.runs)))
+        return
     if not args.streaming_only:
         result.update(sf_scaling_section(spark, runs=args.runs))
     result.update(streaming_scaling_section(spark, runs=args.runs))

@@ -85,6 +85,14 @@ def _join_expansion_scope(spark, est_bytes: int | None):
     unavailable — at worst the default behavior. Restores both confs on
     exit; per-gate materialization is serial in this engine, so the
     session-level override cannot leak into a concurrent query's plan.
+
+    CAVEAT — persist() registration: Spark compiles a cached plan when
+    `.persist()` is CALLED, not when the cache materializes, so any
+    frame whose plan contains the join-expanding exchanges must be
+    persisted INSIDE this scope. Persisting outside froze the pair
+    pipeline at the default 32 reducers and reproduced the full 7.8 GB
+    spill even though the materialization ran in-scope (measured live,
+    r7).
     """
     static = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = (
@@ -512,15 +520,19 @@ def minhash_lsh_pairs(
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = band_rows.select("band", "bucket", F.col(id_col).alias("id_a"))
     b = band_rows.select("band", "bucket", F.col(id_col).alias("id_b"))
-    candidates = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .persist()
-    )
-    released = (candidates,) if caller_owns else (rows, candidates)
+    # persist() INSIDE the scope: Spark compiles the cached plan at
+    # registration, so persisting the candidate join outside would
+    # freeze its exchanges at the session's default reducer count and
+    # bypass the join-expansion sizing entirely (see _join_expansion_scope).
     with _join_expansion_scope(rows.sparkSession, _plan_est_bytes(rows)):
+        candidates = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .persist()
+        )
+        released = (candidates,) if caller_owns else (rows, candidates)
         return _materialize_and_release(
             _verified_pairs(candidates, rows, id_col, threshold), *released
         )

@@ -232,18 +232,25 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    inv = _shingle_rows(docs, "text", "doc_id", 3).persist()
-    stats = _counting_pair_stats(
-        inv, "doc_id", 100, both_directions=True
-    ).persist()
+    inv_plan = _shingle_rows(docs, "text", "doc_id", 3)
     # This gate owns the shared scan, so it owns the join-expansion
     # reducer sizing too (the operators' internal scopes are bypassed by
     # pair_stats/shingle_rows sharing): all three branch materializations
     # — including the persisted stats frame's own — run inside one scope
     # sized from the inverted index (VERDICT r6 #1; measured spill-free
-    # at the 100x fixture).
+    # at the 100x fixture). The persist() calls MUST happen inside the
+    # scope: Spark compiles a cached plan at REGISTRATION, so a stats
+    # frame persisted outside would freeze the pair pipeline's exchanges
+    # at the session's default reducer count — the exact spill the scope
+    # exists to prevent (measured live: identical 7.8 GB spill with the
+    # scope around only the materialization).
+    inv = stats = None
     try:
-        with _join_expansion_scope(spark, _plan_est_bytes(inv)):
+        with _join_expansion_scope(spark, _plan_est_bytes(inv_plan)):
+            inv = inv_plan.persist()
+            stats = _counting_pair_stats(
+                inv, "doc_id", 100, both_directions=True
+            ).persist()
             # The operators OWN the score expressions and thresholds; the
             # gate only shares the scan (shingle_rows) and the candidate
             # join (pair_stats) so each runs once for all branches.
@@ -274,8 +281,10 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # All branches are materialized (eager counts), so the shared
         # scans can be released before the union plan is returned.
-        stats.unpersist()
-        inv.unpersist()
+        if stats is not None:
+            stats.unpersist()
+        if inv is not None:
+            inv.unpersist()
     return ng.unionByName(mh).unionByName(ct)
 
 
