@@ -201,11 +201,62 @@ def _family_of(name: str) -> str:
 
 LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
 LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
+# Absolute calibration reference (VERDICT r7 #2 / ADVICE r7): the
+# committed clean-hardware time of `_cal_probe()` (min-of-5 on a quiet
+# machine, loadavg 0.02, measured r8: 0.406/0.406/0.415/0.412/0.423 s).
+# The probe is sha256 over a fixed 1 MiB block x600 — strictly
+# single-threaded (no BLAS thread pool), allocation-free in the loop,
+# and deterministic, so its wall time moves ONLY with CPU contention /
+# frequency pressure on the shared host. Unlike the spread-median
+# statistic (which compares a gate's samples to EACH OTHER and is blind
+# to uniform slowdown — BENCH_r07 stamped itself clean while ~1.8x
+# inflated), this compares against an ABSOLUTE committed constant, so a
+# uniformly slowed machine can no longer stamp itself clean.
+CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.41"))
+CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
 # Clean-vs-contaminated calibration from the two on-record r6 full runs
 # at the SAME HEAD: clean (loadavg_start 0.05) had a median per-gate
 # max/min sample spread of 1.59; the ambient-loaded driver run
 # (loadavg_start 7.67) measured 2.38. 2.0 splits them with margin.
 SPREAD_MAX = float(os.environ.get("SPARK_GRAFT_SPREAD_MAX", "2.0"))
+
+
+def _cal_probe(inner_runs: int = 2) -> float:
+    """Time the fixed single-threaded reference kernel (min over
+    `inner_runs` back-to-back executions, so a momentary same-process
+    hiccup can't false-flag — sustained EXTERNAL contention slows every
+    execution and still shows). Returns seconds; divide by CAL_REF_S for
+    the contamination ratio."""
+    import hashlib
+
+    best = float("inf")
+    blk = bytes(range(256)) * 4096  # 1 MiB deterministic block
+    for _ in range(inner_runs):
+        h = hashlib.sha256()
+        t0 = time.monotonic()
+        for _ in range(600):
+            h.update(blk)
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def _contamination_stamp(
+    gave_up: bool, spread_median: float | None, cal_ratio: float | None
+) -> bool:
+    """The artifact's self-adjudication verdict, from three independent
+    signals: (1) the start gate gave up (run launched into ambient load),
+    (2) per-gate sample spread betrays interference that VARIES mid-run,
+    (3) the absolute calibration ratio betrays interference that is
+    UNIFORM across the run — the BENCH_r07 false-negative mode, where
+    spread-median read 1.55 (< 2.0) while every wall was ~1.8x inflated
+    and loadavg_end was 29.96. Signal (3) is compared to a committed
+    clean-hardware constant, not to the run's own samples, so it cannot
+    be fooled by slowdown that inflates everything equally."""
+    return bool(
+        gave_up
+        or (spread_median is not None and spread_median > SPREAD_MAX)
+        or (cal_ratio is not None and cal_ratio > CAL_MAX_RATIO)
+    )
 
 
 def _load_gate() -> dict:
@@ -239,6 +290,7 @@ def main() -> None:
     # since r7 the load GATE below refuses to start into a spike at all.
     load_gate = _load_gate()
     load_start = [round(x, 2) for x in os.getloadavg()]
+    cal_samples = [round(_cal_probe(), 3)]  # start-of-run calibration
     spark = get_spark(app_name="bench")
     queries = registry.queries()
 
@@ -303,6 +355,7 @@ def main() -> None:
                 headline_samples[name] = [round(s, 3) for s in samples]
 
     run(HEADLINE, repeats=HEADLINE_REPEATS, stat="headline")
+    cal_samples.append(round(_cal_probe(), 3))  # mid-run calibration
 
     # Demo2-equivalent sustained streaming throughput (MiB/s drained over a
     # 16x-replicated source, amortizing fixed query-startup cost). Measured
@@ -388,9 +441,13 @@ def main() -> None:
     spread_median = (
         round(spreads[(len(spreads) - 1) // 2], 2) if spreads else None
     )
-    load_contaminated = bool(
-        load_gate["gave_up"]
-        or (spread_median is not None and spread_median > SPREAD_MAX)
+    # End-of-run calibration, then the contamination verdict uses the
+    # WORST (max) probe time across start/mid/end: contamination at any
+    # phase of the run inflates the walls measured during that phase.
+    cal_samples.append(round(_cal_probe(), 3))
+    cal_ratio = round(max(cal_samples) / CAL_REF_S, 2)
+    load_contaminated = _contamination_stamp(
+        load_gate["gave_up"], spread_median, cal_ratio
     )
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
@@ -420,6 +477,9 @@ def main() -> None:
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             "load_gate": load_gate,
             "headline_spread_median": spread_median,
+            "cal_samples": cal_samples,
+            "cal_ref_s": CAL_REF_S,
+            "cal_ratio": cal_ratio,
             "load_contaminated": load_contaminated,
         },
     }
@@ -455,6 +515,7 @@ def main() -> None:
             "all_queries_total": result["extra"]["all_queries_total"],
             "load_contaminated": load_contaminated,
             "headline_spread_median": spread_median,
+            "cal_ratio": cal_ratio,
             "full": fname,
         },
     }

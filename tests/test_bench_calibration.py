@@ -1,0 +1,67 @@
+"""bench.py absolute-calibration probe (VERDICT r7 #2 / ADVICE r7).
+
+BENCH_r07 went on record ~1.8x inflated with `load_contaminated: false`
+because the spread-median statistic compares a gate's samples to each
+other and is blind to UNIFORM ambient slowdown. The fix is an absolute
+reference: a fixed single-threaded sha256 kernel timed at run
+start/mid/end, ratioed against a committed clean-hardware constant
+(CAL_REF_S) and folded into the stamp. Live demonstration at commit
+time (32 spinning processes saturating the host): clean probe ratio
+1.01 -> stamp False; loaded probe ratio 2.06 -> stamp True, with
+spread-median held at a "clean" 1.5 in both cases.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import (  # noqa: E402
+    CAL_MAX_RATIO,
+    CAL_REF_S,
+    SPREAD_MAX,
+    _cal_probe,
+    _contamination_stamp,
+)
+
+
+def test_stamp_clean_when_all_signals_clean():
+    assert _contamination_stamp(False, 1.5, 1.0) is False
+
+
+def test_stamp_flags_gate_give_up():
+    assert _contamination_stamp(True, 1.0, 1.0) is True
+
+
+def test_stamp_flags_spread():
+    assert _contamination_stamp(False, SPREAD_MAX + 0.1, 1.0) is True
+
+
+def test_stamp_flags_uniform_slowdown_via_cal_ratio():
+    # The BENCH_r07 false-negative: spread clean, walls uniformly
+    # inflated. The absolute ratio is the only signal that fires.
+    assert _contamination_stamp(False, 1.55, CAL_MAX_RATIO + 0.1) is True
+
+
+def test_stamp_handles_missing_signals():
+    # --headline-only early-abort paths may lack one signal; None must
+    # neither crash nor flag.
+    assert _contamination_stamp(False, None, None) is False
+    assert _contamination_stamp(True, None, None) is True
+
+
+def test_cal_probe_does_real_bounded_work():
+    # The kernel is deterministic fixed work: it must take real time
+    # (not optimized away) and terminate promptly. No upper-bound
+    # assertion tied to CAL_REF_S — the test host may legitimately be
+    # busy, and flakiness here would just train people to skip it.
+    t = _cal_probe(inner_runs=1)
+    assert 0.05 < t < 60.0
+
+
+def test_committed_reference_is_sane():
+    # Guard against an accidental unit change (ms vs s) in the constant.
+    assert 0.1 < CAL_REF_S < 2.0
+    assert 1.0 < CAL_MAX_RATIO < 3.0

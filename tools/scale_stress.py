@@ -304,7 +304,8 @@ def streaming_100x_section(spark, runs: int = 2) -> dict:
     replica-disjoint keys), recording wall, sink rows, PEAK state-store
     rows, and sustained MiB/s — the last unmeasured scale axis. Run as
     `python tools/scale_stress.py --streaming-100x`; results recorded in
-    SCALING.md's streaming tables (one-off, not per-bench: ~2 min)."""
+    SCALING.md "## Stateful streaming at 100× (round 8)" (one-off, not
+    per-bench: ~2 min; state measured exactly 100× at 100× keys)."""
     scale_dir = ensure_scale_fixture(100)
     gates = _streaming_gates()
     out: dict[str, dict] = {}
