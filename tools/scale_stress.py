@@ -295,7 +295,11 @@ def streaming_scaling_section(spark, runs: int = 1, mult: int = 10) -> dict:
     return out
 
 
-def streaming_100x_section(spark, runs: int = 2) -> dict:
+def streaming_100x_section(
+    spark, runs: int = 2, names: tuple[str, ...] = (
+        "streaming_demo2_append", "streaming_discarding_panes",
+    )
+) -> dict:
     """VERDICT r6 #8 — the 100× streaming state-store measurement.
 
     Batch had 100× SHUFFLE.md coverage; streaming stopped at 10×. This
@@ -309,7 +313,7 @@ def streaming_100x_section(spark, runs: int = 2) -> dict:
     scale_dir = ensure_scale_fixture(100)
     gates = _streaming_gates()
     out: dict[str, dict] = {}
-    for name in ("streaming_demo2_append", "streaming_discarding_panes"):
+    for name in names:
         build = gates[name]
         mib = os.path.getsize(f"{scale_dir}/events.parquet") / (1024 * 1024)
         best_wall, rows, state_rows = float("inf"), -1, 0
@@ -371,11 +375,18 @@ def main() -> None:
         action="store_true",
         help="run ONLY the one-off 100x streaming state measurement",
     )
+    ap.add_argument(
+        "gates",
+        nargs="*",
+        help="with --streaming-100x: gate names to measure "
+        "(default: demo2_append + discarding_panes)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="scale_stress")
     result = {}
     if args.streaming_100x:
-        print(json.dumps(streaming_100x_section(spark, runs=args.runs)))
+        kw = {"names": tuple(args.gates)} if args.gates else {}
+        print(json.dumps(streaming_100x_section(spark, runs=args.runs, **kw)))
         return
     if not args.streaming_only:
         result.update(sf_scaling_section(spark, runs=args.runs))
