@@ -269,9 +269,12 @@ def test_partition_inference_rejects_python_only_numerics():
         _infer_partition_value,
     )
 
-    # canonical forms parse typed, Spark-style
+    # canonical forms parse typed, Spark-style (signed longs included,
+    # like Java's Long.parseLong)
     assert _infer_partition_value("7") == 7
     assert _infer_partition_value("-42") == -42
+    assert _infer_partition_value("+7") == 7
+    assert isinstance(_infer_partition_value("+7"), int)
     assert _infer_partition_value("2.5") == 2.5
     assert _infer_partition_value("-0.125") == -0.125
     assert _infer_partition_value("1e3") == 1000.0
@@ -287,6 +290,14 @@ def test_partition_inference_rejects_python_only_numerics():
     assert _infer_partition_value("20260815") == 20260815
     # invalid calendar date shaped like yyyy-MM-dd stays a string
     assert _infer_partition_value("2024-13-45") == "2024-13-45"
+    # beyond-int64 digit strings stay strings: a LongType bigint would
+    # crash createDataFrame on read-back (Spark falls back to decimal;
+    # this subset falls back to string)
+    big = "99999999999999999999"
+    assert _infer_partition_value(big) == big
+    assert _infer_partition_value("-" + big) == "-" + big
+    assert _infer_partition_value(str(2**63 - 1)) == 2**63 - 1
+    assert _infer_partition_value(str(-(2**63))) == -(2**63)
 
 
 def test_task_commit_failure_injection(spark, tmp_path):

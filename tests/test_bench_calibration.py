@@ -68,12 +68,35 @@ def test_steal_measurement_is_sane():
         return
     # burn a little CPU so total jiffies advance
     x = 0
-    for _ in range(10**6):
+    for _ in range(10**7):
         x += 1
     pct = _steal_pct(snap)
     assert pct is None or 0.0 <= pct <= 100.0
-    # same-snapshot (no elapsed jiffies) must not divide by zero
-    assert _steal_pct(snap if snap == _cpu_jiffies() else None) is None or True
+
+
+def test_steal_pct_zero_elapsed_returns_none():
+    # Identical (or regressed) snapshots have no elapsed jiffies: the
+    # guard must return None, never divide by zero.
+    assert _steal_pct((100, 5000), (100, 5000)) is None
+    assert _steal_pct((100, 5000), (100, 4000)) is None
+    assert _steal_pct(None, (100, 5000)) is None
+    # a real interval computes the share
+    assert _steal_pct((100, 5000), (150, 5100)) == 50.0
+
+
+def test_max_phase_steal_catches_single_phase_burst():
+    # A burst confined to one phase must not be diluted by quiet
+    # phases — the stamp takes the per-phase MAX, mirroring the cal
+    # probes' max-of-three.
+    from bench import _max_phase_steal
+
+    quiet = [(0, 0), (0, 10_000)]          # phase 1: 0% steal
+    burst = [(3_000, 20_000)]              # phase 2: 30% steal
+    assert _max_phase_steal(quiet + burst) == 30.0
+    # averages over both phases would read 15% — under the 20% bar
+    assert _max_phase_steal([(0, 0), (3_000, 20_000)]) == 15.0
+    assert _max_phase_steal([None, (0, 10_000)]) is None
+    assert _max_phase_steal([]) is None
 
 
 def test_stamp_handles_missing_signals():

@@ -147,17 +147,22 @@ def main() -> None:
     spark = get_spark(app_name="pane_attrib", extra_conf=conf)
     out: dict[str, dict] = {"conf": conf, "fixture": FIXTURE}
     for name, build in _variants().items():
-        best, rows, state_rows = float("inf"), -1, 0
+        best, best_rows, best_state = float("inf"), -1, 0
         for _ in range(runs):
             sdf, mode = build(spark)
             wall, rows, state_rows = _drain_with_state_metrics(
                 spark, sdf, mode
             )
-            best = min(best, wall)
+            if wall < best:
+                # keep rows/state from the SAME drain as the reported
+                # wall — pairing the min wall with the last drain's
+                # counts could attribute one run's state to another's
+                # time
+                best, best_rows, best_state = wall, rows, state_rows
         out[name] = {
             "sec": round(best, 3),
-            "rows": rows,
-            "state_rows": state_rows,
+            "rows": best_rows,
+            "state_rows": best_state,
         }
     out["python_state_layer_sec"] = round(
         out["trivial_state"]["sec"] - out["jvm_floor"]["sec"], 3

@@ -382,6 +382,15 @@ def main() -> None:
         "(default: demo2_append + discarding_panes)",
     )
     args = ap.parse_args()
+    if args.gates and not args.streaming_100x:
+        ap.error("gate names are only meaningful with --streaming-100x")
+    if args.gates:
+        # Validate BEFORE spending minutes generating the 100x fixture:
+        # a typo'd gate name should fail instantly with the valid set.
+        valid = set(_streaming_gates())
+        unknown = [g for g in args.gates if g not in valid]
+        if unknown:
+            ap.error(f"unknown gates {unknown}; valid: {sorted(valid)}")
     spark = get_spark(app_name="scale_stress")
     result = {}
     if args.streaming_100x:

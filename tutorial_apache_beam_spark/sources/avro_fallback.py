@@ -506,8 +506,9 @@ def _write_task_partition(
 # underscores ('1_0' -> 10), surrounding whitespace ('  7 ' -> 7), and
 # 'nan'/'inf'/'Infinity' — which would silently corrupt string partition
 # values that merely LOOK numeric to Python. Only canonical decimal
-# integers and standard decimal/exponent doubles parse as numbers.
-_LONG_RE = re.compile(r"^-?\d+$")
+# integers (optionally signed, like Java's Long.parseLong) and standard
+# decimal/exponent doubles parse as numbers.
+_LONG_RE = re.compile(r"^[+-]?\d+$")
 _DOUBLE_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
@@ -520,7 +521,15 @@ def _infer_partition_value(raw: str):
     if raw == _HIVE_DEFAULT_PARTITION:
         return None
     if _LONG_RE.match(raw):
-        return int(raw)
+        v = int(raw)
+        # Beyond int64 a LongType value would fail createDataFrame's
+        # schema verification and crash the whole read; Spark's own
+        # inference falls back to decimal there — this subset keeps the
+        # directory string instead (typed-read parity is bounded to
+        # int64, the only integer width the container codec carries).
+        if -(2**63) <= v < 2**63:
+            return v
+        return raw
     if _DOUBLE_RE.match(raw):
         return float(raw)
     # Gate the date parse too: 3.11's fromisoformat also accepts
