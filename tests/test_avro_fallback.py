@@ -280,10 +280,17 @@ def test_partition_inference_rejects_python_only_numerics():
     assert _infer_partition_value("1e3") == 1000.0
     assert _infer_partition_value(".5") == 0.5
     assert _infer_partition_value("2024-01-31") == _date(2024, 1, 31)
-    # Python-only spellings stay strings
+    # Python-only spellings stay strings (lowercase nan/inf included —
+    # Java's Double.parseDouble is case-exact)
     for s in ("1_0", "  7 ", "7 ", " 7", "nan", "inf", "-inf",
-              "Infinity", "NaN", "0x10", "1_000.5", "1e", "--3"):
+              "0x10", "1_000.5", "1e", "--3"):
         assert _infer_partition_value(s) == s, s
+    # ...but the exact Java special literals parse as doubles, matching
+    # Spark's measured inference (differential test pins this live)
+    assert _infer_partition_value("Infinity") == float("inf")
+    assert _infer_partition_value("-Infinity") == float("-inf")
+    nan = _infer_partition_value("NaN")
+    assert isinstance(nan, float) and nan != nan
     # week-date / compact ISO forms Spark keeps as strings (compact
     # digits parse as LONG, like Spark, not as a date)
     assert _infer_partition_value("2026-W33-5") == "2026-W33-5"

@@ -512,12 +512,28 @@ _LONG_RE = re.compile(r"^[+-]?\d+$")
 _DOUBLE_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
+# Exact Java Double.parseDouble special literals: Spark's inference
+# (measured live, tests/test_avro_partition_inference_differential.py)
+# types day=NaN / day=Infinity as DOUBLE while lowercase nan/inf stay
+# strings — case-exact, like Java.
+_JAVA_DOUBLE_LITERALS = {"NaN", "Infinity", "+Infinity", "-Infinity"}
+
+
 def _infer_partition_value(raw: str):
     """One partition value from its directory string, Spark-style: try
     long, then double, then ISO date; else keep the string. NULL comes
     back from the Hive default-partition marker. Numeric parses are
-    regex-gated so Python-only spellings (underscores, padding, nan/inf)
-    stay strings, as Spark's inference would keep them."""
+    regex-gated so Python-only spellings (underscores, padding,
+    lowercase nan/inf) stay strings, as Spark's inference keeps them
+    (verified against Spark's own reader in
+    tests/test_avro_partition_inference_differential.py).
+
+    KNOWN deviations from Spark, both DecimalType fallbacks this
+    container subset has no partition type for: beyond-int64 digit
+    strings stay STRINGS here (Spark: decimal(n,0)); exponent and
+    trailing-dot forms ('1e3', '1.') parse as DOUBLE here (Spark:
+    decimal). Spark also types small integers int-then-long; this
+    reader types all in-range integers LONG (same values)."""
     if raw == _HIVE_DEFAULT_PARTITION:
         return None
     if _LONG_RE.match(raw):
@@ -530,7 +546,7 @@ def _infer_partition_value(raw: str):
         if -(2**63) <= v < 2**63:
             return v
         return raw
-    if _DOUBLE_RE.match(raw):
+    if _DOUBLE_RE.match(raw) or raw in _JAVA_DOUBLE_LITERALS:
         return float(raw)
     # Gate the date parse too: 3.11's fromisoformat also accepts
     # compact (20260815) and week-date (2026-W33-5) forms Spark keeps
