@@ -179,6 +179,50 @@ def test_fallback_guards(spark, tmp_path):
         write_avro_fallback(nested, str(tmp_path / "x.avro"))
 
 
+def test_codec_surface():
+    """r8: the writer used to stamp ANY codec string into the file
+    metadata while compressing only deflate — a conforming reader would
+    then try to decompress plain bytes. Unknown codecs now refuse at
+    write AND read; the stdlib spec codecs round-trip; the external-lib
+    codecs raise the remediation when their package is absent."""
+    import io as _io
+
+    from pyspark.sql import types as T
+
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _codec_pair,
+        _field_plan,
+        write_container,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    plan, avro_schema = _field_plan(schema), spark_schema_to_avro(schema)
+    rows = [(i,) for i in range(2000)]
+    for codec in ("null", "deflate", "bzip2", "xz"):
+        fh = _io.BytesIO()
+        write_container(iter(rows), plan, avro_schema, fh, codec=codec)
+        fh.seek(0)
+        _, got = read_container(fh)
+        assert got == rows, codec
+    with pytest.raises(ValueError, match="unknown avro codec"):
+        write_container(iter(rows), plan, avro_schema, _io.BytesIO(),
+                        codec="gzip")
+    # reader refuses a container whose metadata names an unknown codec
+    fh = _io.BytesIO()
+    write_container(iter(rows), plan, avro_schema, fh, codec="null")
+    tampered = fh.getvalue().replace(b"null", b"gzip", 1)
+    with pytest.raises(ValueError, match="unknown avro codec"):
+        read_container(_io.BytesIO(tampered))
+    # external-lib codecs: round-trip when installed, remediation if not
+    for codec in ("snappy", "zstandard"):
+        try:
+            compress, decompress = _codec_pair(codec)
+        except NotImplementedError as ex:
+            assert "package" in str(ex)
+            continue
+        assert decompress(compress(b"payload" * 100)) == b"payload" * 100
+
+
 def test_task_commit_protocol_deterministic_names(spark, tmp_path):
     """ADVICE r6: filenames are deterministic per (job salt, Spark
     partition id), written via dot-hidden temp + os.replace — so a

@@ -69,7 +69,7 @@ _row = st.tuples(
 @settings(max_examples=60, deadline=None)
 @given(
     rows=st.lists(_row, max_size=25),
-    codec=st.sampled_from(["null", "deflate"]),
+    codec=st.sampled_from(["null", "deflate", "bzip2", "xz"]),
 )
 def test_container_roundtrip_arbitrary_rows(rows, codec):
     fh = io.BytesIO()

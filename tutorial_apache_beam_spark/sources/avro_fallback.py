@@ -7,7 +7,8 @@ missing" #2). This module closes that gap for the common interchange case:
 FLAT record schemas over Avro's primitive types (+ date/timestamp-micros
 logical types and ["null", T] unions), written/read as standard Avro
 Object Container Files (magic 'Obj\\x01', schema in the file metadata,
-sync-marker-framed blocks, null or deflate codec).
+sync-marker-framed blocks; codecs: null/deflate/bzip2/xz via the stdlib,
+snappy/zstandard when their libraries are installed).
 
 Clean-room provenance: implemented from the public Apache Avro 1.11
 specification only (binary encoding §"Binary Encoding", container format
@@ -190,6 +191,73 @@ def _field_plan(schema: T.StructType) -> list[tuple[str, str, bool]]:
 # Container file framing (spec §Object Container Files)
 # ---------------------------------------------------------------------------
 
+def _codec_pair(codec: str):
+    """(compress, decompress) block functions for a spec codec name.
+
+    Spec coverage (Avro 1.12 §Required/Optional Codecs): null and
+    deflate (required) plus bzip2 and xz via the stdlib; snappy and
+    zstandard gate behind an import-try since their libraries aren't
+    bundled. Raises on unknown names — the pre-r8 writer stamped ANY
+    codec string into the file metadata while compressing only deflate,
+    silently producing containers whose blocks didn't match their
+    declared codec; resolving the pair up front fails fast instead."""
+    if codec == "null":
+        return (lambda d: d), (lambda d: d)
+    if codec == "deflate":
+        # spec: raw deflate, no zlib header/checksum
+        return (
+            lambda d: zlib.compress(d)[2:-4],
+            lambda d: zlib.decompress(d, wbits=-15),
+        )
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress, bz2.decompress
+    if codec == "xz":
+        import lzma
+
+        return (
+            lambda d: lzma.compress(d, format=lzma.FORMAT_XZ),
+            lzma.decompress,
+        )
+    if codec == "snappy":
+        try:
+            import snappy  # type: ignore[import-not-found]
+        except ImportError as ex:
+            raise NotImplementedError(
+                "avro snappy codec needs the python-snappy package "
+                "(not bundled); use codec='deflate'/'bzip2'/'xz' instead"
+            ) from ex
+        # spec: snappy block followed by 4-byte big-endian CRC32 of the
+        # UNCOMPRESSED data
+        def _snap(d):
+            return snappy.compress(d) + struct.pack(">I", zlib.crc32(d))
+
+        def _unsnap(d):
+            raw = snappy.decompress(d[:-4])
+            if struct.unpack(">I", d[-4:])[0] != zlib.crc32(raw):
+                raise ValueError("snappy block CRC mismatch")
+            return raw
+
+        return _snap, _unsnap
+    if codec == "zstandard":
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as ex:
+            raise NotImplementedError(
+                "avro zstandard codec needs the zstandard package "
+                "(not bundled); use codec='deflate'/'bzip2'/'xz' instead"
+            ) from ex
+        return (
+            lambda d: zstandard.ZstdCompressor().compress(d),
+            lambda d: zstandard.ZstdDecompressor().decompress(d),
+        )
+    raise ValueError(
+        f"unknown avro codec {codec!r}; supported: null, deflate, "
+        "bzip2, xz, snappy, zstandard"
+    )
+
+
 def write_container(
     rows, plan, avro_schema: dict, fh, codec: str = "null",
     sync: bytes | None = None, block_rows: int = 4096,
@@ -197,6 +265,7 @@ def write_container(
     """Stream `rows` (Row/tuple-like, field order = plan) into one Avro
     container on `fh`. Returns rows written. `sync` is injectable so
     tests can pin golden bytes; production callers leave it random."""
+    compress, _ = _codec_pair(codec)  # fail fast on unknown codec
     sync = sync or os.urandom(16)
     meta = {
         "avro.schema": json.dumps(avro_schema).encode(),
@@ -219,10 +288,7 @@ def write_container(
         nonlocal block, in_block
         if not in_block:
             return
-        data = bytes(block)
-        if codec == "deflate":
-            # spec: raw deflate, no zlib header/checksum
-            data = zlib.compress(data)[2:-4]
+        data = compress(bytes(block))
         fh.write(encode_long(in_block))
         fh.write(encode_long(len(data)))
         fh.write(data)
@@ -256,7 +322,7 @@ def read_container(fh) -> tuple[dict, list[tuple]]:
     """Parse one Avro container file → (avro schema dict, rows as tuples).
 
     Accepts any file produced by THIS writer's subset (flat primitives,
-    null/deflate codec) — the interchange read-back path."""
+    any codec `_codec_pair` resolves) — the interchange read-back path."""
     if fh.read(4) != MAGIC:
         raise ValueError("not an avro object container file (bad magic)")
     buf = io.BytesIO(fh.read())
@@ -272,6 +338,10 @@ def read_container(fh) -> tuple[dict, list[tuple]]:
         n = decode_long(buf)
     schema = json.loads(meta["avro.schema"])
     codec = (meta.get("avro.codec") or b"null").decode()
+    # Resolve up front: an unrecognized codec must refuse, not decode
+    # compressed bytes as if they were plain (the pre-r8 reader fell
+    # through to uncompressed for anything but deflate).
+    _, decompress = _codec_pair(codec)
     sync = buf.read(16)
 
     plan = []
@@ -292,9 +362,7 @@ def read_container(fh) -> tuple[dict, list[tuple]]:
         buf.seek(-1, io.SEEK_CUR)
         count = decode_long(buf)
         size = decode_long(buf)
-        data = buf.read(size)
-        if codec == "deflate":
-            data = zlib.decompress(data, wbits=-15)
+        data = decompress(buf.read(size))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt container)")
         block = io.BytesIO(data)
