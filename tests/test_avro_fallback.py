@@ -424,6 +424,26 @@ def test_task_commit_failure_injection(spark, tmp_path):
     assert any(n.endswith(".tmp-7") for n in all_entries)
 
 
+def test_schema_drift_across_tree_refused(spark, tmp_path):
+    """r8: every file decodes with its own plan but the combined rows
+    carry the FIRST file's column labels, so a tree with drifted
+    schemas (here: same two columns, reversed order) would silently
+    read values under the wrong names. The reader must refuse."""
+    import os
+
+    df_a = spark.createDataFrame([(1, "x")], "id BIGINT, name STRING")
+    df_b = spark.createDataFrame([("y", 2)], "name STRING, id BIGINT")
+    out = str(tmp_path / "drift.avro")
+    write_avro_fallback(df_a.coalesce(1), out)
+    # append a second file with the reversed field order
+    tmp2 = str(tmp_path / "second.avro")
+    write_avro_fallback(df_b.coalesce(1), tmp2)
+    src = [n for n in os.listdir(tmp2) if n.endswith(".avro")][0]
+    os.rename(os.path.join(tmp2, src), os.path.join(out, "zz-" + src))
+    with pytest.raises(ValueError, match="schema drift"):
+        read_avro_fallback(spark, out)
+
+
 def test_non_utc_session_refused_for_timestamps(spark, tmp_path):
     """ADVICE r6: the timestamp-micros codec assumes naive == UTC; a
     non-UTC session would shift every value silently, so both paths

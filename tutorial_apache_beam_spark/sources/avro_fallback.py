@@ -670,12 +670,28 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
         )
 
     schema = None
+    first_fp = None
     data_rows: list[tuple[tuple[str | None, ...], list[tuple]]] = []
     praw_per_col: list[set] = [set() for _ in pcols]
     for fp, pparts in files:
         with open(fp, "rb") as fh:
             s, r = read_container(fh)
-        schema = schema or s
+        if schema is None:
+            schema, first_fp = s, fp
+        elif s["fields"] != schema["fields"]:
+            # Every file decodes with its OWN plan, but the combined
+            # rows carry the FIRST file's column labels — a tree whose
+            # files drifted (fields added, removed, or reordered) would
+            # otherwise read back with values under the wrong column
+            # names. Refuse loudly; schema evolution needs the jar's
+            # reader (or a rewrite of the tree).
+            raise ValueError(
+                "avro schema drift across the tree: "
+                f"{first_fp!r} has fields "
+                f"{[f['name'] for f in schema['fields']]} but {fp!r} has "
+                f"{[f['name'] for f in s['fields']]} (types/order "
+                "compared too); the fallback reader requires one schema"
+            )
         praw = tuple(
             None if raw == _HIVE_DEFAULT_PARTITION else unquote(raw)
             for _, raw in pparts
