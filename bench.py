@@ -214,6 +214,35 @@ LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
 # uniformly slowed machine can no longer stamp itself clean.
 CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.41"))
 CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
+# CAL_REF_S is HARDWARE-SPECIFIC (ADVICE r8): it is the sha256
+# throughput of the machine the reference was calibrated on. The
+# artifact records the host fingerprint next to the ratio so a run on
+# different silicon is visibly comparing against a foreign constant —
+# when `cal_host` changes, recalibrate by running
+# `python -c "import bench; print(min(bench._cal_probe() for _ in
+# range(5)))"` on the idle new host and exporting SPARK_GRAFT_CAL_REF_S.
+CAL_REF_HOST = os.environ.get(
+    "SPARK_GRAFT_CAL_REF_HOST",
+    # the r8 calibration host for CAL_REF_S=0.41
+    "Intel(R) Xeon(R) Processor @ 2.10GHz x32",
+)
+
+
+def _host_fingerprint() -> str:
+    """'model name xNcores' from /proc/cpuinfo — enough to notice the
+    machine changed under a committed CAL_REF_S."""
+    try:
+        model, cores = "unknown", 0
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    cores += 1
+                elif line.startswith("processor"):
+                    pass
+        return f"{model} x{cores}"
+    except Exception:
+        return "unknown"
 # CPU-steal fraction over the run (r8): the calibration probe catches
 # slowdown a single thread can SEE, but on shared hardware a neighbor
 # VM can shrink the machine's PARALLEL capacity while every single
@@ -543,6 +572,9 @@ def main() -> None:
             "headline_spread_median": spread_median,
             "cal_samples": cal_samples,
             "cal_ref_s": CAL_REF_S,
+            "cal_ref_host": CAL_REF_HOST,
+            "cal_host": _host_fingerprint(),
+            "cal_host_matches_ref": _host_fingerprint() == CAL_REF_HOST,
             "cal_ratio": cal_ratio,
             "steal_pct": steal_pct,
             "load_contaminated": load_contaminated,

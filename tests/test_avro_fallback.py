@@ -108,7 +108,11 @@ def test_golden_container_bytes():
 # magic + 2-entry metadata map + zero sync; block = count 0x06 (=3),
 # size 0x3c (=30); records verified nibble-by-nibble (id varints, union
 # branch indexes, string lengths, LE doubles) in the r6 session log.
-GOLDEN_MD5 = "1a8c4cac79ff7c4e14fbc7955ac70931"
+# Re-pinned r9: nullable fields now declare `"default": null` in the
+# schema JSON (metadata-only change — the block bytes are untouched;
+# only the header's schema string and its length varint moved), the
+# enabler for §Schema Resolution's added-field evolution.
+GOLDEN_MD5 = "3b27bbfca07cfa2dbc82b4cb6acc5ed9"
 
 
 def test_write_read_roundtrip_all_types(spark, tmp_path):
@@ -302,11 +306,14 @@ def test_mixed_partition_values_demote_to_string(spark, tmp_path):
 
 
 def test_partition_inference_rejects_python_only_numerics():
-    """ADVICE r7: bare int()/float() accept spellings Spark's
-    PartitioningUtils rejects — '1_0' (underscore literal), '  7 '
-    (padding), 'nan'/'inf'/'Infinity' — silently corrupting string
-    partition values that merely look numeric to Python. The regex-gated
-    parse keeps them strings; canonical forms still infer typed."""
+    """ADVICE r7/r8: bare int()/float() accept spellings Spark's
+    PartitioningUtils rejects — '1_0' (underscore literal),
+    'nan'/'inf' — silently corrupting string partition values that
+    merely look numeric to Python; and REJECT spellings Spark accepts
+    via Java's Double.parseDouble — whitespace-trimmed ('  7 '),
+    [dDfF]-suffixed ('1.5d'), hex floats ('0x1p3'), signed specials
+    ('+NaN'). The Java-grammar-gated parse matches Spark on both sides
+    (each case verified live in the differential test)."""
     from datetime import date as _date
 
     from tutorial_apache_beam_spark.sources.avro_fallback import (
@@ -325,16 +332,29 @@ def test_partition_inference_rejects_python_only_numerics():
     assert _infer_partition_value(".5") == 0.5
     assert _infer_partition_value("2024-01-31") == _date(2024, 1, 31)
     # Python-only spellings stay strings (lowercase nan/inf included —
-    # Java's Double.parseDouble is case-exact)
-    for s in ("1_0", "  7 ", "7 ", " 7", "nan", "inf", "-inf",
-              "0x10", "1_000.5", "1e", "--3"):
+    # Java's Double.parseDouble is case-exact on the special literals)
+    for s in ("1_0", "nan", "inf", "-inf", "0x10", "1_000.5", "1e",
+              "--3", "1.5dd", "NaNf", "Infinityd", "0xp3", ".e3", "d",
+              "+d", " 2024-01-31 "):
         assert _infer_partition_value(s) == s, s
     # ...but the exact Java special literals parse as doubles, matching
     # Spark's measured inference (differential test pins this live)
     assert _infer_partition_value("Infinity") == float("inf")
     assert _infer_partition_value("-Infinity") == float("-inf")
-    nan = _infer_partition_value("NaN")
-    assert isinstance(nan, float) and nan != nan
+    for s in ("NaN", "+NaN", "-NaN"):
+        nan = _infer_partition_value(s)
+        assert isinstance(nan, float) and nan != nan, s
+    # Java-only spellings Spark types as DOUBLE (ADVICE r8, all probed
+    # live): parseDouble trims chars <= U+0020 (longs and dates do NOT
+    # trim — '  7 ' is a double 7.0, not a long), allows a [dDfF]
+    # suffix on numeric forms, and accepts hex-significand floats
+    for s, want in (("  7 ", 7.0), ("7 ", 7.0), (" 7", 7.0),
+                    ("7\t", 7.0), (" 2.5d ", 2.5), ("1.5d", 1.5),
+                    ("1.5D", 1.5), ("2f", 2.0), ("1e3F", 1000.0),
+                    ("0x1p3", 8.0), ("-0x1p-2", -0.25), ("0x.8p1", 1.0),
+                    ("0x1p3d", 8.0)):
+        got = _infer_partition_value(s)
+        assert isinstance(got, float) and got == want, (s, got)
     # week-date / compact ISO forms Spark keeps as strings (compact
     # digits parse as LONG, like Spark, not as a date)
     assert _infer_partition_value("2026-W33-5") == "2026-W33-5"
@@ -424,18 +444,18 @@ def test_task_commit_failure_injection(spark, tmp_path):
     assert any(n.endswith(".tmp-7") for n in all_entries)
 
 
-def test_schema_drift_across_tree_refused(spark, tmp_path):
-    """r8: every file decodes with its own plan but the combined rows
-    carry the FIRST file's column labels, so a tree with drifted
-    schemas (here: same two columns, reversed order) would silently
-    read values under the wrong names. The reader must refuse."""
+def test_incompatible_schema_drift_refused(spark, tmp_path):
+    """r8 refused ALL drift; r9 resolves spec-resolvable drift (see
+    test_avro_schema_resolution.py) and must still refuse GENUINELY
+    incompatible drift — here the same field name written as BIGINT in
+    one file and STRING in another (no spec promotion either way), which
+    no candidate reader schema can reconcile."""
     import os
 
     df_a = spark.createDataFrame([(1, "x")], "id BIGINT, name STRING")
-    df_b = spark.createDataFrame([("y", 2)], "name STRING, id BIGINT")
+    df_b = spark.createDataFrame([("7", 2)], "id STRING, v BIGINT")
     out = str(tmp_path / "drift.avro")
     write_avro_fallback(df_a.coalesce(1), out)
-    # append a second file with the reversed field order
     tmp2 = str(tmp_path / "second.avro")
     write_avro_fallback(df_b.coalesce(1), tmp2)
     src = [n for n in os.listdir(tmp2) if n.endswith(".avro")][0]

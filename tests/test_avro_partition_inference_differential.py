@@ -50,6 +50,29 @@ CASES = {
     "1e3": "decimal",
     "1.": "decimal",
     "99999999999999999999": "decimal",
+    # ADVICE r8: Java Double.parseDouble spellings beyond Python's —
+    # signed specials, [dDfF] type suffixes, hex-significand floats,
+    # and its trim of chars <= U+0020 — all must infer DOUBLE like
+    # Spark does live; near-miss spellings must stay strings.
+    "+NaN": None,
+    "-NaN": None,
+    "1.5d": None,
+    "1.5D": None,
+    "2f": None,
+    "1e3F": None,
+    "0x1p3": None,
+    "0x.8p1": None,
+    "-0x1p-2": None,
+    "0x1p3d": None,
+    " 7 ": None,      # parseDouble trims; parseLong does not → DOUBLE
+    "7\t": None,
+    " 2.5d ": None,
+    " 2024-01-31 ": None,  # the date path does NOT trim → string
+    "0xp3": None,     # hex float needs >=1 significand digit → string
+    "1.5dd": None,    # one type suffix max → string
+    "NaNf": None,     # no suffix on special literals → string
+    "Infinityd": None,
+    ".e3": None,
 }
 
 

@@ -138,7 +138,14 @@ def _variants():
 
 
 def main() -> None:
-    conf = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    # ADVICE r8: a typo'd conf token without '=' used to be silently
+    # dropped, attributing the run to the default config — refuse it.
+    bad = [a for a in sys.argv[1:] if "=" not in a]
+    if bad:
+        raise SystemExit(
+            f"conf args must be KEY=VALUE; got {bad!r}"
+        )
+    conf = dict(a.split("=", 1) for a in sys.argv[1:])
     runs = int(os.environ.get("PANE_ATTRIB_RUNS", "2"))
     from tools.scale_stress import _drain_with_state_metrics
 
