@@ -1,0 +1,232 @@
+"""Paired interleaved A/B bench: HEAD vs a reference checkout
+(VERDICT r8 #3 — machine-hour-proof round-over-round claims).
+
+r8's own data showed two clean-stamped runs of IDENTICAL code at
+33.1 vs 38.7 s: hypervisor neighbors shrink parallel capacity across
+machine-hours, so "r9 is X% faster than r8" from two artifacts
+recorded hours apart carries ±15% ambient error. This tool removes the
+machine-hour term by hosting BOTH trees simultaneously (each in its
+own JVM via tools/bench_compare_worker.py, exercised strictly one at a
+time) and timing each gate back-to-back A/B within seconds, with the
+side order swapped every round (ABBA) so slow drift cancels inside
+pairs too.
+
+Per gate it reports min-over-rounds for both sides, their ratio, the
+per-round paired sign vector, and a two-sided binomial sign test
+p-value — a gate is only claimed faster/slower when the SIGNS agree,
+not because one side drew a quiet machine-hour.
+
+Usage:
+  python bench.py --compare REF_SHA [--rounds N] [--gates a,b,...]
+  python tools/bench_compare.py REF_SHA ...      (equivalent)
+
+REF_SHA may be any committish (a worktree is created under /tmp) or an
+existing directory. Writes bench_compare.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORKER = os.path.join(REPO, "tools", "bench_compare_worker.py")
+
+
+class Side:
+    def __init__(self, label: str, tree: str):
+        self.label, self.tree = label, tree
+        env = dict(os.environ)
+        # The worker must resolve the package from ITS tree, not from a
+        # PYTHONPATH this parent inherited pointing at HEAD.
+        env["PYTHONPATH"] = tree
+        self.proc = subprocess.Popen(
+            [sys.executable, WORKER, tree, SF_DIR],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
+        )
+        ready = json.loads(self._readline())
+        assert ready.get("ready"), ready
+        self.gates = set(ready["gates"])
+
+    def _readline(self) -> str:
+        line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError(
+                f"worker {self.label} ({self.tree}) died"
+            )
+        return line
+
+    def run_gate(self, name: str) -> float:
+        self.proc.stdin.write(name + "\n")
+        self.proc.stdin.flush()
+        out = json.loads(self._readline())
+        if "err" in out:
+            raise RuntimeError(f"{self.label}:{name}: {out['err']}")
+        return out["s"]
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=30)
+        except Exception:
+            self.proc.kill()
+
+
+def _resolve_ref_tree(ref: str) -> str:
+    """A directory for the reference side: the ref itself if it's a
+    directory, else a detached git worktree of the committish."""
+    if os.path.isdir(ref):
+        return os.path.abspath(ref)
+    sha = subprocess.check_output(
+        ["git", "rev-parse", ref], cwd=REPO, text=True
+    ).strip()
+    tree = f"/tmp/bench_cmp_{sha[:12]}"
+    if not os.path.isdir(tree):
+        subprocess.check_call(
+            ["git", "worktree", "add", "--detach", tree, sha], cwd=REPO,
+            stdout=subprocess.DEVNULL,
+        )
+    return tree
+
+
+def _sign_test_p(wins: int, losses: int) -> float:
+    """Two-sided exact binomial sign test over non-tied pairs."""
+    n = wins + losses
+    if n == 0:
+        return 1.0
+    k = min(wins, losses)
+    tail = sum(math.comb(n, i) for i in range(k + 1)) / 2**n
+    return round(min(1.0, 2 * tail), 4)
+
+
+def compare(ref: str, rounds: int, gates: list[str] | None) -> dict:
+    from bench import (  # HEAD's bench constants/probes
+        HEADLINE,
+        _cal_probe,
+        _cpu_jiffies,
+        _host_fingerprint,
+        _steal_pct,
+    )
+
+    ref_tree = _resolve_ref_tree(ref)
+    t_start = time.monotonic()
+    jiffies0 = _cpu_jiffies()
+    cal0 = round(_cal_probe(), 3)
+
+    a = Side("HEAD", REPO)
+    b = Side("REF", ref_tree)
+    try:
+        names = gates or [g for g in HEADLINE if g in a.gates & b.gates]
+        missing = [g for g in (gates or HEADLINE)
+                   if g not in a.gates & b.gates]
+        samples: dict[str, dict[str, list[float]]] = {
+            g: {"head": [], "ref": []} for g in names
+        }
+        # Warm both JVMs once outside the recorded rounds (codegen +
+        # first-scan costs hit whichever side goes first otherwise).
+        for g in names:
+            a.run_gate(g)
+            b.run_gate(g)
+        for r in range(rounds):
+            order = [(a, "head"), (b, "ref")]
+            if r % 2:  # ABBA: cancel monotone drift inside pairs
+                order.reverse()
+            for g in names:
+                for side, key in order:
+                    samples[g][key].append(side.run_gate(g))
+    finally:
+        a.close()
+        b.close()
+
+    cal1 = round(_cal_probe(), 3)
+    steal = _steal_pct(jiffies0)
+    per_gate = {}
+    h_tot = r_tot = 0.0
+    for g in names:
+        h, r_ = samples[g]["head"], samples[g]["ref"]
+        wins = sum(1 for x, y in zip(h, r_) if x < y)
+        losses = sum(1 for x, y in zip(h, r_) if x > y)
+        mh, mr = min(h), min(r_)
+        h_tot += mh
+        r_tot += mr
+        per_gate[g] = {
+            "head": h,
+            "ref": r_,
+            "min_head": mh,
+            "min_ref": mr,
+            "ratio_min": round(mh / mr, 3) if mr else None,
+            "head_faster_rounds": wins,
+            "ref_faster_rounds": losses,
+            "sign_p": _sign_test_p(wins, losses),
+        }
+    out = {
+        "ref": ref,
+        "ref_tree": ref_tree,
+        "rounds": rounds,
+        "sf_dir": SF_DIR,
+        "gates": per_gate,
+        "missing_gates": missing,
+        "total_min_head": round(h_tot, 3),
+        "total_min_ref": round(r_tot, 3),
+        "total_ratio": round(h_tot / r_tot, 3) if r_tot else None,
+        "wall_s": round(time.monotonic() - t_start, 1),
+        "cal_samples": [cal0, cal1],
+        "steal_pct": steal,
+        "host": _host_fingerprint(),
+    }
+    return out
+
+
+def main(argv: list[str]) -> None:
+    if not argv or argv[0].startswith("-"):
+        raise SystemExit(__doc__)
+    ref = argv[0]
+    rounds = 5
+    gates = None
+    it = iter(argv[1:])
+    for tok in it:
+        if tok == "--rounds":
+            rounds = int(next(it))
+        elif tok == "--gates":
+            gates = next(it).split(",")
+        else:
+            raise SystemExit(f"unknown arg {tok!r}\n{__doc__}")
+    out = compare(ref, rounds, gates)
+    with open(os.path.join(REPO, "bench_compare.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    for g, e in out["gates"].items():
+        verdict = (
+            "head faster" if e["sign_p"] < 0.1
+            and e["head_faster_rounds"] > e["ref_faster_rounds"]
+            else "ref faster" if e["sign_p"] < 0.1
+            else "no significant difference"
+        )
+        print(
+            f"{g:35s} head {e['min_head']:7.3f}  ref {e['min_ref']:7.3f}"
+            f"  ratio {e['ratio_min']:5.3f}  signs +{e['head_faster_rounds']}"
+            f"/-{e['ref_faster_rounds']}  p={e['sign_p']:6.4f}  {verdict}"
+        )
+    print(json.dumps({
+        "metric": "bench_compare_total_ratio",
+        "value": out["total_ratio"],
+        "unit": "head/ref",
+        "total_min_head": out["total_min_head"],
+        "total_min_ref": out["total_min_ref"],
+        "steal_pct": out["steal_pct"],
+    }))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
