@@ -369,6 +369,15 @@ def _load_gate() -> dict:
 
 
 def main() -> None:
+    # `bench.py --compare REF [...]` delegates to the paired interleaved
+    # A/B harness (tools/bench_compare.py) — machine-hour-proof
+    # round-over-round claims; everything after --compare is passed on.
+    if "--compare" in sys.argv:
+        from tools import bench_compare
+
+        i = sys.argv.index("--compare")
+        bench_compare.main(sys.argv[i + 1:])
+        return
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Ambient-load audit trail: the sandbox shares hardware, and a
     # sustained external spike can inflate a single gate 5-10x for

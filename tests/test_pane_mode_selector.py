@@ -1,0 +1,137 @@
+"""Pane-path auto-selection by measured key-cardinality cost model
+(VERDICT r8 #5): `mode="auto"` takes the applyInPandasWithState fidelity
+path only while its per-key Python floor (~0.26 ms x keys x micro-batches,
+tools/pane_attrib.py) is trigger-interval noise, and the JVM incremental
+aggregation — Demo2's operator, the 100-TB default — past the threshold
+or when no cardinality hint exists. Asking for 'discarding' above the
+threshold stays honored but WARNS with the measured curve."""
+
+from __future__ import annotations
+
+import json
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_apache_beam_spark.streaming.stateful import (
+    AUTO_KEY_THRESHOLD,
+    accumulating_pane_counts,
+    pane_counts,
+    select_pane_impl,
+)
+
+BASE_EPOCH = 1704067230  # 2024-01-01 00:00:30 UTC
+RAW_SCHEMA = "event_time BIGINT, user_id BIGINT"
+
+
+def test_selector_choice_at_both_cardinalities():
+    # Low cardinality: fidelity is ~0.4 s/micro-batch at the threshold —
+    # auto buys it.
+    assert select_pane_impl("auto", expected_keys=1_500) == "discarding"
+    assert select_pane_impl("auto", expected_keys=AUTO_KEY_THRESHOLD) == "discarding"
+    # High cardinality: the measured per-key floor dominates (15k keys =
+    # +3.95 s emitter compute per drain, 150k = 34x wall) — JVM path.
+    assert (
+        select_pane_impl("auto", expected_keys=AUTO_KEY_THRESHOLD + 1)
+        == "accumulating"
+    )
+    assert select_pane_impl("auto", expected_keys=150_000) == "accumulating"
+    # No hint: an unbounded stream's cardinality is unknowable at plan
+    # time — auto must take the scale-safe path, never the per-key one.
+    assert select_pane_impl("auto") == "accumulating"
+
+
+def test_explicit_modes_honored_and_priced():
+    assert select_pane_impl("accumulating", expected_keys=10) == "accumulating"
+    # Explicit fidelity above the threshold is honored but warns with the
+    # measured cost model, quoting keys and projected per-batch seconds.
+    with pytest.warns(UserWarning, match="per key per micro-batch") as rec:
+        assert select_pane_impl("discarding", expected_keys=150_000) == "discarding"
+    msg = str(rec[0].message)
+    assert "150,000" in msg and "mode='accumulating'" in msg
+    # Below the threshold fidelity is free — no warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert select_pane_impl("discarding", expected_keys=100) == "discarding"
+    with pytest.raises(ValueError, match="unknown pane mode"):
+        select_pane_impl("bogus")
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(RAW_SCHEMA)
+        .json(str(src))
+        .select(F.timestamp_seconds("event_time").alias("ts"), "user_id")
+    )
+
+
+def test_auto_plan_switches_operator(spark, tmp_path):
+    """The selector's choice must show in the PLAN: auto/low builds the
+    Python stateful operator, auto/high and auto/no-hint build the JVM
+    streaming aggregation with no Python node."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps({"event_time": BASE_EPOCH, "user_id": 7}) + "\n"
+    )
+    stream = _stream(spark, src)
+
+    low = pane_counts(stream, mode="auto", expected_keys=1_000)
+    low_plan = low._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in low_plan
+
+    for kwargs in ({"expected_keys": 10**6}, {}):
+        high = pane_counts(stream, mode="auto", **kwargs)
+        high_plan = high._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" not in high_plan
+        assert "Aggregate" in high_plan
+
+
+def test_accumulating_path_update_mode_semantics(spark, tmp_path):
+    """End-to-end on the JVM path: update-mode firings re-emit the
+    ACCUMULATED count (Beam accumulatingFiredPanes) and pane_index is
+    NULL by contract; the last firing equals the batch total.
+
+    One availableNow run with maxFilesPerTrigger=1 forces two
+    micro-batches (memory sinks can't recover a checkpoint across
+    restarts); mtimes order the files so firing 1 sees exactly b0."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [{"event_time": BASE_EPOCH + i, "user_id": 7} for i in range(3)]
+    rows2 = [{"event_time": BASE_EPOCH + 10 + i, "user_id": 7} for i in range(2)]
+    now = time.time()
+    for name, rows, age_s in (("b0.json", rows1, 60), ("b1.json", rows2, 0)):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (now - age_s, now - age_s))
+
+    stream = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(F.timestamp_seconds("event_time").alias("ts"), "user_id")
+    )
+    sink = f"pane_acc_{tmp_path.name}"
+    q = (
+        accumulating_pane_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r.asDict() for r in spark.sql(f"SELECT * FROM {sink}").collect()]
+    spark.catalog.dropTempView(sink)
+
+    # Two firings for the same (window, key): the first emitted b0's
+    # count, the second the ACCUMULATED total — not the delta.
+    assert sorted(r["pane_count"] for r in rows) == [3, 5]
+    assert all(r["pane_index"] is None for r in rows)
+    assert all(r["user_id"] == 7 for r in rows)
+    assert len({r["window_start"] for r in rows}) == 1

@@ -30,6 +30,7 @@ aggregation (HDFS/RocksDB-backed at cluster scale).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 from typing import Any
 
@@ -233,4 +234,123 @@ def discarding_pane_counts(
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# Measured pane-path cost model (tools/pane_attrib.py, SCALING.md "Pane
+# operator wall, attributed"): the per-group Python API pays ~0.26 ms of
+# emitter compute per (key x micro-batch) invocation — pd.concat,
+# datetime64 view, np.unique, output-frame construction — and that floor
+# is inherent to the API (the body is already vectorized; it cannot be
+# batched across keys from user code). The JVM incremental aggregation
+# has no such term, which is why it is the 100-TB default when per-pane
+# DELTAS aren't required.
+PANE_EMITTER_MS_PER_KEY_BATCH = 0.26
+# Python-emitter seconds per micro-batch "auto" is willing to buy for
+# pane fidelity before switching to the JVM path: 1 s / 0.26 ms ~ 3,800
+# keys. Below it the fidelity path's overhead is trigger-interval noise
+# (sf0.1's 1,500 users drain in ~3.5 s total); above it the overhead
+# compounds every micro-batch (15k keys measured +3.95 s emitter compute
+# per drain, 150k keys 34x wall).
+AUTO_PANE_BUDGET_S = 1.0
+AUTO_KEY_THRESHOLD = int(AUTO_PANE_BUDGET_S * 1000 / PANE_EMITTER_MS_PER_KEY_BATCH)
+
+
+def _pane_cost_msg(expected_keys: int) -> str:
+    est_s = expected_keys * PANE_EMITTER_MS_PER_KEY_BATCH / 1000
+    return (
+        f"discarding-pane fidelity costs ~{PANE_EMITTER_MS_PER_KEY_BATCH} ms "
+        f"of Python emitter compute per key per micro-batch (measured, "
+        f"tools/pane_attrib.py): at {expected_keys:,} keys that is "
+        f"~{est_s:.1f} s added to EVERY micro-batch. If per-pane deltas + "
+        f"firing ordinals aren't required, use mode='accumulating' (JVM "
+        f"incremental aggregation, no per-key Python floor)."
+    )
+
+
+def select_pane_impl(mode: str, expected_keys: int | None = None) -> str:
+    """Pick the pane implementation: 'discarding' (applyInPandasWithState,
+    Beam pane deltas + firing ordinals) or 'accumulating' (JVM incremental
+    windowed count, Beam accumulatingFiredPanes under update mode).
+
+    - mode='discarding'/'accumulating': honored verbatim; 'discarding'
+      with expected_keys past the budget WARNS with the measured cost
+      model rather than silently degrading throughput.
+    - mode='auto': semantics-preserving cardinality selector for callers
+      who want per-firing rows but not specifically deltas — fidelity
+      while it's cheap (expected_keys <= AUTO_KEY_THRESHOLD), the JVM
+      path once the per-key Python floor would dominate the drain.
+      Without an expected_keys hint auto takes the scale-safe JVM path
+      (unbounded streams can't be counted at plan time).
+    """
+    if mode == "accumulating":
+        return "accumulating"
+    if mode == "discarding":
+        if expected_keys is not None and expected_keys > AUTO_KEY_THRESHOLD:
+            warnings.warn(_pane_cost_msg(expected_keys), stacklevel=3)
+        return "discarding"
+    if mode == "auto":
+        if expected_keys is not None and expected_keys <= AUTO_KEY_THRESHOLD:
+            return "discarding"
+        return "accumulating"
+    raise ValueError(
+        f"unknown pane mode {mode!r}: expected 'discarding', "
+        "'accumulating', or 'auto'"
+    )
+
+
+def accumulating_pane_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """The JVM fast path of the pane selector: incremental windowed count
+    (Demo2's aggregation) with the pane output schema. Run under UPDATE
+    output mode each trigger re-emits the ACCUMULATED count for keys the
+    batch touched — Beam's `.accumulatingFiredPanes()` — entirely inside
+    the JVM streaming-aggregation operator: partial map-side combine,
+    state bounded at one row per open (window, key), no per-key Python
+    invocation, so wall scales with DATA, not keys x micro-batches.
+
+    pane_index is NULL by contract: firing ordinals require per-key state
+    the JVM aggregation doesn't track; callers who need them asked for
+    'discarding' and priced it.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), key_col)
+        .agg(F.count(F.lit(1)).alias("pane_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "pane_count",
+            F.lit(None).cast("int").alias("pane_index"),
+        )
+    )
+
+
+def pane_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    mode: str = "auto",
+    expected_keys: int | None = None,
+) -> DataFrame:
+    """Per-(window, key) counts with the pane implementation chosen by the
+    measured cost model (see `select_pane_impl`). Both paths emit
+    (window_start, user_id/key, pane_count, pane_index); 'accumulating'
+    emits cumulative counts with NULL pane_index (run under update mode),
+    'discarding' emits per-firing deltas with Beam pane ordinals.
+    """
+    impl = select_pane_impl(mode, expected_keys)
+    if impl == "discarding":
+        return discarding_pane_counts(
+            events, ts_col, key_col, window_duration, watermark_delay
+        )
+    return accumulating_pane_counts(
+        events, ts_col, key_col, window_duration, watermark_delay
     )
