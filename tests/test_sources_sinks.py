@@ -428,3 +428,97 @@ def test_commit_batch_exactly_once_converges_from_partial_attempt(
         spark.read.parquet(str(out)).count()
         == len(expected) + dup2_rows + 10
     )
+
+
+def test_write_parquet_exactly_once_mid_commit_crash_windows(spark, tmp_path):
+    """Kill the exactly-once foreachBatch writer INSIDE the commit
+    protocol — not merely after it returned (the existing crash test's
+    window) — at every named point: after staging, after the attempt
+    marker + stale sweep, after a strict SUBSET of the renames (the
+    nastiest state: the table holds half a batch), and after all renames
+    but before the staging cleanup. Each crash restarts from the same
+    checkpoint and must read back exactly-once: no duplicate, no missing
+    row. Injection uses plans.pipeline._EO_TEST_FAULT (the avro task
+    commit's pattern) because local mode never retries and a real kill
+    can't be aimed between two renames."""
+    import pytest
+
+    from tutorial_apache_beam_spark.plans import pipeline as plmod
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        MapElements,
+        Pipeline,
+        WriteParquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(3):  # one file per micro-batch via maxFilesPerTrigger=1
+        (src / f"f{b}.json").write_text(
+            "\n".join(
+                json.dumps({"v": v}) for v in range(b * 100, b * 100 + 100)
+            )
+            + "\n"
+        )
+
+    def drain(out, ckpt):
+        rows = (
+            spark.readStream.schema("v BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        p = Pipeline(spark)
+        (
+            p.create(rows)
+            # 4 part files per batch so the mid-rename window is a real
+            # half-committed state, not an all-or-nothing single rename.
+            .apply("Fan", MapElements(lambda df: df.repartition(4)))
+            .apply(
+                "Sink",
+                WriteParquet(
+                    str(out),
+                    checkpoint=str(ckpt),
+                    available_now=True,
+                    exactly_once=True,
+                ),
+            )
+        )
+        p.run().wait_until_finish()
+
+    # (stage, detail) to crash at, always inside batch 1's commit so a
+    # previously committed batch (0) sits in the table when we die.
+    windows = [("staged", None), ("marker", None), ("renamed", 1), ("moved", None)]
+    for stage_name, detail in windows:
+        out = tmp_path / f"out_{stage_name}"
+        ckpt = tmp_path / f"ckpt_{stage_name}"
+        seen = {"batch": -1}
+
+        def fault(stage, d, _target=(stage_name, detail)):
+            if stage == "staged":
+                seen["batch"] = d
+            if seen["batch"] != 1:
+                return
+            if stage == _target[0] and (_target[1] is None or d == _target[1]):
+                raise RuntimeError(f"injected crash at {stage}/{d}")
+
+        plmod._EO_TEST_FAULT = fault
+        try:
+            with pytest.raises(Exception, match="injected crash"):
+                drain(out, ckpt)
+        finally:
+            plmod._EO_TEST_FAULT = None
+
+        spark.catalog.clearCache()
+        if stage_name == "renamed":
+            # Prove the window is real: the table holds batch 0 plus a
+            # strict subset of batch 1's files at the moment of death.
+            partial = spark.read.parquet(str(out)).count()
+            assert 100 < partial < 200
+
+        drain(out, ckpt)  # restart from the same checkpoint
+        spark.catalog.clearCache()
+        result = spark.read.parquet(str(out))
+        vals = sorted(r["v"] for r in result.collect())
+        assert vals == list(range(300)), f"window {stage_name}: {len(vals)} rows"
+        assert (
+            result.groupBy("v").count().filter("count > 1").count() == 0
+        ), f"window {stage_name} duplicated rows"

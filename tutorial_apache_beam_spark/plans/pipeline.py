@@ -558,6 +558,22 @@ class Distinct(PTransform):
 # ---------------------------------------------------------------------------
 
 
+# Failure-injection hook for the exactly-once commit protocol (tests
+# only, mirroring sources/avro_fallback's injectable task commit): when
+# set, called as _EO_TEST_FAULT(stage, detail) at each named crash
+# window. Raising inside foreachBatch fails the epoch BEFORE its
+# checkpoint commit — byte-for-byte the on-disk state a driver death at
+# that point leaves behind, and the only way to exercise the windows
+# deterministically (local mode never retries, and a real kill -9 can't
+# be aimed between two renames).
+_EO_TEST_FAULT = None
+
+
+def _eo_fault(stage: str, detail=None) -> None:
+    if _EO_TEST_FAULT is not None:
+        _EO_TEST_FAULT(stage, detail)
+
+
 def _commit_batch_exactly_once(
     batch_df: DataFrame,
     batch_id: int,
@@ -595,6 +611,7 @@ def _commit_batch_exactly_once(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(f"{path}/_staging-{batch_id}")
+    _eo_fault("staged", batch_id)
 
     prefix = f"bid{batch_id}-"
     # Stale `bid<id>-` files can only exist when THIS batch id already
@@ -625,6 +642,7 @@ def _commit_batch_exactly_once(
                 stale.append(p)
         for p in stale:
             fs.delete(p, False)
+    _eo_fault("marker", batch_id)
 
     qual_staging = fs.makeQualified(staging).toString()
     moves = []
@@ -636,10 +654,12 @@ def _commit_batch_exactly_once(
             continue  # _SUCCESS and friends
         rel = fs.makeQualified(p).toString()[len(qual_staging) + 1 :]
         moves.append((p, rel[: -len(name)].rstrip("/"), name))
-    for p, rel_dir, name in moves:
+    for i, (p, rel_dir, name) in enumerate(moves):
         dest_dir = root if not rel_dir else HPath(f"{path}/{rel_dir}")
         fs.mkdirs(dest_dir)
         fs.rename(p, HPath(dest_dir, prefix + name))
+        _eo_fault("renamed", i)
+    _eo_fault("moved", batch_id)
     fs.delete(staging, True)
 
 
