@@ -34,6 +34,7 @@ Importable (`sf_scaling_section`) by bench.py; runnable standalone:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 import time
@@ -297,7 +298,8 @@ def streaming_scaling_section(spark, runs: int = 1, mult: int = 10) -> dict:
 
 def streaming_100x_section(
     spark, runs: int = 2, names: tuple[str, ...] = (
-        "streaming_demo2_append", "streaming_discarding_panes",
+        "streaming_demo2_append", "streaming_demo2_append_split",
+        "streaming_discarding_panes",
     )
 ) -> dict:
     """VERDICT r6 #8 — the 100× streaming state-store measurement.
@@ -310,18 +312,35 @@ def streaming_100x_section(
     `python tools/scale_stress.py --streaming-100x`; results recorded in
     SCALING.md "## Stateful streaming at 100× (round 8)" (one-off, not
     per-bench: ~2 min; state measured exactly 100× at 100× keys)."""
+    from tutorial_apache_beam_spark.streaming.replay import (
+        single_file_scan_scope,
+    )
+
     scale_dir = ensure_scale_fixture(100)
     gates = _streaming_gates()
     out: dict[str, dict] = {}
     for name in names:
-        build = gates[name]
-        mib = os.path.getsize(f"{scale_dir}/events.parquet") / (1024 * 1024)
+        # "<gate>_split" = the same drain under single_file_scan_scope —
+        # the source-partitioning contract for one-big-file replays
+        # (VERDICT r8 #4: the 100x fixture is ONE ~116 MiB parquet file,
+        # which availableNow scans with ONE task under the default 128
+        # MiB maxPartitionBytes).
+        split = name.endswith("_split")
+        build = gates[name.removesuffix("_split")]
+        events_path = f"{scale_dir}/events.parquet"
+        scope = (
+            (lambda: single_file_scan_scope(spark, events_path))
+            if split
+            else contextlib.nullcontext
+        )
+        mib = os.path.getsize(events_path) / (1024 * 1024)
         best_wall, rows, state_rows = float("inf"), -1, 0
         for _ in range(runs):
             sdf, mode = build(spark, scale_dir)
-            wall, rows, state_rows = _drain_with_state_metrics(
-                spark, sdf, mode
-            )
+            with scope():
+                wall, rows, state_rows = _drain_with_state_metrics(
+                    spark, sdf, mode
+                )
             best_wall = min(best_wall, wall)
         out[name] = {
             "x100_sec": round(best_wall, 3),

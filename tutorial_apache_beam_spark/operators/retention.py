@@ -12,12 +12,35 @@ files are read, which is the only retention strategy that works at 100 TB.
 
 from __future__ import annotations
 
+import re
 import shutil
 from dataclasses import dataclass
 from datetime import date, timedelta
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Only yyyy-MM-dd counts as an expirable date partition — exactly what
+# `partitionBy(to_date(...))` writes and what Spark's partition
+# inference types as DATE. Python 3.11's bare date.fromisoformat also
+# accepts compact (20240101) and ISO week-date (2024-W01-1) spellings;
+# Spark types those as INTEGER/STRING partitions, so an ungated parse
+# would DELETE a non-date partition whose value merely looks like an
+# old date to Python (same hazard class as the avro fallback's gated
+# partition inference; differential-tested against live Spark in
+# tests/test_retention_date_differential.py).
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _partition_date(value: str) -> date | None:
+    """The partition value as a date iff Spark's own layout would call it
+    one; None (never expire) otherwise."""
+    if not _ISO_DATE_RE.match(value):
+        return None
+    try:
+        return date.fromisoformat(value)
+    except ValueError:  # e.g. 2024-13-40: shape matches, not a date
+        return None
 
 
 @dataclass
@@ -70,9 +93,8 @@ def apply_retention(
             if not st.isDirectory() or not name.startswith(prefix):
                 continue
             value = name[len(prefix):]
-            try:
-                part_date = date.fromisoformat(value)
-            except ValueError:
+            part_date = _partition_date(value)
+            if part_date is None:
                 kept.append(name)  # non-date partition: never expire
                 continue
             if part_date < cutoff:
@@ -92,9 +114,8 @@ def apply_retention(
         if not child.is_dir() or not child.name.startswith(prefix):
             continue
         value = child.name[len(prefix):]
-        try:
-            part_date = date.fromisoformat(value)
-        except ValueError:
+        part_date = _partition_date(value)
+        if part_date is None:
             kept.append(child.name)  # non-date partition: never expire
             continue
         if part_date < cutoff:

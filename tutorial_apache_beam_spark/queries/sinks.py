@@ -50,19 +50,28 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. the retention operator drops partitions older than 7 days relative
        to the frozen fixture "today" (metadata-only directory drops — the
        only strategy that works at 100 TB);
-    3. the surviving table is read back and aggregated per day.
+    3. the surviving table is read back and aggregated per day;
+    4. (S1's interchange leg, r9) the per-day aggregate round-trips
+       through the no-JAR Avro fallback — distributed deflate write
+       partitioned by event_date, distributed binaryFile+mapPartitions
+       read with partition-value recovery — so the fallback source/sink
+       sits inside the hash-checked loop, not just pytest.
 
     The oracle computes the same per-day counts directly from `events`
-    with the retention predicate — rows written, partitioned, pruned, and
-    re-read must match it exactly. (The scratch table lives in a fresh
-    temp dir per invocation and is left for the OS to reap — the returned
-    plan reads from it lazily.)
+    with the retention predicate — rows written, partitioned, pruned,
+    re-read, and avro-round-tripped must match it exactly. (The scratch
+    table lives in a fresh temp dir per invocation and is left for the
+    OS to reap — the returned plan reads from it lazily.)
     """
     from tutorial_apache_beam_spark.operators.retention import (
         apply_retention,
         refresh_after_retention,
     )
     from tutorial_apache_beam_spark.plans.pipeline import Pipeline, WriteParquet
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        read_avro_fallback,
+        write_avro_fallback,
+    )
     from tutorial_apache_beam_spark.streaming.replay import stream_events
 
     scratch = tempfile.mkdtemp(prefix="sink_roundtrip_")
@@ -90,11 +99,18 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_retention(table, "event_date", keep_days=_KEEP_DAYS, today=_TODAY)
     refresh_after_retention(spark, table)
 
-    return (
+    daily = (
         spark.read.parquet(table)
         .groupBy("event_date")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("click").cast("bigint").alias("n_clicks"),
         )
+    )
+    avro_dir = f"{scratch}/clicks_daily_avro"
+    write_avro_fallback(
+        daily, avro_dir, codec="deflate", partition_by=["event_date"]
+    )
+    return read_avro_fallback(spark, avro_dir).select(
+        "event_date", "n_rows", "n_clicks"
     )

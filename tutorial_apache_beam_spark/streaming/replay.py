@@ -10,6 +10,7 @@ final streaming output == batch output, Beam's unified-model property).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 
@@ -171,3 +172,51 @@ def stream_events(
     from tutorial_apache_beam_spark.catalog import normalize_events_ts
 
     return normalize_events_ts(raw)
+
+
+# ---------------------------------------------------------------------------
+# Source-partitioning contract for file replays
+# ---------------------------------------------------------------------------
+#
+# An availableNow file-stream scan parallelizes per FILE SPLIT:
+# ceil(file_bytes / spark.sql.files.maxPartitionBytes) tasks per file,
+# each bounded below by parquet row-group boundaries. The default 128 MiB
+# therefore reads ONE ~116 MiB file with ONE task — measured at the 100x
+# events fixture as 7.12 MiB/s vs 27.8 MiB/s for the same bytes in 100
+# files (SCALING.md "Stateful streaming at 100x"). In production the
+# source's own partitioning (Kafka topic partitions — the reference
+# provisions capacity PER partition, main.tf:31-38) provides the fan-out;
+# a single-large-file replay must provide it via the split size instead.
+
+
+def scan_split_bytes(path: str, target_partitions: int) -> int:
+    """The spark.sql.files.maxPartitionBytes value that splits `path`
+    into ~target_partitions scan tasks (>= 1 MiB: below that, per-split
+    scheduling overhead beats the parallelism on local disks; actual
+    split count is capped by the file's parquet row-group count)."""
+    size = os.path.getsize(path)
+    return max(1 << 20, -(-size // target_partitions))
+
+
+@contextlib.contextmanager
+def single_file_scan_scope(
+    spark: SparkSession, path: str, target_partitions: int | None = None
+):
+    """Scope spark.sql.files.maxPartitionBytes so a drain over one large
+    file scans in parallel, restoring the conf on exit (the engine's
+    operator-owned conf-scope convention — see
+    operators/dedup._join_expansion_scope). Wrap the WHOLE drain
+    (start through awaitTermination): the file source re-plans its scan
+    per micro-batch, reading the conf live.
+    """
+    if target_partitions is None:
+        target_partitions = int(spark.sparkContext.defaultParallelism)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(scan_split_bytes(path, target_partitions)),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
