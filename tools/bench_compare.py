@@ -9,15 +9,20 @@ machine-hour term by hosting BOTH trees simultaneously (each in its
 own JVM via tools/bench_compare_worker.py, exercised strictly one at a
 time) and timing each gate back-to-back A/B within seconds, with the
 side order swapped every round (ABBA) so slow drift cancels inside
-pairs too.
+pairs too, and the worker PAIR recreated across blocks in alternating
+creation order — per-JVM-instance luck was measured on this box as a
+~15% creation-order fixed effect (same tree on both sides), which a
+single long-lived pair would bake into every sample.
 
-Per gate it reports min-over-rounds for both sides, their ratio, the
-per-round paired sign vector, and a two-sided binomial sign test
-p-value — a gate is only claimed faster/slower when the SIGNS agree,
-not because one side drew a quiet machine-hour.
+Per gate it reports min- and median-over-rounds for both sides, their
+ratios, the per-round paired sign vector, and a two-sided binomial sign
+test p-value — a gate is only claimed faster/slower when the SIGNS
+agree, not because one side drew a quiet machine-hour (the medians are
+the robust point estimate; a single noisy draw moves a min by its full
+magnitude).
 
 Usage:
-  python bench.py --compare REF_SHA [--rounds N] [--gates a,b,...]
+  python bench.py --compare REF_SHA [--rounds N] [--blocks K] [--gates a,b,...]
   python tools/bench_compare.py REF_SHA ...      (equivalent)
 
 REF_SHA may be any committish (a worktree is created under /tmp) or an
@@ -111,7 +116,9 @@ def _sign_test_p(wins: int, losses: int) -> float:
     return round(min(1.0, 2 * tail), 4)
 
 
-def compare(ref: str, rounds: int, gates: list[str] | None) -> dict:
+def compare(
+    ref: str, rounds: int, gates: list[str] | None, blocks: int = 2
+) -> dict:
     from bench import (  # HEAD's bench constants/probes
         HEADLINE,
         _cal_probe,
@@ -125,35 +132,69 @@ def compare(ref: str, rounds: int, gates: list[str] | None) -> dict:
     jiffies0 = _cpu_jiffies()
     cal0 = round(_cal_probe(), 3)
 
-    a = Side("HEAD", REPO)
-    b = Side("REF", ref_tree)
-    try:
-        names = gates or [g for g in HEADLINE if g in a.gates & b.gates]
-        missing = [g for g in (gates or HEADLINE)
-                   if g not in a.gates & b.gates]
-        samples: dict[str, dict[str, list[float]]] = {
-            g: {"head": [], "ref": []} for g in names
-        }
-        # Warm both JVMs once outside the recorded rounds (codegen +
-        # first-scan costs hit whichever side goes first otherwise).
-        for g in names:
-            a.run_gate(g)
-            b.run_gate(g)
-        for r in range(rounds):
-            order = [(a, "head"), (b, "ref")]
-            if r % 2:  # ABBA: cancel monotone drift inside pairs
-                order.reverse()
+    # Two nuisance effects must cancel, and they need different levers:
+    # - run-order drift WITHIN a worker pair → ABBA per round;
+    # - per-JVM-INSTANCE luck → measured on this box as a creation-order
+    #   fixed effect: with BOTH sides pointing at the same tree, the
+    #   first-created JVM ran the heavy gates ~15% faster (median ratio
+    #   0.86 over 4 rounds), and in tree-vs-tree runs the bias flipped
+    #   sides between sessions. A single long-lived pair bakes that luck
+    #   into every sample, so rounds are split into `blocks` with the
+    #   pair RECREATED per block in alternating creation order — the
+    #   instance effect becomes a balanced random effect.
+    names: list[str] = []
+    missing: list[str] = []
+    samples: dict[str, dict[str, list[float]]] = {}
+    blocks = max(1, min(blocks, rounds))
+    base = rounds // blocks
+    block_rounds = [
+        base + (1 if i < rounds % blocks else 0) for i in range(blocks)
+    ]
+    r_global = 0
+    for bi, n_rounds in enumerate(block_rounds):
+        if n_rounds == 0:
+            continue
+        specs = [("head", REPO), ("ref", ref_tree)]
+        if bi % 2:
+            specs.reverse()
+        sides = {key: Side(key.upper(), tree) for key, tree in specs}
+        a, b = sides["head"], sides["ref"]
+        try:
+            if not names:
+                names = gates or [
+                    g for g in HEADLINE if g in a.gates & b.gates
+                ]
+                missing = [g for g in (gates or HEADLINE)
+                           if g not in a.gates & b.gates]
+                samples = {g: {"head": [], "ref": []} for g in names}
+            # Warm both fresh JVMs outside the recorded rounds (codegen +
+            # first-scan costs hit whichever side goes first otherwise),
+            # in this block's creation order.
             for g in names:
-                for side, key in order:
-                    samples[g][key].append(side.run_gate(g))
-    finally:
-        a.close()
-        b.close()
+                for key, _tree in specs:
+                    sides[key].run_gate(g)
+            for _ in range(n_rounds):
+                order = [(a, "head"), (b, "ref")]
+                if r_global % 2:  # ABBA: cancel monotone drift in pairs
+                    order.reverse()
+                r_global += 1
+                for g in names:
+                    for side, key in order:
+                        samples[g][key].append(side.run_gate(g))
+        finally:
+            a.close()
+            b.close()
 
     cal1 = round(_cal_probe(), 3)
     steal = _steal_pct(jiffies0)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     per_gate = {}
-    h_tot = r_tot = 0.0
+    h_tot = r_tot = hm_tot = rm_tot = 0.0
     for g in names:
         h, r_ = samples[g]["head"], samples[g]["ref"]
         wins = sum(1 for x, y in zip(h, r_) if x < y)
@@ -161,12 +202,22 @@ def compare(ref: str, rounds: int, gates: list[str] | None) -> dict:
         mh, mr = min(h), min(r_)
         h_tot += mh
         r_tot += mr
+        hm, rm = _median(h), _median(r_)
+        hm_tot += hm
+        rm_tot += rm
         per_gate[g] = {
             "head": h,
             "ref": r_,
             "min_head": mh,
             "min_ref": mr,
             "ratio_min": round(mh / mr, 3) if mr else None,
+            # Per-pair medians are the robust estimator here: a single
+            # noisy draw moves a gate's MIN by its full magnitude
+            # (observed ratio_min 1.61 on IDENTICAL trees for the
+            # heaviest gate) but moves the median by at most one rank.
+            "median_head": round(hm, 3),
+            "median_ref": round(rm, 3),
+            "ratio_median": round(hm / rm, 3) if rm else None,
             "head_faster_rounds": wins,
             "ref_faster_rounds": losses,
             "sign_p": _sign_test_p(wins, losses),
@@ -175,12 +226,16 @@ def compare(ref: str, rounds: int, gates: list[str] | None) -> dict:
         "ref": ref,
         "ref_tree": ref_tree,
         "rounds": rounds,
+        "blocks": blocks,
         "sf_dir": SF_DIR,
         "gates": per_gate,
         "missing_gates": missing,
         "total_min_head": round(h_tot, 3),
         "total_min_ref": round(r_tot, 3),
         "total_ratio": round(h_tot / r_tot, 3) if r_tot else None,
+        "total_median_head": round(hm_tot, 3),
+        "total_median_ref": round(rm_tot, 3),
+        "total_median_ratio": round(hm_tot / rm_tot, 3) if rm_tot else None,
         "wall_s": round(time.monotonic() - t_start, 1),
         "cal_samples": [cal0, cal1],
         "steal_pct": steal,
@@ -193,17 +248,20 @@ def main(argv: list[str]) -> None:
     if not argv or argv[0].startswith("-"):
         raise SystemExit(__doc__)
     ref = argv[0]
-    rounds = 5
+    rounds = 6
+    blocks = 2
     gates = None
     it = iter(argv[1:])
     for tok in it:
         if tok == "--rounds":
             rounds = int(next(it))
+        elif tok == "--blocks":
+            blocks = int(next(it))
         elif tok == "--gates":
             gates = next(it).split(",")
         else:
             raise SystemExit(f"unknown arg {tok!r}\n{__doc__}")
-    out = compare(ref, rounds, gates)
+    out = compare(ref, rounds, gates, blocks=blocks)
     with open(os.path.join(REPO, "bench_compare.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     for g, e in out["gates"].items():
@@ -214,16 +272,18 @@ def main(argv: list[str]) -> None:
             else "no significant difference"
         )
         print(
-            f"{g:35s} head {e['min_head']:7.3f}  ref {e['min_ref']:7.3f}"
-            f"  ratio {e['ratio_min']:5.3f}  signs +{e['head_faster_rounds']}"
+            f"{g:35s} med {e['median_head']:7.3f}/{e['median_ref']:7.3f}"
+            f" r={e['ratio_median']:5.3f}  min r={e['ratio_min']:5.3f}"
+            f"  signs +{e['head_faster_rounds']}"
             f"/-{e['ref_faster_rounds']}  p={e['sign_p']:6.4f}  {verdict}"
         )
     print(json.dumps({
-        "metric": "bench_compare_total_ratio",
-        "value": out["total_ratio"],
+        "metric": "bench_compare_total_median_ratio",
+        "value": out["total_median_ratio"],
         "unit": "head/ref",
-        "total_min_head": out["total_min_head"],
-        "total_min_ref": out["total_min_ref"],
+        "total_min_ratio": out["total_ratio"],
+        "total_median_head": out["total_median_head"],
+        "total_median_ref": out["total_median_ref"],
         "steal_pct": out["steal_pct"],
     }))
 

@@ -406,8 +406,12 @@ def main() -> None:
     if args.gates:
         # Validate BEFORE spending minutes generating the 100x fixture:
         # a typo'd gate name should fail instantly with the valid set.
+        # "<gate>_split" variants run the same drain under
+        # single_file_scan_scope (see streaming_100x_section).
         valid = set(_streaming_gates())
-        unknown = [g for g in args.gates if g not in valid]
+        unknown = [
+            g for g in args.gates if g.removesuffix("_split") not in valid
+        ]
         if unknown:
             ap.error(f"unknown gates {unknown}; valid: {sorted(valid)}")
     spark = get_spark(app_name="scale_stress")
