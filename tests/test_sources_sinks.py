@@ -522,3 +522,85 @@ def test_write_parquet_exactly_once_mid_commit_crash_windows(spark, tmp_path):
         assert (
             result.groupBy("v").count().filter("count > 1").count() == 0
         ), f"window {stage_name} duplicated rows"
+
+
+def test_write_parquet_exactly_once_mid_commit_crash_partitioned(
+    spark, tmp_path
+):
+    """The mid-rename crash window on a PARTITIONED table: renames walk
+    partition subdirectories, so dying between them leaves some
+    partitions holding the new batch's files and others not — recovery
+    must self-replace across ALL partitions, not just the ones that
+    committed before the crash."""
+    import pytest
+
+    from tutorial_apache_beam_spark.plans import pipeline as plmod
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Pipeline,
+        WriteParquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for b in range(2):
+        (src / f"f{b}.json").write_text(
+            "\n".join(
+                json.dumps({"v": v, "g": v % 3})
+                for v in range(b * 30, b * 30 + 30)
+            )
+            + "\n"
+        )
+
+    def drain():
+        rows = (
+            spark.readStream.schema("v BIGINT, g BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        p = Pipeline(spark)
+        p.create(rows).apply(
+            "Sink",
+            WriteParquet(
+                str(out),
+                checkpoint=str(ckpt),
+                partition_by=["g"],
+                available_now=True,
+                exactly_once=True,
+            ),
+        )
+        p.run().wait_until_finish()
+
+    seen = {"batch": -1}
+
+    def fault(stage, d):
+        if stage == "staged":
+            seen["batch"] = d
+        # Die after the FIRST of batch 1's three partition-dir renames.
+        if seen["batch"] == 1 and stage == "renamed" and d == 0:
+            raise RuntimeError("injected crash at renamed/0")
+
+    plmod._EO_TEST_FAULT = fault
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            drain()
+    finally:
+        plmod._EO_TEST_FAULT = None
+
+    # Half-committed state across partitions: batch 0's 30 rows plus
+    # exactly one partition's worth of batch 1.
+    spark.catalog.clearCache()
+    partial = spark.read.parquet(str(out)).count()
+    assert 30 < partial < 60
+
+    drain()
+    spark.catalog.clearCache()
+    result = spark.read.parquet(str(out))
+    vals = sorted(r["v"] for r in result.collect())
+    assert vals == list(range(60))
+    assert result.groupBy("v").count().filter("count > 1").count() == 0
+    # Partition dirs remain discoverable with correct values.
+    assert sorted(
+        r["g"] for r in result.select("g").distinct().collect()
+    ) == [0, 1, 2]

@@ -368,7 +368,13 @@ def read_header(fh) -> tuple[dict, str, bytes]:
         n = decode_long(fh)
     schema = json.loads(meta["avro.schema"])
     codec = (meta.get("avro.codec") or b"null").decode()
-    return schema, codec, fh.read(16)
+    sync = fh.read(16)
+    if len(sync) != 16:
+        # A short read here means the file was cut inside the header's
+        # sync marker; without this check such a file decodes as a
+        # VALID empty container (0 rows, no error) — silent data loss.
+        raise ValueError("truncated avro header (sync marker cut short)")
+    return schema, codec, sync
 
 
 # --- spec §Schema Resolution (flat-record subset) --------------------------
