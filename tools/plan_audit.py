@@ -78,7 +78,20 @@ def audit(spark) -> list[dict]:
 def main() -> None:
     from tutorial_apache_beam_spark import get_spark
 
-    spark = get_spark(app_name="plan_audit")
+    # AQE OFF for the audit session: gates that materialize internally
+    # (persist + count inside the builder) return frames whose explain
+    # embeds the ALREADY-EXECUTED adaptive final plan of the cached
+    # stages, and AQE's runtime join conversions near a byte threshold
+    # are racy under concurrent machine load (observed once: the
+    # lexical_neardup_pairs row read 15/22 instead of 16/23 while a full
+    # pytest run saturated the box). The header's contract is STATIC
+    # strategy counts, so pin the session to the static plan — node
+    # KINDS become deterministic run-to-run; production sessions keep
+    # AQE on (session.py defaults).
+    spark = get_spark(
+        app_name="plan_audit",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     rows = audit(spark)
     cols = [
         "gate", "family", "Exchange", "BroadcastHashJoin", "SortMergeJoin",
@@ -100,7 +113,13 @@ def main() -> None:
         "runtime when the built side fits; only bounded-cardinality "
         "sides (nation/region/one-row aggregates) are hinted, so the "
         "same plans stay safe at 100-TB SF instead of blowing the "
-        "8 GB broadcast limit."
+        "8 GB broadcast limit. The audit session runs with AQE OFF "
+        "(r9): gates that materialize internally used to be counted "
+        "from the executed adaptive explain, which prints the final "
+        "AND initial plans (double-counting those gates' nodes) and "
+        "whose runtime join conversions proved racy under concurrent "
+        "machine load; totals are therefore lower than the r8 file "
+        "for accounting reasons, not because any plan changed."
     )
     print()
     print("| " + " | ".join(cols) + " |")
