@@ -11,6 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tutorial_apache_beam_spark.catalog import load_table
+from tutorial_apache_beam_spark.operators.retrieval import (
+    BM25_QUERIES,
+    bm25_scored,
+    query_terms_df,
+)
 from tutorial_apache_beam_spark.operators.similarity import (
     N_PLANES,
     N_TABLES,
@@ -71,15 +76,61 @@ _IVF_ASSIGN = f"""
       FROM v a, cents c)
 """
 
+# BM25 recomputed in SQL (operators/retrieval.py mirrored verbatim):
+# identical tokenizer (lowercase, split on non-alphanumeric runs, drop
+# empties), integer tf/df/dl/N, exactly-representable avgdl, constants
+# written in the same folded forms ((1.2 + 1.0), (1.0 - 0.75)) so both
+# engines evaluate the same doubles. round(·, 4) guards ln-ulp and
+# 3-term summation-order noise (≤ ~1e-14 absolute); min rounding-
+# boundary margin measured 4.9e-10 across SFs — ≥ ~5×10^4 × the noise
+# bound (tests/test_retrieval.py sweeps it).
+_BM25_QTERM_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+_BM25_SCORED = f"""
+    doc_tok AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS toks
+      FROM documents),
+    doc_stats AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM doc_tok),
+    qterms AS (
+      SELECT CAST(q AS BIGINT) AS query_id, t AS term
+      FROM (VALUES {_BM25_QTERM_VALUES}) v(q, t)),
+    posted AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM doc_tok),
+    bm25_postings AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM posted
+      WHERE term IN (SELECT term FROM qterms)
+      GROUP BY doc_id, dl, term),
+    bm25_df AS (
+      SELECT term, count(*) AS df FROM bm25_postings GROUP BY term),
+    bm25_scored AS (
+      SELECT q.query_id AS probe_id, p.doc_id AS vec_id,
+             round(sum(
+               ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * p.tf * (1.2 + 1.0)
+               / (p.tf + 1.2 * ((1.0 - 0.75)
+                                + 0.75 * p.dl / s.avgdl))
+             ), 4) AS cos
+      FROM bm25_postings p
+      JOIN qterms q USING (term)
+      JOIN bm25_df f USING (term), doc_stats s
+      GROUP BY q.query_id, p.doc_id)
+"""
+
 
 def ann_scored_topk(
     spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
 ) -> DataFrame:
-    """The LAZY four-tier scoring plan of `ann_topk_methods` (no caching,
+    """The LAZY five-tier scoring plan of `ann_topk_methods` (no caching,
     no recall rows): each tier contributes SCORED candidates
-    (rank=False); one window over (method, probe_id) ranks the union —
+    (rank=False) — four dense tiers over embeddings plus the sparse
+    BM25 tier over documents (operators/retrieval.py, probe_id =
+    query_id); one window over (method, probe_id) ranks the union —
     the same rows reach the exchange as with per-tier windows, but in
-    ONE shuffle instead of three. Exposed separately so the plan-shape
+    ONE shuffle instead of five. Exposed separately so the plan-shape
     assertions (tests/test_plan_quality.py) can read the scoring plan
     the gate materializes before it is hidden behind the cache scan.
     `emb` lets the gate pass an already-persisted embeddings frame so
@@ -102,6 +153,8 @@ def ann_scored_topk(
             F.lit(method).alias("method"), "probe_id", "vec_id", "cos"
         )
 
+    docs = load_table(spark, sf_dir, "documents")
+    bm25 = bm25_scored(docs, query_terms_df(spark))
     scored = (
         tag(cosine_topk(emb, probes, k=5, rank=False), "exact")
         .unionByName(
@@ -111,6 +164,7 @@ def ann_scored_topk(
         .unionByName(
             tag(ivf_ann_topk(emb, probes, k=5, nprobe=2, rank=False), "ivf")
         )
+        .unionByName(tag(bm25, "bm25"))
     )
     w = Window.partitionBy("method", "probe_id").orderBy(
         F.col("cos").desc(), F.col("vec_id")
@@ -136,6 +190,7 @@ def ann_scored_topk(
                    list_max(list_transform(ve, x -> abs(x))) AS m FROM v) t),
     {_SRP_BUCKETS.strip().rstrip()},
     {_IVF_ASSIGN.strip().rstrip()},
+    {_BM25_SCORED.strip().rstrip()},
     exact_scored AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, {_COS} AS cos
       FROM p a JOIN v b ON b.vec_id <> a.vec_id),
@@ -170,7 +225,8 @@ def ann_scored_topk(
       FROM (SELECT 'exact' AS method, * FROM exact_scored
             UNION ALL SELECT 'q8' AS method, * FROM q8_scored
             UNION ALL SELECT 'srp' AS method, * FROM srp_scored
-            UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored)),
+            UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored
+            UNION ALL SELECT 'bm25' AS method, * FROM bm25_scored)),
     recall_row AS (
       SELECT CAST(count(*) AS BIGINT)         AS n_exact,
              CAST(count(i.vec_id) AS BIGINT)  AS n_hit
@@ -189,10 +245,10 @@ def ann_scored_topk(
     """,
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 cosine neighbors for every 100th vector under all THREE
-    search tiers in one method-tagged gate (merges round-2's oracle-backed
-    `cosine_topk_bruteforce` with the previously rows-only
-    `ann_topk_variants`):
+    """Hybrid retrieval top-5 in one method-tagged gate: four dense
+    tiers over embeddings plus the sparse BM25 keyword tier over
+    documents (merges round-2's oracle-backed `cosine_topk_bruteforce`
+    with the previously rows-only `ann_topk_variants`; bm25 added r9):
 
     - exact: brute force — one corpus scan × broadcast probes (the
       verification tier at any scale where |probes|·|corpus| is viable);
@@ -205,9 +261,15 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffles N_TABLES·(|corpus|+|probes|) rows, never the pair space;
     - ivf:   inverted-file over deterministic centroids (every 50th
       vector), nprobe=2 — broadcast centroid assignment, candidate join
-      pruned by the bucket fan-out.
+      pruned by the bucket fan-out;
+    - bm25 (r9): the SPARSE side of hybrid retrieval — Okapi BM25
+      keyword top-5 over the documents table for five fixed keyword
+      queries (probe_id = query_id, vec_id = doc_id, cos = rounded
+      score). Postings are pruned to query terms by a broadcast
+      semi-join BEFORE any shuffle (`operators/retrieval.py`), so at
+      100 TB only query-term postings ever exchange.
 
-    All four tiers are DuckDB-oracle-checked: SRP buckets derive from the
+    All five tiers are DuckDB-oracle-checked: SRP buckets derive from the
     portable md5 hash, IVF assignment is an fp-stable cosine argmax
     (margins measured; see the SQL fragment comments above), and q8
     scores are integer-derived.
