@@ -315,3 +315,86 @@ def test_roundtrip_under_evolved_reader(rows, perm):
         assert rec["score"] == orig[2]
         assert rec["flag"] == orig[3]
         assert rec["added"] is None
+
+
+# --- aliases: the spec's rename mechanism (r9, second pass) ---------------
+
+def test_alias_rename_reads_old_files():
+    """A reader field with `aliases` captures a writer field under its
+    OLD name — composing with promotion (written int, read long)."""
+    schema = T.StructType(
+        [
+            T.StructField("old_id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    rows = [(7, "x"), (8, None)]
+    fh = io.BytesIO()
+    write_container(
+        iter(rows), _field_plan(schema), spark_schema_to_avro(schema), fh
+    )
+    fh.seek(0)
+    reader = {
+        "type": "record",
+        "name": "record",
+        "fields": [
+            {"name": "new_id", "type": "long", "aliases": ["old_id"]},
+            {"name": "name", "type": ["null", "string"], "default": None},
+        ],
+    }
+    _, got = read_container(fh, reader_schema=reader)
+    assert [list(r) for r in got] == [[7, "x"], [8, None]]
+    assert all(isinstance(r[0], int) for r in got)
+
+
+def test_alias_exact_name_match_wins():
+    """A writer field whose exact name another reader field carries is
+    NOT stolen by an alias: spec precedence is name first."""
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "x", "type": "long"},
+            {"name": "y", "type": "long", "aliases": ["x"], "default": 9},
+        ],
+    }
+    actions, template = _resolution_plan(writer, reader)
+    assert actions == [("read", 0, "long", None, False, False)]
+    assert template == [None, 9]  # y falls back to its default
+
+
+def test_alias_ambiguous_between_readers_refused():
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": "long", "aliases": ["v"], "default": 0},
+            {"name": "b", "type": "long", "aliases": ["v"], "default": 0},
+        ],
+    }
+    with pytest.raises(ValueError, match="both alias"):
+        _resolution_plan(writer, reader)
+
+
+def test_alias_double_fill_refused():
+    """Writer carries BOTH the old and the new name: refusing beats
+    silently letting the later writer field overwrite the earlier."""
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "old", "type": "long"},
+            {"name": "new", "type": "long"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "new", "type": "long", "aliases": ["old"]}],
+    }
+    with pytest.raises(ValueError, match="already filled"):
+        _resolution_plan(writer, reader)

@@ -36,12 +36,13 @@ Scale/behavior notes:
   one-file-per-partition layout.
 - Schema DRIFT across a tree is resolved per the Avro spec's
   §"Schema Resolution" subset for flat records (r9, behind the r8
-  refusal): fields match by NAME, reader-only fields take their
-  declared default, writer-only fields are decoded and skipped, and
-  numeric/string-bytes promotions apply (int→long→float→double,
-  string↔bytes). Genuinely incompatible drift (same field, unpromotable
-  types; a reader-only field with no default) still refuses loudly
-  naming both files.
+  refusal): fields match by NAME — or by the reader field's `aliases`
+  (the spec's rename mechanism; exact-name matches win, ambiguous
+  aliases refuse) — reader-only fields take their declared default,
+  writer-only fields are decoded and skipped, and numeric/string-bytes
+  promotions apply (int→long→float→double, string↔bytes). Genuinely
+  incompatible drift (same field, unpromotable types; a reader-only
+  field with no default) still refuses loudly naming both files.
 """
 
 from __future__ import annotations
@@ -456,18 +457,37 @@ def _resolution_plan(writer_schema: dict, reader_schema: dict):
         (_unpack_field(f), f) for f in reader_schema["fields"]
     ]
     by_name = {
-        name: (i, tag, nullable, f)
+        name: (i, name, tag, nullable)
         for i, ((name, tag, nullable), f) in enumerate(reader_fields)
     }
+    # Spec: a reader field also matches a writer field named by one of
+    # its `aliases` — Avro's rename mechanism (an exact-name match on a
+    # DIFFERENT reader field takes precedence, checked first below).
+    by_alias: dict[str, tuple] = {}
+    for i, ((name, tag, nullable), f) in enumerate(reader_fields):
+        for a in f.get("aliases", ()):
+            if a in by_alias:
+                raise ValueError(
+                    f"avro schema resolution: reader fields "
+                    f"{by_alias[a][1]!r} and {name!r} both alias the "
+                    f"writer name {a!r} — ambiguous rename"
+                )
+            by_alias[a] = (i, name, tag, nullable)
     actions = []
     covered = set()
     for wf in writer_schema["fields"]:
         wname, wtag, wnull = _unpack_field(wf)
-        hit = by_name.get(wname)
+        hit = by_name.get(wname) or by_alias.get(wname)
         if hit is None:
             actions.append(("skip", wtag, wnull))
             continue
-        ridx, rtag, rnull, _ = hit
+        ridx, rname, rtag, rnull = hit
+        if rname in covered:
+            raise ValueError(
+                f"avro schema resolution: writer field {wname!r} "
+                f"resolves to reader field {rname!r}, which an earlier "
+                "writer field already filled — ambiguous rename"
+            )
         if wtag == rtag:
             conv = None
         elif (wtag, rtag) in _PROMOTIONS:
@@ -477,7 +497,7 @@ def _resolution_plan(writer_schema: dict, reader_schema: dict):
                 f"avro schema resolution: field {wname!r} written as "
                 f"{wtag} cannot be read as {rtag} (no spec promotion)"
             )
-        covered.add(wname)
+        covered.add(rname)
         actions.append(("read", ridx, wtag, conv, wnull, rnull))
     template: list = [None] * len(reader_fields)
     for i, ((name, tag, nullable), f) in enumerate(reader_fields):
