@@ -18,7 +18,14 @@ Scale shape (the part that matters at 100 TB):
   literal key (broadcast HASH join — deliberately not a crossJoin, which
   would plan a BroadcastNestedLoopJoin and trip the plan-audit bound);
 - the final per-query ranking shuffles only scored candidates, grouped
-  by (query, doc).
+  by (query, doc);
+- exactly TWO corpus passes execute, both map-only (measured via the
+  stage REST API: 2 input-bearing stages, 8 of 18 stages SKIPPED):
+  the pruned postings build, referenced twice in the plan (scoring +
+  document frequency) but deduplicated by runtime shuffle-stage reuse,
+  and the corpus-stats pass (N, avgdl — one pass; the two scalar
+  subqueries share it). Stats can't ride the postings pass because
+  pruning discards non-matching documents by design.
 
 Numeric parity with the DuckDB oracle (queries/similarity.py): tf, dl,
 df, N are integers; avgdl is an exactly-representable ratio (token
