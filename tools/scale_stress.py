@@ -95,6 +95,40 @@ def _ann_topk_fixed_probes(spark, sf_dir: str):
     )
 
 
+def _bm25_scaled_queries(spark, sf_dir: str):
+    """BM25 with a query set that SCALES with the corpus (r9): the
+    fixture renames every token per replica (suffix zz{r}, doc_ids
+    offset by replica*10M), so the base query terms exist in replica 0
+    only — a FIXED query set would just measure the broadcast prune
+    discarding (mult-1)/mult of the corpus (trivially sublinear, and
+    not the machinery under test). Per-replica suffixed query variants
+    (query_id offset by 100 per replica) keep per-query work constant
+    while queries and corpus grow together: postings, document
+    frequencies, candidates and output rows all scale linearly by
+    construction, so the wall ratio isolates the plan."""
+    from tutorial_apache_beam_spark.operators.retrieval import (
+        BM25_QUERIES,
+        bm25_scored,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = sorted(
+        r[0]
+        for r in docs.select(
+            (F.col("doc_id") / REPLICA_OFFSET).cast("int").alias("r")
+        )
+        .distinct()
+        .collect()
+    )
+    rows = []
+    for j, r in enumerate(reps):
+        sfx = "" if r == 0 else f"zz{r}"
+        for qid, terms in BM25_QUERIES:
+            rows.extend((qid + j * 100, t + sfx) for t in terms)
+    qterms = spark.createDataFrame(rows, "query_id LONG, term STRING")
+    return bm25_scored(docs, qterms)
+
+
 def _gates():
     from tutorial_apache_beam_spark import registry
 
@@ -125,6 +159,10 @@ def _gates():
         # ratio to watch is wall vs PAIRS EMITTED (sub-linear: 3.5×
         # wall for 103× rows), not wall vs corpus.
         "embedding_cosine_near_dups": q["embedding_cosine_near_dups"],
+        # round 9 addition: the sparse-retrieval tier with a corpus-
+        # scaled query set (see _bm25_scaled_queries for why fixed
+        # queries would be a trivial measurement here)
+        "bm25_scaled_queries": _bm25_scaled_queries,
     }
 
 
