@@ -398,3 +398,18 @@ def test_alias_double_fill_refused():
     }
     with pytest.raises(ValueError, match="already filled"):
         _resolution_plan(writer, reader)
+
+
+def test_alias_non_array_refused():
+    """A bare-string aliases value would iterate per CHARACTER —
+    refuse the malformed schema instead of inventing 1-letter renames."""
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "old", "type": "long"}],
+    }
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "new", "type": "long", "aliases": "old"}],
+    }
+    with pytest.raises(ValueError, match="JSON array"):
+        _resolution_plan(writer, reader)

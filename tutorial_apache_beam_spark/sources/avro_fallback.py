@@ -465,7 +465,15 @@ def _resolution_plan(writer_schema: dict, reader_schema: dict):
     # DIFFERENT reader field takes precedence, checked first below).
     by_alias: dict[str, tuple] = {}
     for i, ((name, tag, nullable), f) in enumerate(reader_fields):
-        for a in f.get("aliases", ()):
+        aliases = f.get("aliases", ())
+        if not isinstance(aliases, (list, tuple)):
+            # A bare string would iterate per-CHARACTER, silently
+            # aliasing 'o','l','d' instead of 'old'.
+            raise ValueError(
+                f"avro schema resolution: field {name!r} aliases must "
+                f"be a JSON array, got {type(aliases).__name__}"
+            )
+        for a in aliases:
             if a in by_alias:
                 raise ValueError(
                     f"avro schema resolution: reader fields "
