@@ -347,9 +347,14 @@ def test_alias_rename_reads_old_files():
     assert all(isinstance(r[0], int) for r in got)
 
 
-def test_alias_exact_name_match_wins():
-    """A writer field whose exact name another reader field carries is
-    NOT stolen by an alias: spec precedence is name first."""
+def test_alias_colliding_with_sibling_name_refused():
+    """A reader field aliasing a name that ANOTHER reader field carries
+    exactly is refused (ADVICE r9): Java's applyAliases rewrites the
+    writer schema so the alias captures the writer field, while a
+    name-first lookup hands it to the same-named sibling — two standard
+    implementations, two different rows. This module refuses rather
+    than silently picking one. (r9 resolved name-first; that behavior
+    is gone.)"""
     writer = {
         "type": "record", "name": "r",
         "fields": [{"name": "x", "type": "long"}],
@@ -361,9 +366,24 @@ def test_alias_exact_name_match_wins():
             {"name": "y", "type": "long", "aliases": ["x"], "default": 9},
         ],
     }
+    with pytest.raises(ValueError, match="alias/name collision"):
+        _resolution_plan(writer, reader)
+
+
+def test_alias_of_own_name_is_harmless():
+    """A field aliasing its OWN name resolves identically under both
+    semantics — allowed, not a collision."""
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "x", "type": "long", "aliases": ["x"]}],
+    }
     actions, template = _resolution_plan(writer, reader)
     assert actions == [("read", 0, "long", None, False, False)]
-    assert template == [None, 9]  # y falls back to its default
+    assert template == [None]
 
 
 def test_alias_ambiguous_between_readers_refused():

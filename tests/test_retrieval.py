@@ -72,6 +72,45 @@ def test_bm25_hand_worked_example(spark):
     assert got[(1, 1)] > got[(1, 3)] > got[(1, 2)]
 
 
+def test_duplicate_query_term_contributes_once(spark):
+    """ADVICE r9: a repeated term in a query list must not inflate the
+    score — Okapi sums each query term once. Both the helper frame and
+    the operator's defensive dropDuplicates enforce it, so ("apple",
+    "apple", "cherry") scores identically to ("apple", "cherry")."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry date date cherry"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    from tutorial_apache_beam_spark.operators.retrieval import (
+        query_terms_df as qdf,
+    )
+
+    def scores(queries):
+        return {
+            (r.probe_id, r.vec_id): r.cos
+            for r in bm25_scored(docs, qdf(docs.sparkSession, queries)).collect()
+        }
+
+    clean = scores([(1, ["apple", "cherry"])])
+    duped = scores([(1, ["apple", "apple", "cherry"])])
+    assert duped == clean
+    # Raw frame with duplicate rows (bypassing query_terms_df) also
+    # scores once — the operator dedupes internally.
+    raw = spark.createDataFrame(
+        [(1, "apple"), (1, "apple"), (1, "cherry")],
+        "query_id LONG, term STRING",
+    )
+    got = {
+        (r.probe_id, r.vec_id): r.cos
+        for r in bm25_scored(docs, raw).collect()
+    }
+    assert got == clean
+
+
 def test_tokenizer_parity_with_oracle(spark, duck):
     cases = [
         "",

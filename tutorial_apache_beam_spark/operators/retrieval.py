@@ -71,11 +71,19 @@ def tokenize(col) -> "F.Column":
 
 
 def query_terms_df(spark: SparkSession, queries=None) -> DataFrame:
-    """(query_id BIGINT, term STRING) rows — one per query term."""
-    rows = [
+    """(query_id BIGINT, term STRING) rows — one per DISTINCT query term.
+
+    Deduped (ADVICE r9): the scoring join in `bm25_scored` multiplies a
+    term's contribution once per matching qterms row, so a repeated term
+    in a query list would silently inflate that term's score — Okapi
+    semantics sum each query term once. Order-preserving dedupe here
+    (and a defensive `dropDuplicates` in `bm25_scored` for frames built
+    elsewhere) makes repeats a no-op instead.
+    """
+    rows = list(dict.fromkeys(
         (int(qid), t) for qid, terms in (queries or BM25_QUERIES)
         for t in terms
-    ]
+    ))
     return spark.createDataFrame(rows, "query_id LONG, term STRING")
 
 
@@ -104,6 +112,10 @@ def bm25_scored(
     scalar-subquery plan shape is not expressible in the former.
     """
     spark = docs.sparkSession
+    # A duplicate (query_id, term) row would score that term twice via
+    # the postings join below — dedupe so arbitrary caller-built query
+    # frames keep Okapi's one-contribution-per-query-term semantics.
+    qterms = qterms.dropDuplicates(["query_id", "term"])
     toks = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("toks")
     )

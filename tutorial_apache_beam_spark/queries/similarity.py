@@ -76,6 +76,21 @@ _IVF_ASSIGN = f"""
       FROM v a, cents c)
 """
 
+# Reciprocal-rank fusion (r10, VERDICT r9 item 4): ONE hybrid ranking
+# per keyword query q ∈ 1..5, fusing the sparse BM25 list (probe_id =
+# q) with the four dense lists of the aligned embedding probe
+# (vec_id = (q-1)·100 — the fixtures key documents and embeddings by
+# the same id space, so doc_id i and vec_id i name the same item).
+# Standard RRF with k=60 over each tier's top-5: score(q, id) =
+# Σ_tier 1/(60 + rank_tier). Cross-engine exactness is by INTEGER
+# algebra: each addend is LCM(61..65)/(60+rank) = an exact BIGINT
+# (LCM = 495593280), summed exactly, divided by 495593280.0 once at
+# the end — one IEEE division of identical integers on both engines,
+# so no summation-order or rounding-boundary concern exists and the
+# score needs no round() guard at all.
+RRF_K = 60
+RRF_LCM = 495593280  # lcm(61, 62, 63, 64, 65)
+
 # BM25 recomputed in SQL (operators/retrieval.py mirrored verbatim):
 # identical tokenizer (lowercase, split on non-alphanumeric runs, drop
 # empties), integer tf/df/dl/N, exactly-representable avgdl, constants
@@ -227,6 +242,18 @@ def ann_scored_topk(
             UNION ALL SELECT 'srp' AS method, * FROM srp_scored
             UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored
             UNION ALL SELECT 'bm25' AS method, * FROM bm25_scored)),
+    fused AS (
+      SELECT query_id, vec_id, sum({RRF_LCM} // (60 + rn)) AS fi
+      FROM (SELECT CASE WHEN method = 'bm25' THEN probe_id
+                        ELSE probe_id // 100 + 1 END AS query_id,
+                   vec_id, rn
+            FROM ranked
+            WHERE rn <= 5 AND (method = 'bm25' OR probe_id <= 400))
+      GROUP BY query_id, vec_id),
+    fused_ranked AS (
+      SELECT query_id, vec_id, fi, row_number() OVER (
+               PARTITION BY query_id ORDER BY fi DESC, vec_id) AS fr
+      FROM fused),
     recall_row AS (
       SELECT CAST(count(*) AS BIGINT)         AS n_exact,
              CAST(count(i.vec_id) AS BIGINT)  AS n_hit
@@ -236,6 +263,9 @@ def ann_scored_topk(
                  WHERE method = 'ivf' AND rn <= 5) i
         USING (probe_id, vec_id))
     SELECT method, probe_id, vec_id, cos FROM ranked WHERE rn <= 5
+    UNION ALL
+    SELECT 'fused', query_id, vec_id, fi / {RRF_LCM}.0
+    FROM fused_ranked WHERE fr <= 5
     UNION ALL
     SELECT 'ivf_recall', n_exact, n_hit,
            round(n_hit::DOUBLE / n_exact, 6)
@@ -268,6 +298,15 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       score). Postings are pruned to query terms by a broadcast
       semi-join BEFORE any shuffle (`operators/retrieval.py`), so at
       100 TB only query-term postings ever exchange.
+    - fused (r10): reciprocal-rank fusion (k=60) of all five tiers
+      into ONE hybrid ranking per keyword query — what a curation
+      query actually consumes instead of five side-by-side lists.
+      probe_id = query_id 1..5; each query fuses its BM25 list with
+      the dense lists of embedding probe (query_id-1)·100 (documents
+      and embeddings share the id space). Computed from the persisted
+      top-k cache with exact integer algebra (RRF_LCM/(60+rank)
+      addends, one final division), so it is bit-identical
+      cross-engine and costs zero extra corpus passes.
 
     All five tiers are DuckDB-oracle-checked: SRP buckets derive from the
     portable md5 hash, IVF assignment is an fp-stable cosine argmax
@@ -307,6 +346,46 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs all four scoring tiers. Small (4 methods × |probes| × 5).
     topk = ann_scored_topk(spark, sf_dir, emb=emb).persist()
     topk.count()
+
+    # fused tier (r10, VERDICT r9 item 4): reciprocal-rank fusion
+    # (k=60) of the five per-tier top-5 lists into ONE hybrid ranking
+    # per keyword query — the sparse BM25 list (probe_id = query_id)
+    # fused with the four dense lists of the aligned embedding probe
+    # (vec_id = (query_id-1)·100; the fixtures key documents and
+    # embeddings by the same id space). Derives ENTIRELY from the
+    # persisted top-k cache (~125 rows), so fusion adds zero corpus
+    # passes and rides the shared ranking exchange the tiers already
+    # paid for. Integer RRF algebra (see the oracle-fragment comment on
+    # RRF_LCM): addends are exact BIGINTs, one final IEEE division —
+    # bit-identical cross-engine, no round() guard needed.
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("method", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    fuse_w = Window.partitionBy("query_id").orderBy(
+        F.col("fi").desc(), F.col("vec_id")
+    )
+    fused = (
+        topk.withColumn("_rn", F.row_number().over(rank_w))
+        .filter((F.col("method") == "bm25") | (F.col("probe_id") <= 400))
+        .withColumn(
+            "query_id",
+            F.when(F.col("method") == "bm25", F.col("probe_id")).otherwise(
+                F.expr("probe_id div 100") + F.lit(1)
+            ),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.expr(f"{RRF_LCM} div (60 + _rn)")).alias("fi"))
+        .withColumn("_fr", F.row_number().over(fuse_w))
+        .filter(F.col("_fr") <= 5)
+        .select(
+            F.lit("fused").alias("method"),
+            F.col("query_id").alias("probe_id"),
+            "vec_id",
+            (F.col("fi") / F.lit(float(RRF_LCM))).alias("cos"),
+        )
+    )
 
     exact5 = topk.filter(F.col("method") == "exact").select(
         "probe_id", "vec_id"
@@ -348,7 +427,12 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos"),
         )
     )
-    result = topk.unionByName(ivf_recall).unionByName(invariant).persist()
+    result = (
+        topk.unionByName(fused)
+        .unionByName(ivf_recall)
+        .unionByName(invariant)
+        .persist()
+    )
     result.count()
     topk.unpersist()
     exact7.unpersist()

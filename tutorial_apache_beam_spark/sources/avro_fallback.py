@@ -480,6 +480,20 @@ def _resolution_plan(writer_schema: dict, reader_schema: dict):
                     f"{by_alias[a][1]!r} and {name!r} both alias the "
                     f"writer name {a!r} — ambiguous rename"
                 )
+            if a in by_name and a != name:
+                # Canonical Avro (Java applyAliases, the spark-avro jar
+                # path) REWRITES the writer schema, so this alias would
+                # capture writer field `a` even though a sibling reader
+                # field carries that exact name; this module resolves
+                # exact names first, which would hand `a` to the sibling
+                # instead. Two implementations, two answers — refuse
+                # rather than silently pick one (ADVICE r9).
+                raise ValueError(
+                    f"avro schema resolution: field {name!r} aliases "
+                    f"{a!r}, but a sibling reader field is named {a!r} "
+                    "— alias/name collision resolves differently under "
+                    "Java applyAliases; rename one of them"
+                )
             by_alias[a] = (i, name, tag, nullable)
     actions = []
     covered = set()
