@@ -129,6 +129,15 @@ HEADLINE = [
 # extra.headline_samples for the full per-gate spread.
 HEADLINE_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 SWEEP_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_REPEATS", "2"))
+# r10 signal floor (VERDICT r9 item 7): every recorded min must be
+# corroborated by a second sample within ADAPT_TOL or sampling continues
+# (up to ADAPT_MAX_SAMPLES) — see the protocol note in run(). 1.15/7
+# chosen so a clean gate pays nothing (its first two samples agree) and
+# a noisy sub-second gate gets up to 7 draws, after which the two best
+# of 7 bound one-sided scheduler noise far below the 1.5x adjudication
+# threshold.
+ADAPT_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_ADAPT_TOL", "1.15"))
+ADAPT_MAX_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_ADAPT_MAX", "7"))
 
 
 def _sustained_stream_mib_per_s(
@@ -402,6 +411,7 @@ def main() -> None:
     # registered query is also timed for per-query regression tracking.
     timings: dict[str, float] = {}
     headline_samples: dict[str, list[float]] = {}
+    sample_counts: dict[str, int] = {}
 
     def cleanup() -> None:
         """Release per-run session residue, outside the timed window.
@@ -423,11 +433,31 @@ def main() -> None:
         for name in names:
             fn = queries[name]
             samples = []
-            for _ in range(repeats):
+
+            def one_sample() -> None:
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).count()
                 samples.append(time.monotonic() - t0)
                 cleanup()
+
+            for _ in range(repeats):
+                one_sample()
+            # Adaptive signal floor (r10, VERDICT r9 item 7): a recorded
+            # min is only claimable if it is REPRODUCED — the two
+            # smallest samples must agree within ADAPT_TOL, else keep
+            # sampling up to ADAPT_MAX. 23 of 50 gates run <1 s at
+            # sf0.1, where a single scheduler hiccup IS the measurement
+            # (r9's phantom 2.9x on a 0.6 s gate); with the reported
+            # min corroborated to within 15% inside each run, a
+            # round-over-round min ratio >1.5x cannot be produced by
+            # one-sided timer noise alone — both rounds' numbers were
+            # each hit twice. Cost is bounded: extra samples happen
+            # only while the two best disagree, i.e. on noisy draws.
+            while len(samples) < ADAPT_MAX_SAMPLES:
+                o = sorted(samples)
+                if len(o) >= 2 and o[1] <= o[0] * ADAPT_TOL:
+                    break
+                one_sample()
             # MIN over repeats, everywhere, since r6. The headline used
             # median-of-3 through r5 to stay conservative, but the sandbox
             # shares hardware and ambient neighbor load proved to be the
@@ -445,6 +475,7 @@ def main() -> None:
                 else ordered[0]
             )
             timings[name] = round(pick, 3)
+            sample_counts[name] = len(samples)
             if stat == "headline":
                 # Raw samples in EXECUTION order (r7 — they were sorted
                 # through r6, which made "samples degrade monotonically"
@@ -567,6 +598,13 @@ def main() -> None:
         "extra": {
             "headline_min_of": HEADLINE_REPEATS,
             "sweep_min_of": SWEEP_REPEATS,
+            # r10 adaptive signal floor: mins are corroborated within
+            # adapt_tol or re-sampled up to adapt_max draws; per-gate
+            # draw counts in sample_counts (gates needing >base draws
+            # were noisy, visible from the artifact alone).
+            "adapt_tol": ADAPT_TOL,
+            "adapt_max": ADAPT_MAX_SAMPLES,
+            "sample_counts": sample_counts,
             "demo2_stream_mib_per_s": mib_per_s,
             "demo2_stream_input_mib": stream_mib,
             "all_queries_total": round(sum(timings.values()), 3),

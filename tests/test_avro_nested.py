@@ -1,0 +1,543 @@
+"""Nested Avro types in the no-JAR fallback (r10, VERDICT r9 item 2):
+arrays, maps, and nested records — round-trip, spec golden bytes,
+multi-block/negative-count decode forms, recursive schema resolution,
+truncation robustness, and the NARROWED refusal surface (enum / fixed /
+wide unions / named references / JVM-mapped logical types outside the
+subset).
+
+Spec provenance: array/map block framing and the worked array example
+(array<long> {3, 27} → 04 06 36 00) are from the public Avro 1.12 spec
+§Binary Encoding / Complex Types — pinned as golden BYTES so the
+encoder is verified against the SPEC, not against this module's own
+reader.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from datetime import datetime
+
+import pytest
+
+from tutorial_apache_beam_spark.sources.avro_fallback import (
+    _decode_container,
+    _default_value,
+    _encode_value,
+    _parse_avro_type,
+    _resolution_plan,
+    _value_converter,
+    encode_long,
+    read_avro_fallback,
+    read_container,
+    spark_schema_to_avro,
+    write_avro_fallback,
+    write_container,
+    _field_plan,
+)
+
+try:
+    from pyspark.sql import types as T
+except ImportError:  # pragma: no cover
+    pytest.skip("pyspark required", allow_module_level=True)
+
+
+NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+        T.StructField(
+            "props", T.MapType(T.StringType(), T.LongType(), True), True
+        ),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("a", T.IntegerType(), False),
+                    T.StructField(
+                        "b", T.ArrayType(T.DoubleType(), False), True
+                    ),
+                    T.StructField("ts", T.TimestampType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "deep",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "m",
+                            T.MapType(
+                                T.StringType(),
+                                T.ArrayType(T.LongType(), False),
+                                False,
+                            ),
+                            False,
+                        )
+                    ]
+                ),
+                False,
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _nested_rows(n: int) -> list[tuple]:
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                i,
+                None if i % 7 == 0 else [f"t{i}", None, "x"],
+                None if i % 5 == 0 else {"k": i, "nil": None},
+                None
+                if i % 3 == 0
+                else (
+                    i % 100,
+                    None if i % 2 else [1.5 * i, -2.25],
+                    None
+                    if i % 4
+                    else datetime(2024, 1, 1 + i % 28, 3, 4, 5, i % 1000),
+                ),
+                [({"a": [i, i + 1], "b": []},)] if i % 2 else [],
+            )
+        )
+    return out
+
+
+# --- spec golden bytes -------------------------------------------------------
+
+
+def test_array_golden_bytes_from_spec():
+    """Spec §Complex Types worked example: array<long> {3, 27} encodes
+    as 04 06 36 00 (count 2, zigzag 3, zigzag 27, terminator)."""
+    out = bytearray()
+    _encode_value(("array", "long", False), [3, 27], out)
+    assert bytes(out) == bytes([0x04, 0x06, 0x36, 0x00])
+    # empty array is just the terminator
+    out = bytearray()
+    _encode_value(("array", "long", False), [], out)
+    assert bytes(out) == b"\x00"
+
+
+def test_map_golden_bytes():
+    """Map framing mirrors arrays with string keys: {'a': 1} →
+    count 1, key 'a' (02 61), value zigzag 1 (02), terminator 00."""
+    out = bytearray()
+    _encode_value(("map", "long", False), {"a": 1}, out)
+    assert bytes(out) == bytes([0x02, 0x02, 0x61, 0x02, 0x00])
+    out = bytearray()
+    _encode_value(("map", "long", False), {}, out)
+    assert bytes(out) == b"\x00"
+
+
+def test_decoder_accepts_multiblock_and_negative_count_forms():
+    """Java writers split large arrays into multiple blocks and may use
+    the negative-count + byte-size form; the decoder must accept both
+    even though this writer emits single positive blocks."""
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _decode_value,
+    )
+
+    # two blocks of 2 and 1 longs, then terminator
+    wire = (
+        encode_long(2) + encode_long(3) + encode_long(27)
+        + encode_long(1) + encode_long(9)
+        + encode_long(0)
+    )
+    got = _decode_value(("array", "long", False), io.BytesIO(wire))
+    assert got == [3, 27, 9]
+    # negative count: |count|=2, byte size prefix (2 bytes), items
+    wire = (
+        encode_long(-2) + encode_long(2) + encode_long(3) + encode_long(27)
+        + encode_long(0)
+    )
+    got = _decode_value(("array", "long", False), io.BytesIO(wire))
+    assert got == [3, 27]
+    # map in negative-count form
+    body = encode_long(1) + b"a" + encode_long(7)
+    wire = encode_long(-1) + encode_long(len(body)) + body + encode_long(0)
+    got = _decode_value(("map", "long", False), io.BytesIO(wire))
+    assert got == {"a": 7}
+
+
+# --- container round-trip ----------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_nested_container_roundtrip(codec):
+    rows = _nested_rows(97)
+    av = spark_schema_to_avro(NESTED_SCHEMA)
+    plan = _field_plan(NESTED_SCHEMA)
+    fh = io.BytesIO()
+    n = write_container(iter(rows), plan, av, fh, codec=codec)
+    assert n == 97
+    fh.seek(0)
+    _, got = read_container(fh)
+    assert got == rows
+
+
+def test_nested_record_names_unique_in_schema():
+    """The spec requires unique record fullnames; path-derived names
+    keep two same-named sibling structs distinct."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "a", T.StructType([T.StructField("v", T.LongType())])
+            ),
+            T.StructField(
+                "b", T.StructType([T.StructField("v", T.LongType())])
+            ),
+        ]
+    )
+    av = spark_schema_to_avro(schema)
+
+    names = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "record":
+                names.append(t["name"])
+                for f in t["fields"]:
+                    walk(f["type"])
+            else:
+                walk(t.get("items") or t.get("values"))
+        elif isinstance(t, list):
+            for x in t:
+                walk(x)
+
+    walk(av)
+    assert len(names) == len(set(names)) == 3  # root + a + b
+
+
+# --- Spark round-trip (distributed write + distributed read) -----------------
+
+
+def test_spark_roundtrip_nested(spark, tmp_path):
+    rows = _nested_rows(60)
+    df = spark.createDataFrame(rows, NESTED_SCHEMA).repartition(4)
+    out = str(tmp_path / "nested.avro")
+    write_avro_fallback(df, out, codec="deflate")
+    back = read_avro_fallback(spark, out)
+    assert back.schema == NESTED_SCHEMA
+
+    def norm(r):
+        d = r.asDict(recursive=True)
+        if d["meta"] is not None:
+            d["meta"] = (d["meta"]["a"], d["meta"]["b"], d["meta"]["ts"])
+        d["deep"] = [tuple(x.values()) if isinstance(x, dict) else x
+                     for x in d["deep"]]
+        return d
+
+    got = sorted((norm(r) for r in back.collect()), key=lambda d: d["id"])
+    want = sorted(
+        (norm(r) for r in df.collect()), key=lambda d: d["id"]
+    )
+    assert got == want
+
+
+def test_spark_roundtrip_nested_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    rows = _nested_rows(40)
+    df = spark.createDataFrame(rows, NESTED_SCHEMA).withColumn(
+        "part", (F.col("id") % 3).cast("long")
+    )
+    out = str(tmp_path / "nested_part.avro")
+    write_avro_fallback(df, out, partition_by=["part"])
+    back = read_avro_fallback(spark, out)
+    assert back.count() == 40
+    assert set(back.select("part").distinct().toPandas()["part"]) == {0, 1, 2}
+    # a nested value survives the partitioned layout
+    one = back.filter("id = 1").collect()[0]
+    assert one["tags"] == ["t1", None, "x"]
+    assert one["deep"][0]["m"]["a"] == [1, 2]
+
+
+# --- schema resolution through composites ------------------------------------
+
+
+def _strip(t):
+    return t[1] if isinstance(t, list) else t
+
+
+def test_nested_record_alias_default_and_promotion(tmp_path):
+    import copy
+
+    rows = _nested_rows(20)
+    av = spark_schema_to_avro(NESTED_SCHEMA)
+    plan = _field_plan(NESTED_SCHEMA)
+    fh = io.BytesIO()
+    write_container(iter(rows), plan, av, fh)
+
+    reader = copy.deepcopy(av)
+    meta = _strip(reader["fields"][3]["type"])
+    for f in meta["fields"]:
+        if f["name"] == "a":
+            f["name"] = "alpha"
+            f["aliases"] = ["a"]
+            f["type"] = "long"  # int -> long promotion inside the record
+    meta["fields"].append({"name": "extra", "type": "long", "default": 42})
+    fh.seek(0)
+    _, got = read_container(fh, reader_schema=reader)
+    for orig, new in zip(rows, got):
+        if orig[3] is None:
+            assert new[3] is None
+        else:
+            assert new[3] == (*orig[3], 42)
+            assert isinstance(new[3][0], int)
+        assert new[0] == orig[0] and new[4] == orig[4]
+
+
+def test_array_item_and_map_value_promotion(tmp_path):
+    import copy
+
+    schema = T.StructType(
+        [
+            T.StructField("xs", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.FloatType(), False), False
+            ),
+        ]
+    )
+    rows = [([1, 2, 3], {"a": 1.5}), ([], {})]
+    av = spark_schema_to_avro(schema)
+    fh = io.BytesIO()
+    write_container(iter(rows), _field_plan(schema), av, fh)
+
+    reader = copy.deepcopy(av)
+    reader["fields"][0]["type"]["items"] = "double"  # int -> double
+    reader["fields"][1]["type"]["values"] = "double"  # float -> double
+    fh.seek(0)
+    _, got = read_container(fh, reader_schema=reader)
+    assert got[0] == ([1.0, 2.0, 3.0], {"a": 1.5})
+    assert all(isinstance(x, float) for x in got[0][0])
+
+
+def test_writer_only_nested_field_dropped():
+    wt = {
+        "type": "record",
+        "name": "m",
+        "fields": [
+            {"name": "keep", "type": "long"},
+            {"name": "drop", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    rt = {
+        "type": "record",
+        "name": "m",
+        "fields": [{"name": "keep", "type": "long"}],
+    }
+    conv = _value_converter(wt, rt, "meta")
+    assert conv((7, [1, 2, 3])) == (7,)
+
+
+def test_composite_kind_mismatch_refused():
+    wt = {"type": "array", "items": "long"}
+    rt = {"type": "map", "values": "long"}
+    with pytest.raises(ValueError, match="no spec promotion"):
+        _value_converter(wt, rt, "x")
+    # nullable writer items into non-nullable reader items refuse at
+    # PLAN time (loud), not at the first null at decode time
+    wt = {"type": "array", "items": ["null", "long"]}
+    rt = {"type": "array", "items": "long"}
+    with pytest.raises(ValueError, match="non-nullable"):
+        _value_converter(wt, rt, "x")
+
+
+def test_composite_defaults():
+    tag, _ = _parse_avro_type({"type": "array", "items": "long"}, "d")
+    assert _default_value(tag, [1, 2]) == [1, 2]
+    tag, _ = _parse_avro_type({"type": "map", "values": "string"}, "d")
+    assert _default_value(tag, {"a": "b"}) == {"a": "b"}
+    rec = {
+        "type": "record",
+        "name": "d",
+        "fields": [
+            {"name": "x", "type": "long"},
+            {"name": "y", "type": ["null", "string"]},
+        ],
+    }
+    tag, _ = _parse_avro_type(rec, "d")
+    assert _default_value(tag, {"x": 1, "y": None}) == (1, None)
+    with pytest.raises(ValueError, match="omits"):
+        _default_value(tag, {"x": 1})
+
+
+def test_reader_only_composite_field_takes_default():
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "tags",
+                "type": {"type": "array", "items": "string"},
+                "default": ["a", "b"],
+            },
+        ],
+    }
+    actions, template = _resolution_plan(writer, reader)
+    assert template == [None, ["a", "b"]]
+
+
+def test_drifted_nested_tree_resolves_on_read(spark, tmp_path):
+    """Two files, the second adding a nested-record field: the tree
+    resolves under the wider schema and the old file's records take
+    the default."""
+    s1 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("a", T.LongType(), False)]),
+                False,
+            ),
+        ]
+    )
+    s2 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("a", T.LongType(), False),
+                        T.StructField("b", T.StringType(), True),
+                    ]
+                ),
+                False,
+            ),
+        ]
+    )
+    out = tmp_path / "drift.avro"
+    out.mkdir()
+    for name, schema, rows in (
+        ("old", s1, [(1, (10,))]),
+        ("new", s2, [(2, (20, "x"))]),
+    ):
+        av = spark_schema_to_avro(schema)
+        # the added field needs a default for the OLD files to resolve
+        if name == "new":
+            meta_fields = _strip(av["fields"][1]["type"])["fields"] if isinstance(av["fields"][1]["type"], list) else av["fields"][1]["type"]["fields"]
+            for f in meta_fields:
+                if f["name"] == "b":
+                    f["default"] = None
+        with open(out / f"{name}.avro", "wb") as fh:
+            write_container(iter(rows), _field_plan(schema), av, fh)
+    back = read_avro_fallback(spark, str(out))
+    got = {r["id"]: r for r in back.collect()}
+    assert got[1]["meta"].asDict() == {"a": 10, "b": None}
+    assert got[2]["meta"].asDict() == {"a": 20, "b": "x"}
+
+
+# --- narrowed refusals --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "frag, msg",
+    [
+        ({"type": "enum", "name": "E", "symbols": ["A"]}, "enum"),
+        ({"type": "fixed", "name": "F", "size": 4}, "fixed"),
+        (["null", "long", "string"], "unions only"),
+        ("SomeRecord", "named-type references"),
+        (
+            {"type": "long", "logicalType": "timestamp-millis"},
+            "timestamp-millis",
+        ),
+        (
+            {"type": "bytes", "logicalType": "decimal", "precision": 10},
+            "decimal",
+        ),
+    ],
+)
+def test_refusals_name_the_construct(frag, msg):
+    with pytest.raises(NotImplementedError, match=msg):
+        _parse_avro_type(frag, "field 'x'")
+
+
+def test_unknown_logical_annotation_ignored():
+    """Spec: an unrecognized logicalType is ignored and the underlying
+    type used — 'uuid' strings read as plain strings (what spark-avro
+    returns too)."""
+    tag, nullable = _parse_avro_type(
+        {"type": "string", "logicalType": "uuid"}, "f"
+    )
+    assert tag == "string" and not nullable
+
+
+def test_write_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.create_map(F.col("id"), F.lit(1)).alias("m")
+    )
+    with pytest.raises(NotImplementedError, match="string keys"):
+        write_avro_fallback(df, str(tmp_path / "m.avro"))
+    df2 = spark.range(3).select(F.col("id").cast("decimal(10,2)").alias("d"))
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro_fallback(df2, str(tmp_path / "d.avro"))
+
+
+# --- truncation robustness over a nested multi-block container ---------------
+
+
+def test_nested_truncation_sweep():
+    """Every byte-offset truncation of a 3-block NESTED container either
+    raises or yields exactly the intact prefix blocks' rows — the same
+    property the flat sweep pins (test_avro_truncation.py), now over
+    block-framed composites whose own internal counts could otherwise
+    masquerade as valid shorter values."""
+    rows = _nested_rows(90)
+    av = spark_schema_to_avro(NESTED_SCHEMA)
+    plan = _field_plan(NESTED_SCHEMA)
+    sync = b"\x5a" * 16
+    fh = io.BytesIO()
+    write_container(iter(rows), plan, av, fh, sync=sync, block_rows=30)
+    data = fh.getvalue()
+
+    # header end + three block ends = the four sync positions
+    positions = []
+    at = -1
+    while True:
+        at = data.find(sync, at + 1)
+        if at == -1:
+            break
+        positions.append(at + 16)
+    assert len(positions) == 4, "sync collided with payload bytes"
+    header_end, *block_ends = positions
+
+    def read_rows(chunk):
+        _s, rs = _decode_container(io.BytesIO(chunk))
+        return list(rs)
+
+    assert read_rows(data) == rows
+    for cut in range(len(data)):
+        chunk = data[:cut]
+        if cut < header_end:
+            with pytest.raises(
+                (EOFError, ValueError, KeyError, struct.error)
+            ):
+                read_rows(chunk)
+            continue
+        n_whole = sum(1 for b in block_ends if cut >= b)
+        if cut == header_end or cut in block_ends:
+            assert read_rows(chunk) == rows[: n_whole * 30]
+            continue
+        try:
+            got = read_rows(chunk)
+        except (EOFError, ValueError, zlib.error, struct.error):
+            continue
+        raise AssertionError(
+            f"cut at {cut} returned {len(got)} rows without error"
+        )

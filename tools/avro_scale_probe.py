@@ -14,8 +14,11 @@ read_avro_fallback while a thread samples the Python driver's VmRSS at
 local mode the JVM holds executors too, so JVM RSS is not the bound to
 watch — the python driver process is where the old path materialized.
 
-Usage: python tools/avro_scale_probe.py [rows_per_file n_files]
-Prints one JSON line.
+Usage: python tools/avro_scale_probe.py [rows_per_file n_files] [--nested]
+Prints one JSON line. --nested (r10) swaps the payload for one with an
+array, a map, and a nested struct per row — evidence that the nested
+decode path keeps the same distributed shape (flat driver RSS) as the
+flat one, verified by an aggregate over values INSIDE the composites.
 """
 
 from __future__ import annotations
@@ -60,8 +63,10 @@ class RssSampler:
 
 
 def main() -> None:
-    rows_per_file = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    args = [a for a in sys.argv[1:] if a != "--nested"]
+    nested = "--nested" in sys.argv[1:]
+    rows_per_file = int(args[0]) if args else 1_500_000
+    n_files = int(args[1]) if len(args) > 1 else 32
 
     from pyspark.sql import functions as F
 
@@ -77,16 +82,40 @@ def main() -> None:
     shutil.rmtree(out, ignore_errors=True)
 
     t0 = time.monotonic()
-    df = (
-        spark.range(total_rows)
-        .select(
-            "id",
-            F.concat(F.lit("user-"), (F.col("id") % 9973).cast("string"))
-            .alias("name"),
-            (F.col("id") * 0.25).alias("score"),
+    if nested:
+        # Each row carries an array (3 longs), a map (1 entry), and a
+        # nested struct — sums over the composite INTERIORS verify the
+        # decode, not just row counts.
+        df = (
+            spark.range(total_rows)
+            .select(
+                "id",
+                F.array(
+                    F.col("id"), F.col("id") + 1, F.col("id") % 7
+                ).alias("xs"),
+                F.create_map(
+                    F.concat(F.lit("k"), (F.col("id") % 13).cast("string")),
+                    F.col("id") % 101,
+                ).alias("m"),
+                F.struct(
+                    (F.col("id") % 1000).alias("a"),
+                    F.concat(F.lit("u-"), (F.col("id") % 997).cast("string"))
+                    .alias("b"),
+                ).alias("meta"),
+            )
+            .repartition(n_files)
         )
-        .repartition(n_files)
-    )
+    else:
+        df = (
+            spark.range(total_rows)
+            .select(
+                "id",
+                F.concat(F.lit("user-"), (F.col("id") % 9973).cast("string"))
+                .alias("name"),
+                (F.col("id") * 0.25).alias("score"),
+            )
+            .repartition(n_files)
+        )
     write_avro_fallback(df, out, codec="null")
     write_s = time.monotonic() - t0
     tree_bytes = sum(
@@ -99,16 +128,42 @@ def main() -> None:
     t1 = time.monotonic()
     with RssSampler() as s:
         back = read_avro_fallback(spark, out)
-        agg = back.agg(
-            F.count("*").alias("n"), F.sum("id").alias("s")
-        ).collect()[0]
+        if nested:
+            agg = back.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.aggregate(
+                        "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
+                    )
+                ).alias("sx"),
+                F.sum(F.col("meta.a")).alias("sa"),
+            ).collect()[0]
+        else:
+            agg = back.agg(
+                F.count("*").alias("n"), F.sum("id").alias("s")
+            ).collect()[0]
     read_s = time.monotonic() - t1
-    ok = (
-        agg["n"] == total_rows
-        and agg["s"] == total_rows * (total_rows - 1) // 2
-    )
+    if nested:
+        tri = total_rows * (total_rows - 1) // 2
+        want_sx = 2 * tri + total_rows + sum(
+            i % 7 for i in range(min(total_rows, 7))
+        ) * (total_rows // 7) + sum(i % 7 for i in range(total_rows % 7))
+        want_sa = sum(i % 1000 for i in range(1000)) * (
+            total_rows // 1000
+        ) + sum(i % 1000 for i in range(total_rows % 1000))
+        ok = (
+            agg["n"] == total_rows
+            and agg["sx"] == want_sx
+            and agg["sa"] == want_sa
+        )
+    else:
+        ok = (
+            agg["n"] == total_rows
+            and agg["s"] == total_rows * (total_rows - 1) // 2
+        )
 
     print(json.dumps({
+        "payload": "nested" if nested else "flat",
         "rows": total_rows,
         "files": n_files,
         "tree_mib": round(tree_bytes / 2**20, 1),

@@ -4,11 +4,18 @@ Spark ships avro as an EXTERNAL module (spark-avro); this container has no
 JVM avro jar and no Python avro/fastavro either, so until round 6 the
 engine could only raise a classpath remediation (VERDICT r5 "what's
 missing" #2). This module closes that gap for the common interchange case:
-FLAT record schemas over Avro's primitive types (+ date/timestamp-micros
-logical types and ["null", T] unions), written/read as standard Avro
-Object Container Files (magic 'Obj\\x01', schema in the file metadata,
-sync-marker-framed blocks; codecs: null/deflate/bzip2/xz via the stdlib,
-snappy/zstandard when their libraries are installed).
+record schemas over Avro's primitive types (+ date/timestamp-micros
+logical types and ["null", T] unions) and, since r10, the spec's
+block-framed composites — ARRAYS, MAPS (string keys, as the spec defines
+them), and NESTED RECORDS, nullable at any depth — written/read as
+standard Avro Object Container Files (magic 'Obj\\x01', schema in the
+file metadata, sync-marker-framed blocks; codecs: null/deflate/bzip2/xz
+via the stdlib, snappy/zstandard when their libraries are installed).
+Still refused, loudly and with the jar remediation: enum, fixed, unions
+wider than ["null", T], named-type references (incl. recursive schemas),
+and the JVM-mapped logical types outside the subset (decimal, the
+millis/local-timestamp family) — decoding those as bare underlying types
+would silently diverge from spark-avro.
 
 Clean-room provenance: implemented from the public Apache Avro 1.11
 specification only (binary encoding §"Binary Encoding", container format
@@ -35,8 +42,8 @@ Scale/behavior notes:
   decode unit (binaryFile hands whole files), matching the writer's
   one-file-per-partition layout.
 - Schema DRIFT across a tree is resolved per the Avro spec's
-  §"Schema Resolution" subset for flat records (r9, behind the r8
-  refusal): fields match by NAME — or by the reader field's `aliases`
+  §"Schema Resolution" (r9 for flat records, r10 recursively through
+  arrays/maps/nested records): fields match by NAME — or by the reader field's `aliases`
   (the spec's rename mechanism; exact-name matches win, ambiguous
   aliases refuse) — reader-only fields take their declared default,
   writer-only fields are decoded and skipped, and numeric/string-bytes
@@ -63,8 +70,8 @@ MAGIC = b"Obj\x01"
 _EPOCH = datetime(1970, 1, 1)
 _EPOCH_DATE = date(1970, 1, 1)
 
-# Spark type -> (avro schema fragment, encoder tag). Flat primitives only;
-# everything else raises with the jar remediation.
+# Spark type -> (avro schema fragment, encoder tag) for primitives;
+# composites recurse in _avro_type_for/_spark_tag (r10).
 _SPARK_TO_AVRO: dict[type, tuple[object, str]] = {
     T.BooleanType: ("boolean", "boolean"),
     T.IntegerType: ("int", "int"),
@@ -83,23 +90,50 @@ _SPARK_TO_AVRO: dict[type, tuple[object, str]] = {
 }
 
 
-def spark_schema_to_avro(schema: T.StructType, name: str = "record") -> dict:
-    """Avro record schema (as a JSON-able dict) for a FLAT Spark schema.
+def _avro_type_for(dt: T.DataType, path: str) -> object:
+    """Avro schema fragment for one Spark type, recursing into arrays,
+    maps, and structs (r10 — the nested extension of the r6 flat
+    subset). Nested record names are path-derived (`{path}_record`) so
+    every record fullname in the schema is unique, as the spec
+    requires. Refuses what the wire subset can't represent (decimal,
+    non-string map keys, …) with the jar remediation."""
+    entry = _SPARK_TO_AVRO.get(type(dt))
+    if entry is not None:
+        return entry[0]
+    if isinstance(dt, T.ArrayType):
+        items = _avro_type_for(dt.elementType, f"{path}_item")
+        return {
+            "type": "array",
+            "items": ["null", items] if dt.containsNull else items,
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError(
+                f"avro maps have string keys; field path {path!r} has "
+                f"map key {dt.keyType.simpleString()} — use the "
+                "spark-avro package (it re-encodes such maps)"
+            )
+        values = _avro_type_for(dt.valueType, f"{path}_value")
+        return {
+            "type": "map",
+            "values": ["null", values] if dt.valueContainsNull else values,
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "record",
+            "name": f"{path}_record",
+            "fields": _avro_fields_for(dt, path),
+        }
+    raise NotImplementedError(
+        f"avro fallback does not cover {dt.simpleString()} (field path "
+        f"{path!r}) — use the spark-avro package"
+    )
 
-    Nullable fields become the spec's ["null", T] union. Nested/complex
-    Spark types are out of the fallback's scope — the spark-avro jar
-    handles them; raise with that remediation instead of mis-encoding.
-    """
+
+def _avro_fields_for(schema: T.StructType, path: str) -> list[dict]:
     fields = []
     for f in schema.fields:
-        entry = _SPARK_TO_AVRO.get(type(f.dataType))
-        if entry is None:
-            raise NotImplementedError(
-                f"avro fallback supports flat primitive schemas only; "
-                f"field {f.name!r} has {f.dataType.simpleString()} — use "
-                "the spark-avro package for complex types"
-            )
-        avro_type, _ = entry
+        avro_type = _avro_type_for(f.dataType, f"{path}_{f.name}")
         if f.nullable:
             # Declare the null default explicitly (spec: a union's
             # default applies to its FIRST branch) so readers of a
@@ -115,7 +149,22 @@ def spark_schema_to_avro(schema: T.StructType, name: str = "record") -> dict:
             )
         else:
             fields.append({"name": f.name, "type": avro_type})
-    return {"type": "record", "name": name, "fields": fields}
+    return fields
+
+
+def spark_schema_to_avro(schema: T.StructType, name: str = "record") -> dict:
+    """Avro record schema (as a JSON-able dict) for a Spark schema —
+    primitives, date/timestamp-micros, and (r10) arrays, maps, and
+    nested structs, each nullable position becoming the spec's
+    ["null", T] union. What the subset can't represent (decimal,
+    non-string map keys) raises with the spark-avro remediation
+    instead of mis-encoding.
+    """
+    return {
+        "type": "record",
+        "name": name,
+        "fields": _avro_fields_for(schema, name),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -178,8 +227,50 @@ def _encode_value(tag: str, v, out: bytearray) -> None:
             (delta.days * 86_400 + delta.seconds) * 1_000_000
             + delta.microseconds
         )
+    elif tag[0] == "array":
+        # spec: series of blocks (count, items...), 0-count terminator.
+        # One block per value — readers must still accept multi-block
+        # and negative-count forms (the decoder does).
+        _, itag, inull = tag
+        if v:
+            out += encode_long(len(v))
+            for x in v:
+                _encode_nullable(itag, inull, x, out, "array item")
+        out += encode_long(0)
+    elif tag[0] == "map":
+        _, vtag, vnull = tag
+        if v:
+            out += encode_long(len(v))
+            for k, x in v.items():
+                raw = str(k).encode("utf-8")
+                out += encode_long(len(raw)) + raw
+                _encode_nullable(vtag, vnull, x, out, f"map value {k!r}")
+        out += encode_long(0)
+    elif tag[0] == "record":
+        # v is a Row/tuple (positional) or a dict keyed by field name.
+        items = (
+            [v.get(n) for n, _, _ in tag[1]]
+            if isinstance(v, dict)
+            else list(v)
+        )
+        for (fname, ftag, fnull), x in zip(tag[1], items):
+            _encode_nullable(ftag, fnull, x, out, f"record field {fname!r}")
     else:  # pragma: no cover - schema mapping guards this
         raise AssertionError(f"unknown encoder tag {tag}")
+
+
+def _encode_nullable(tag, nullable: bool, v, out: bytearray, what: str):
+    """One possibly-["null", T] position inside a composite value: the
+    union branch index long (0=null, 1=T) precedes the value, exactly
+    as the top-level field loop in `write_container` frames it."""
+    if nullable:
+        if v is None:
+            out += encode_long(0)
+            return
+        out += encode_long(1)
+    elif v is None:
+        raise ValueError(f"null in non-nullable {what}")
+    _encode_value(tag, v, out)
 
 
 def _decode_value(tag: str, buf: io.BytesIO):
@@ -199,14 +290,77 @@ def _decode_value(tag: str, buf: io.BytesIO):
         return _EPOCH_DATE + timedelta(days=decode_long(buf))
     if tag == "timestamp-micros":
         return _EPOCH + timedelta(microseconds=decode_long(buf))
+    if tag[0] == "array":
+        _, itag, inull = tag
+        out = []
+        while True:
+            n = decode_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                # negative count prefixes the block's byte size (spec's
+                # skippable form — Java writers emit it)
+                n = -n
+                decode_long(buf)
+            for _ in range(n):
+                out.append(_decode_nullable(itag, inull, buf))
+    if tag[0] == "map":
+        _, vtag, vnull = tag
+        out = {}
+        while True:
+            n = decode_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                decode_long(buf)
+            for _ in range(n):
+                k = buf.read(decode_long(buf)).decode("utf-8")
+                out[k] = _decode_nullable(vtag, vnull, buf)
+    if tag[0] == "record":
+        return tuple(
+            _decode_nullable(ftag, fnull, buf) for _, ftag, fnull in tag[1]
+        )
     raise AssertionError(f"unknown decoder tag {tag}")
 
 
-def _field_plan(schema: T.StructType) -> list[tuple[str, str, bool]]:
+def _decode_nullable(tag, nullable: bool, buf: io.BytesIO):
+    if nullable and decode_long(buf) == 0:
+        return None
+    return _decode_value(tag, buf)
+
+
+def _spark_tag(dt: T.DataType):
+    """Recursive encoder/decoder tag for one Spark type: a primitive
+    tag string, or ("array", item_tag, item_nullable) /
+    ("map", value_tag, value_nullable) /
+    ("record", ((name, tag, nullable), ...)). Tuples (not lists) so
+    tags compare and hash like the primitive strings do."""
+    entry = _SPARK_TO_AVRO.get(type(dt))
+    if entry is not None:
+        return entry[1]
+    if isinstance(dt, T.ArrayType):
+        return ("array", _spark_tag(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return ("map", _spark_tag(dt.valueType), dt.valueContainsNull)
+    if isinstance(dt, T.StructType):
+        return (
+            "record",
+            tuple(
+                (f.name, _spark_tag(f.dataType), f.nullable)
+                for f in dt.fields
+            ),
+        )
+    raise NotImplementedError(
+        f"avro fallback does not cover {dt.simpleString()} — use the "
+        "spark-avro package"
+    )
+
+
+def _field_plan(schema: T.StructType) -> list[tuple[str, object, bool]]:
     """(name, encoder tag, nullable) per field — shared by both paths."""
     return [
-        (f.name, _SPARK_TO_AVRO[type(f.dataType)][1], f.nullable)
-        for f in schema.fields
+        (f.name, _spark_tag(f.dataType), f.nullable) for f in schema.fields
     ]
 
 
@@ -378,27 +532,87 @@ def read_header(fh) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
-# --- spec §Schema Resolution (flat-record subset) --------------------------
+# --- spec §Schema Resolution ------------------------------------------------
 
-def _unpack_field(f: dict) -> tuple[str, str, bool]:
-    """(name, decode tag, nullable) from one avro field of this module's
-    subset (primitive / logical-type / ["null", T] union). Foreign
-    writers can produce wider unions — refuse those rather than decode
-    the wrong branch."""
-    t = f["type"]
+_PRIMITIVE_TAGS = frozenset(
+    ("boolean", "int", "long", "float", "double", "string", "bytes")
+)
+# Logical types this module maps to Spark types. Logical types the
+# JVM ecosystem COMMONLY maps but this subset doesn't are refused
+# loudly (reading timestamp-millis as a bare long would be
+# spec-sanctioned — unknown logical types fall back to the underlying
+# type — but silently diverges from what spark-avro returns); truly
+# foreign logical annotations are ignored per the spec.
+_KNOWN_LOGICAL = frozenset(("date", "timestamp-micros"))
+_REFUSED_LOGICAL = frozenset(
+    (
+        "decimal", "timestamp-millis", "time-millis", "time-micros",
+        "local-timestamp-millis", "local-timestamp-micros",
+    )
+)
+
+
+def _parse_avro_type(t, where: str):
+    """(tag, nullable) for one avro type fragment of this module's
+    subset — primitives, date/timestamp-micros, ["null", T] unions,
+    and (r10) arrays, maps, and nested records, recursively. Foreign
+    constructs (wider unions, enum/fixed, named-type references,
+    JVM-mapped logical types outside the subset) refuse with the
+    spark-avro remediation rather than decode the wrong bytes."""
     nullable = isinstance(t, list)
     if nullable:
         branches = [x for x in t if x != "null"]
         if len(branches) != 1 or len(t) != 2:
             raise NotImplementedError(
                 f"avro fallback supports [\"null\", T] unions only; "
-                f"field {f['name']!r} has union {t!r} — use the "
-                "spark-avro package"
+                f"{where} has union {t!r} — use the spark-avro package"
             )
         t = branches[0]
     if isinstance(t, dict):
-        t = t.get("logicalType") or t["type"]
-    return f["name"], t, nullable
+        base = t["type"]
+        if base == "array":
+            itag, inull = _parse_avro_type(t["items"], f"{where} items")
+            return ("array", itag, inull), nullable
+        if base == "map":
+            vtag, vnull = _parse_avro_type(t["values"], f"{where} values")
+            return ("map", vtag, vnull), nullable
+        if base == "record":
+            fields = tuple(
+                (f["name"], *_parse_avro_type(
+                    f["type"], f"{where}.{f['name']}"
+                ))
+                for f in t["fields"]
+            )
+            return ("record", fields), nullable
+        if base in ("enum", "fixed"):
+            raise NotImplementedError(
+                f"avro fallback does not decode {base} types; {where} "
+                f"is {t.get('name', base)!r} — use the spark-avro package"
+            )
+        lt = t.get("logicalType")
+        if lt in _KNOWN_LOGICAL:
+            return lt, nullable
+        if lt in _REFUSED_LOGICAL:
+            raise NotImplementedError(
+                f"avro fallback does not map logical type {lt!r} "
+                f"({where}): decoding it as bare {base!r} would silently "
+                "diverge from spark-avro — use the spark-avro package"
+            )
+        # Unknown logical annotation: spec says ignore it and use the
+        # underlying type.
+        t = base
+    if t in _PRIMITIVE_TAGS:
+        return t, nullable
+    raise NotImplementedError(
+        f"avro fallback does not resolve named-type references or "
+        f"unknown types; {where} is {t!r} — use the spark-avro package"
+    )
+
+
+def _unpack_field(f: dict) -> tuple[str, object, bool]:
+    """(name, decode tag, nullable) from one avro record field."""
+    tag, nullable = _parse_avro_type(f["type"], f"field {f['name']!r}")
+    return f["name"], tag, nullable
 
 
 # (writer tag, reader tag) -> value converter (None = identity). The
@@ -418,13 +632,31 @@ _PROMOTIONS: dict[tuple[str, str], object] = {
 }
 
 
-def _default_value(tag: str, dj):
+def _default_value(tag, dj):
     """One reader-field JSON default → the Python value the decoder
     would have produced (spec: bytes defaults are JSON strings with code
     points 0-255 ↔ bytes, i.e. latin-1; date / timestamp-micros defaults
-    are the underlying int/long)."""
+    are the underlying int/long). Composite tags (r10) recurse: array
+    defaults are JSON arrays, map/record defaults JSON objects — a
+    record default must name every field (this module does not fall
+    back to the nested field's own default)."""
     if dj is None:
         return None
+    if isinstance(tag, tuple):
+        if tag[0] == "array":
+            return [_default_value(tag[1], x) for x in dj]
+        if tag[0] == "map":
+            return {k: _default_value(tag[1], v) for k, v in dj.items()}
+        out = []
+        for fname, ftag, _fnull in tag[1]:
+            if fname not in dj:
+                raise ValueError(
+                    f"avro schema resolution: record default omits "
+                    f"field {fname!r} — declare every field in the "
+                    "default object"
+                )
+            out.append(_default_value(ftag, dj[fname]))
+        return tuple(out)
     if tag == "boolean":
         return bool(dj)
     if tag in ("int", "long"):
@@ -442,8 +674,180 @@ def _default_value(tag: str, dj):
     raise AssertionError(f"unknown default tag {tag}")
 
 
+def _reader_index(reader_fields: list[dict], where: str) -> dict[str, int]:
+    """writer-field-name → reader index: exact field names merged with
+    the spec's `aliases` rename mechanism. The merge is sound because
+    every precedence ambiguity is REFUSED first: per-character string
+    aliases, two reader fields aliasing the same writer name, and a
+    reader field aliasing a SIBLING's exact name (Java applyAliases
+    rewrites the writer schema so the alias would win; a name-first
+    lookup hands it to the sibling — two implementations, two answers;
+    ADVICE r9). After those refusals, names and aliases are disjoint.
+    Used by the top-level plan and nested-record resolution alike."""
+    by_name = {f["name"]: i for i, f in enumerate(reader_fields)}
+    merged = dict(by_name)
+    alias_owner: dict[str, str] = {}
+    for i, f in enumerate(reader_fields):
+        name = f["name"]
+        aliases = f.get("aliases", ())
+        if not isinstance(aliases, (list, tuple)):
+            # A bare string would iterate per-CHARACTER, silently
+            # aliasing 'o','l','d' instead of 'old'.
+            raise ValueError(
+                f"avro schema resolution: {where}field {name!r} aliases "
+                f"must be a JSON array, got {type(aliases).__name__}"
+            )
+        for a in aliases:
+            if a in alias_owner:
+                raise ValueError(
+                    f"avro schema resolution: {where}reader fields "
+                    f"{alias_owner[a]!r} and {name!r} both alias the "
+                    f"writer name {a!r} — ambiguous rename"
+                )
+            if a in by_name and a != name:
+                raise ValueError(
+                    f"avro schema resolution: {where}field {name!r} "
+                    f"aliases {a!r}, but a sibling reader field is named "
+                    f"{a!r} — alias/name collision resolves differently "
+                    "under Java applyAliases; rename one of them"
+                )
+            alias_owner[a] = name
+            merged[a] = i
+    return merged
+
+
+def _strip_null_wrapper(t) -> tuple[object, bool]:
+    """(branch fragment, nullable) from a raw avro type fragment that
+    may be a ["null", T] union (wider unions refuse in the parse)."""
+    if isinstance(t, list):
+        return [x for x in t if x != "null"][0], True
+    return t, False
+
+
+def _value_converter(wt, rt, where: str):
+    """Converter (or None = identity) from a WRITER-decoded Python value
+    to the reader's — the recursive heart of §Schema Resolution for
+    composites (r10). `wt`/`rt` are raw JSON type fragments (possibly
+    ["null", T]-wrapped). Decode always follows the WRITER's wire
+    structure; resolution is pure value-level conversion, so arrays,
+    maps, and nested records reuse the primitive promotion lattice and
+    the record field-matching rules recursively. Raises ValueError on
+    incompatibility, naming the path."""
+    wb, wnull = _strip_null_wrapper(wt)
+    rb, rnull = _strip_null_wrapper(rt)
+    if wnull and not rnull:
+        raise ValueError(
+            f"avro schema resolution: {where} is nullable in the writer "
+            "schema but the reader declares it non-nullable"
+        )
+    wtag, _ = _parse_avro_type(wb, where)
+    rtag, _ = _parse_avro_type(rb, where)
+    conv = _branch_converter(wb, rb, wtag, rtag, where)
+    if conv is not None and wnull:
+        inner = conv
+        return lambda v: None if v is None else inner(v)
+    return conv
+
+
+def _branch_converter(wb, rb, wtag, rtag, where: str):
+    """Converter for the non-null branches (see `_value_converter`)."""
+    if wtag == rtag:
+        return None
+    if isinstance(wtag, str) or isinstance(rtag, str):
+        if (wtag, rtag) in _PROMOTIONS:
+            return _PROMOTIONS[(wtag, rtag)]
+        raise ValueError(
+            f"avro schema resolution: field {where!r} written as "
+            f"{_tag_desc(wtag)} cannot be read as {_tag_desc(rtag)} "
+            "(no spec promotion)"
+        )
+    if wtag[0] != rtag[0]:
+        raise ValueError(
+            f"avro schema resolution: field {where!r} written as "
+            f"{_tag_desc(wtag)} cannot be read as {_tag_desc(rtag)} "
+            "(no spec promotion)"
+        )
+    if wtag[0] == "array":
+        ic = _value_converter(wb["items"], rb["items"], f"{where} items")
+        if ic is None:
+            return None
+        return lambda xs: [ic(x) for x in xs]
+    if wtag[0] == "map":
+        vc = _value_converter(wb["values"], rb["values"], f"{where} values")
+        if vc is None:
+            return None
+        return lambda m: {k: vc(v) for k, v in m.items()}
+    # nested record: same matching rules as the top level — names +
+    # aliases, writer-only fields dropped, reader-only fields filled
+    # from their declared defaults, promotions recursive.
+    wfields, rfields = wb["fields"], rb["fields"]
+    lookup = _reader_index(rfields, f"{where}: ")
+    sources: list = [None] * len(rfields)
+    for wi, wf in enumerate(wfields):
+        ri = lookup.get(wf["name"])
+        if ri is None:
+            continue  # writer-only: already decoded, just not copied
+        if sources[ri] is not None:
+            raise ValueError(
+                f"avro schema resolution: {where}: writer field "
+                f"{wf['name']!r} resolves to reader field "
+                f"{rfields[ri]['name']!r}, which an earlier writer "
+                "field already filled — ambiguous rename"
+            )
+        sources[ri] = (
+            "w",
+            wi,
+            _value_converter(
+                wf["type"], rfields[ri]["type"], f"{where}.{wf['name']}"
+            ),
+        )
+    for ri, rf in enumerate(rfields):
+        if sources[ri] is not None:
+            continue
+        if "default" not in rf:
+            raise ValueError(
+                f"avro schema resolution: {where}: reader field "
+                f"{rf['name']!r} is absent from the writer schema "
+                "and declares no default"
+            )
+        ftag, fnull = _parse_avro_type(rf["type"], rf["name"])
+        dv = _default_value(ftag, rf["default"])
+        if dv is None and not fnull:
+            raise ValueError(
+                f"avro schema resolution: {where}: reader field "
+                f"{rf['name']!r} is non-nullable but its default is null"
+            )
+        sources[ri] = ("d", dv)
+    if len(wfields) == len(rfields) and all(
+        s[0] == "w" and s[1] == i and s[2] is None
+        for i, s in enumerate(sources)
+    ):
+        return None
+
+    def conv(wtup):
+        out = []
+        for s in sources:
+            if s[0] == "d":
+                out.append(s[1])
+            else:
+                v = wtup[s[1]]
+                out.append(v if s[2] is None else s[2](v))
+        return tuple(out)
+
+    return conv
+
+
+def _tag_desc(tag) -> str:
+    """Human-readable tag for error messages ('array<long>', 'record')."""
+    if isinstance(tag, str):
+        return tag
+    if tag[0] in ("array", "map"):
+        return f"{tag[0]}<{_tag_desc(tag[1])}>"
+    return "record"
+
+
 def _resolution_plan(writer_schema: dict, reader_schema: dict):
-    """Spec §Schema Resolution for this module's flat-record subset →
+    """Spec §Schema Resolution for this module's subset →
     (actions, template).
 
     `actions` has one entry per WRITER field in writer order (wire
@@ -452,58 +856,22 @@ def _resolution_plan(writer_schema: dict, reader_schema: dict):
     ("skip", writer_tag, writer_nullable) for writer-only fields
     (decoded to keep the stream aligned, then discarded). `template` is
     the per-record prototype list, pre-filled with reader-only fields'
-    defaults. Raises ValueError naming the first incompatible field."""
+    defaults. Composite fields (array/map/nested record, r10) resolve
+    recursively via `_value_converter`. Raises ValueError naming the
+    first incompatible field."""
     reader_fields = [
         (_unpack_field(f), f) for f in reader_schema["fields"]
     ]
-    by_name = {
-        name: (i, name, tag, nullable)
-        for i, ((name, tag, nullable), f) in enumerate(reader_fields)
-    }
-    # Spec: a reader field also matches a writer field named by one of
-    # its `aliases` — Avro's rename mechanism (an exact-name match on a
-    # DIFFERENT reader field takes precedence, checked first below).
-    by_alias: dict[str, tuple] = {}
-    for i, ((name, tag, nullable), f) in enumerate(reader_fields):
-        aliases = f.get("aliases", ())
-        if not isinstance(aliases, (list, tuple)):
-            # A bare string would iterate per-CHARACTER, silently
-            # aliasing 'o','l','d' instead of 'old'.
-            raise ValueError(
-                f"avro schema resolution: field {name!r} aliases must "
-                f"be a JSON array, got {type(aliases).__name__}"
-            )
-        for a in aliases:
-            if a in by_alias:
-                raise ValueError(
-                    f"avro schema resolution: reader fields "
-                    f"{by_alias[a][1]!r} and {name!r} both alias the "
-                    f"writer name {a!r} — ambiguous rename"
-                )
-            if a in by_name and a != name:
-                # Canonical Avro (Java applyAliases, the spark-avro jar
-                # path) REWRITES the writer schema, so this alias would
-                # capture writer field `a` even though a sibling reader
-                # field carries that exact name; this module resolves
-                # exact names first, which would hand `a` to the sibling
-                # instead. Two implementations, two answers — refuse
-                # rather than silently pick one (ADVICE r9).
-                raise ValueError(
-                    f"avro schema resolution: field {name!r} aliases "
-                    f"{a!r}, but a sibling reader field is named {a!r} "
-                    "— alias/name collision resolves differently under "
-                    "Java applyAliases; rename one of them"
-                )
-            by_alias[a] = (i, name, tag, nullable)
+    lookup = _reader_index(reader_schema["fields"], "")
     actions = []
     covered = set()
     for wf in writer_schema["fields"]:
         wname, wtag, wnull = _unpack_field(wf)
-        hit = by_name.get(wname) or by_alias.get(wname)
-        if hit is None:
+        ridx = lookup.get(wname)
+        if ridx is None:
             actions.append(("skip", wtag, wnull))
             continue
-        ridx, rname, rtag, rnull = hit
+        (rname, rtag, rnull), rf = reader_fields[ridx]
         if rname in covered:
             raise ValueError(
                 f"avro schema resolution: writer field {wname!r} "
@@ -512,13 +880,18 @@ def _resolution_plan(writer_schema: dict, reader_schema: dict):
             )
         if wtag == rtag:
             conv = None
-        elif (wtag, rtag) in _PROMOTIONS:
+        elif (
+            isinstance(wtag, str)
+            and isinstance(rtag, str)
+            and (wtag, rtag) in _PROMOTIONS
+        ):
             conv = _PROMOTIONS[(wtag, rtag)]
         else:
-            raise ValueError(
-                f"avro schema resolution: field {wname!r} written as "
-                f"{wtag} cannot be read as {rtag} (no spec promotion)"
-            )
+            # Composites (and incompatible primitives — the converter
+            # raises the same no-spec-promotion error for those).
+            wb, _ = _strip_null_wrapper(wf["type"])
+            rb, _ = _strip_null_wrapper(rf["type"])
+            conv = _branch_converter(wb, rb, wtag, rtag, wname)
         covered.add(rname)
         actions.append(("read", ridx, wtag, conv, wnull, rnull))
     template: list = [None] * len(reader_fields)
@@ -651,6 +1024,21 @@ def _require_local(path: str, what: str) -> str:
 _UTC_NAMES = ("UTC", "GMT", "Z", "ETC/UTC")
 
 
+def _has_timestamp(dt: T.DataType) -> bool:
+    """True if the type contains a TimestampType at ANY nesting depth —
+    the UTC-session guard must fire for array<timestamp> and
+    struct<..., ts> exactly as for a top-level column (r10)."""
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_timestamp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_timestamp(dt.keyType) or _has_timestamp(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_timestamp(f.dataType) for f in dt.fields)
+    return False
+
+
 def _require_utc_for_timestamps(
     spark: SparkSession, has_timestamp: bool, what: str
 ) -> None:
@@ -725,9 +1113,7 @@ def write_avro_fallback(
     local = _require_local(path, "avro write")
     _require_utc_for_timestamps(
         df.sparkSession,
-        any(
-            isinstance(f.dataType, T.TimestampType) for f in df.schema.fields
-        ),
+        any(_has_timestamp(f.dataType) for f in df.schema.fields),
         "avro write",
     )
     partition_by = list(partition_by or [])
@@ -940,6 +1326,22 @@ _AVRO_TO_SPARK = {
 }
 
 
+def _tag_to_spark(tag) -> T.DataType:
+    """Spark type for one decoder tag, recursing into composites (r10)."""
+    if isinstance(tag, str):
+        return _AVRO_TO_SPARK[tag]
+    if tag[0] == "array":
+        return T.ArrayType(_tag_to_spark(tag[1]), tag[2])
+    if tag[0] == "map":
+        return T.MapType(T.StringType(), _tag_to_spark(tag[1]), tag[2])
+    return T.StructType(
+        [
+            T.StructField(n, _tag_to_spark(t), nl)
+            for n, t, nl in tag[1]
+        ]
+    )
+
+
 def _norm_file_path(p: str) -> str:
     """Normalize a path as binaryFile reports it and as os.walk produced
     it to one comparable form. binaryFile's `path` column is the RAW
@@ -1069,14 +1471,14 @@ def read_avro_fallback(
     }
 
     fields = [
-        T.StructField(name, _AVRO_TO_SPARK[tag], nullable)
+        T.StructField(name, _tag_to_spark(tag), nullable)
         for name, tag, nullable in map(
             _unpack_field, reader_schema["fields"]
         )
     ]
     _require_utc_for_timestamps(
         spark,
-        any(isinstance(f.dataType, T.TimestampType) for f in fields),
+        any(_has_timestamp(f.dataType) for f in fields),
         "avro read",
     )
     # Partition columns append after the data columns, Spark-style;
