@@ -140,6 +140,24 @@ ADAPT_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_ADAPT_TOL", "1.15"))
 ADAPT_MAX_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_ADAPT_MAX", "7"))
 
 
+def _needs_more_samples(
+    samples: list[float],
+    tol: float | None = None,
+    max_n: int | None = None,
+) -> bool:
+    """The adaptive-floor stopping rule, extracted pure so the protocol
+    is unit-testable (tests/test_bench_calibration.py): keep sampling
+    while the two SMALLEST samples disagree by more than `tol`, up to
+    `max_n` draws. A gate whose min is not corroborated within tol by a
+    second draw has not produced a claimable number yet."""
+    tol = ADAPT_TOL if tol is None else tol
+    max_n = ADAPT_MAX_SAMPLES if max_n is None else max_n
+    if len(samples) >= max_n:
+        return False
+    o = sorted(samples)
+    return len(o) < 2 or o[1] > o[0] * tol
+
+
 def _sustained_stream_mib_per_s(
     spark, copies: int = 16, runs: int = 3
 ) -> tuple[float, float]:
@@ -221,7 +239,7 @@ LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
 # to uniform slowdown — BENCH_r07 stamped itself clean while ~1.8x
 # inflated), this compares against an ABSOLUTE committed constant, so a
 # uniformly slowed machine can no longer stamp itself clean.
-CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.41"))
+CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.453"))
 CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
 # CAL_REF_S is HARDWARE-SPECIFIC (ADVICE r8): it is the sha256
 # throughput of the machine the reference was calibrated on. The
@@ -230,10 +248,21 @@ CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
 # when `cal_host` changes, recalibrate by running
 # `python -c "import bench; print(min(bench._cal_probe() for _ in
 # range(5)))"` on the idle new host and exporting SPARK_GRAFT_CAL_REF_S.
+#
+# Calibration history:
+# - r8 host "Intel(R) Xeon(R) Processor @ 2.10GHz x32": 0.41
+#   (min-of-5 at loadavg 0.02: 0.406/0.406/0.415/0.412/0.423).
+# - r10: the sandbox moved to different silicon ("@ 2.70GHz x32" —
+#   caught by the r9 cal_host_matches_ref field doing exactly its
+#   job); idle min-of-10 on the new host is 0.453 with a very tight
+#   spread (0.453–0.459), i.e. ~10% less sha256 throughput despite
+#   the higher nominal clock. Cross-round comparisons of r10+ walls
+#   against r8/r9 artifacts therefore carry a hardware term on top of
+#   machine-hour noise; the paired A/B protocol is the only
+#   apples-to-apples instrument across this boundary.
 CAL_REF_HOST = os.environ.get(
     "SPARK_GRAFT_CAL_REF_HOST",
-    # the r8 calibration host for CAL_REF_S=0.41
-    "Intel(R) Xeon(R) Processor @ 2.10GHz x32",
+    "Intel(R) Xeon(R) Processor @ 2.70GHz x32",
 )
 
 
@@ -453,10 +482,7 @@ def main() -> None:
             # one-sided timer noise alone — both rounds' numbers were
             # each hit twice. Cost is bounded: extra samples happen
             # only while the two best disagree, i.e. on noisy draws.
-            while len(samples) < ADAPT_MAX_SAMPLES:
-                o = sorted(samples)
-                if len(o) >= 2 and o[1] <= o[0] * ADAPT_TOL:
-                    break
+            while _needs_more_samples(samples):
                 one_sample()
             # MIN over repeats, everywhere, since r6. The headline used
             # median-of-3 through r5 to stay conservative, but the sandbox

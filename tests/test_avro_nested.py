@@ -447,8 +447,8 @@ def test_drifted_nested_tree_resolves_on_read(spark, tmp_path):
 @pytest.mark.parametrize(
     "frag, msg",
     [
-        ({"type": "enum", "name": "E", "symbols": ["A"]}, "enum"),
-        ({"type": "fixed", "name": "F", "size": 4}, "fixed"),
+        # enum/fixed left this list in the r10 second pass — they
+        # decode now (tests/test_avro_enum_fixed.py)
         (["null", "long", "string"], "unions only"),
         ("SomeRecord", "named-type references"),
         (

@@ -119,3 +119,31 @@ def test_committed_reference_is_sane():
     # Guard against an accidental unit change (ms vs s) in the constant.
     assert 0.1 < CAL_REF_S < 2.0
     assert 1.0 < CAL_MAX_RATIO < 3.0
+
+
+def test_adaptive_floor_stopping_rule():
+    """r10 signal floor (VERDICT r9 item 7): the stopping rule keeps
+    sampling until the two SMALLEST draws agree within tol (min is
+    corroborated), and always stops at max_n. With the rule in force, a
+    recorded min was reproduced within 15% inside its own run — so a
+    round-over-round min ratio >1.5x cannot be one-sided timer noise."""
+    from bench import _needs_more_samples
+
+    # fewer than two samples: always keep going
+    assert _needs_more_samples([], tol=1.15, max_n=7)
+    assert _needs_more_samples([1.0], tol=1.15, max_n=7)
+    # two agreeing samples: done
+    assert not _needs_more_samples([1.0, 1.1], tol=1.15, max_n=7)
+    # min not corroborated (second-best 1.5x the best): keep sampling
+    assert _needs_more_samples([1.0, 1.5], tol=1.15, max_n=7)
+    # corroboration is about the two SMALLEST, not the latest draws:
+    # a noisy tail after two agreeing fast samples changes nothing
+    assert not _needs_more_samples([1.0, 9.0, 1.05], tol=1.15, max_n=7)
+    # one fast outlier among slow agreeing draws: the fast MIN is the
+    # claim, and it is uncorroborated -> more samples
+    assert _needs_more_samples([5.0, 5.1, 1.0], tol=1.15, max_n=7)
+    # hard cap regardless of agreement
+    assert not _needs_more_samples([1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0],
+                                   tol=1.15, max_n=7)
+    # boundary: exactly tol-apart counts as agreement
+    assert not _needs_more_samples([1.0, 1.15], tol=1.15, max_n=7)

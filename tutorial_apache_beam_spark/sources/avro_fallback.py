@@ -11,11 +11,15 @@ them), and NESTED RECORDS, nullable at any depth — written/read as
 standard Avro Object Container Files (magic 'Obj\\x01', schema in the
 file metadata, sync-marker-framed blocks; codecs: null/deflate/bzip2/xz
 via the stdlib, snappy/zstandard when their libraries are installed).
-Still refused, loudly and with the jar remediation: enum, fixed, unions
-wider than ["null", T], named-type references (incl. recursive schemas),
-and the JVM-mapped logical types outside the subset (decimal, the
-millis/local-timestamp family) — decoding those as bare underlying types
-would silently diverge from spark-avro.
+Enum and fixed decode READ-only (r10 second pass): Spark has no enum /
+fixed types so the writer never emits them; on read, enum values map to
+their symbol strings and fixed(N) to binary, exactly as spark-avro maps
+them, with the spec's enum-default resolution rule. Still refused,
+loudly and with the jar remediation: unions wider than ["null", T],
+named-type references (incl. recursive schemas), and the JVM-mapped
+logical types outside the subset (decimal, the millis/local-timestamp
+family) — decoding those as bare underlying types would silently
+diverge from spark-avro.
 
 Clean-room provenance: implemented from the public Apache Avro 1.11
 specification only (binary encoding §"Binary Encoding", container format
@@ -321,6 +325,22 @@ def _decode_value(tag: str, buf: io.BytesIO):
         return tuple(
             _decode_nullable(ftag, fnull, buf) for _, ftag, fnull in tag[1]
         )
+    if tag[0] == "enum":
+        # spec: "an int, representing the zero-based position of the
+        # symbol in the schema"
+        idx = decode_long(buf)
+        syms = tag[2]
+        if not 0 <= idx < len(syms):
+            raise ValueError(
+                f"avro enum index {idx} out of range for {tag[1]!r} "
+                f"({len(syms)} symbols) — corrupt data or wrong schema"
+            )
+        return syms[idx]
+    if tag[0] == "fixed":
+        raw = buf.read(tag[1])
+        if len(raw) != tag[1]:
+            raise EOFError("truncated avro fixed value")
+        return raw
     raise AssertionError(f"unknown decoder tag {tag}")
 
 
@@ -584,11 +604,19 @@ def _parse_avro_type(t, where: str):
                 for f in t["fields"]
             )
             return ("record", fields), nullable
-        if base in ("enum", "fixed"):
-            raise NotImplementedError(
-                f"avro fallback does not decode {base} types; {where} "
-                f"is {t.get('name', base)!r} — use the spark-avro package"
+        if base == "enum":
+            # READ-only (r10, second pass): Spark has no enum type, so
+            # the writer never emits one; on read an enum value maps to
+            # its symbol STRING, as spark-avro does. The name and the
+            # spec's enum `default` ride in the tag for resolution.
+            return (
+                ("enum", t["name"], tuple(t["symbols"]), t.get("default")),
+                nullable,
             )
+        if base == "fixed":
+            # READ-only: fixed(N) maps to binary; name+size in the tag
+            # because resolution requires both to match.
+            return ("fixed", int(t["size"]), t["name"]), nullable
         lt = t.get("logicalType")
         if lt in _KNOWN_LOGICAL:
             return lt, nullable
@@ -647,6 +675,11 @@ def _default_value(tag, dj):
             return [_default_value(tag[1], x) for x in dj]
         if tag[0] == "map":
             return {k: _default_value(tag[1], v) for k, v in dj.items()}
+        if tag[0] == "enum":
+            return str(dj)  # default is a symbol string
+        if tag[0] == "fixed":
+            # like bytes: JSON string, code points 0-255 = byte values
+            return str(dj).encode("latin-1")
         out = []
         for fname, ftag, _fnull in tag[1]:
             if fname not in dj:
@@ -767,6 +800,39 @@ def _branch_converter(wb, rb, wtag, rtag, where: str):
             f"{_tag_desc(wtag)} cannot be read as {_tag_desc(rtag)} "
             "(no spec promotion)"
         )
+    if wtag[0] == "enum":
+        # spec: named types must match by (full)name; a writer symbol
+        # absent from the reader enum takes the reader's enum default,
+        # else errors — checked at PLAN time (loud), not first-bad-row.
+        if wtag[1] != rtag[1]:
+            raise ValueError(
+                f"avro schema resolution: {where}: enum name mismatch "
+                f"({wtag[1]!r} vs {rtag[1]!r})"
+            )
+        rsyms = set(rtag[2])
+        missing = [s for s in wtag[2] if s not in rsyms]
+        if not missing:
+            return None
+        default = rtag[3]
+        if default is None:
+            raise ValueError(
+                f"avro schema resolution: {where}: writer enum symbols "
+                f"{missing} are absent from the reader enum "
+                f"{rtag[1]!r}, which declares no enum default"
+            )
+        return lambda s: s if s in rsyms else default
+    if wtag[0] == "fixed":
+        if wtag[2] != rtag[2]:
+            raise ValueError(
+                f"avro schema resolution: {where}: fixed name mismatch "
+                f"({wtag[2]!r} vs {rtag[2]!r})"
+            )
+        if wtag[1] != rtag[1]:
+            raise ValueError(
+                f"avro schema resolution: {where}: fixed size mismatch "
+                f"({wtag[1]} vs {rtag[1]})"
+            )
+        return None
     if wtag[0] == "array":
         ic = _value_converter(wb["items"], rb["items"], f"{where} items")
         if ic is None:
@@ -843,6 +909,10 @@ def _tag_desc(tag) -> str:
         return tag
     if tag[0] in ("array", "map"):
         return f"{tag[0]}<{_tag_desc(tag[1])}>"
+    if tag[0] == "enum":
+        return f"enum {tag[1]}"
+    if tag[0] == "fixed":
+        return f"fixed({tag[1]}) {tag[2]}"
     return "record"
 
 
@@ -1334,6 +1404,10 @@ def _tag_to_spark(tag) -> T.DataType:
         return T.ArrayType(_tag_to_spark(tag[1]), tag[2])
     if tag[0] == "map":
         return T.MapType(T.StringType(), _tag_to_spark(tag[1]), tag[2])
+    if tag[0] == "enum":
+        return T.StringType()  # symbol strings, as spark-avro maps them
+    if tag[0] == "fixed":
+        return T.BinaryType()
     return T.StructType(
         [
             T.StructField(n, _tag_to_spark(t), nl)
