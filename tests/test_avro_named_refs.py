@@ -1,0 +1,198 @@
+"""Named-type REFERENCES in the avro fallback (r10, third pass).
+
+Java-generated schemas routinely define a record/enum/fixed once and
+reference it by name afterwards ("type": "com.x.Suit"); the fallback
+refused every such schema. Non-recursive references now INLINE at the
+schema boundary (`inline_named_types`) so the rest of the module keeps
+seeing reference-free schemas; RECURSIVE references (a record reaching
+itself) still refuse — a recursive value has no finite Spark schema.
+
+Spec provenance (Avro 1.12 §Names): a named type may be referenced by
+its fullname (namespace.name) anywhere after its definition, or by its
+bare name from within the same namespace; nested definitions inherit
+the enclosing namespace.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from tutorial_apache_beam_spark.sources.avro_fallback import (
+    _field_plan,
+    _parse_avro_type,
+    inline_named_types,
+    read_container,
+    write_container,
+    encode_long,
+)
+
+try:
+    from pyspark.sql import types as T
+except ImportError:  # pragma: no cover
+    pytest.skip("pyspark required", allow_module_level=True)
+
+
+def test_enum_defined_once_referenced_again():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "enum", "name": "Suit",
+                    "symbols": ["S", "H"],
+                },
+            },
+            {"name": "b", "type": "Suit"},  # bare-name reference
+        ],
+    }
+    inlined = inline_named_types(schema)
+    ta, _ = _parse_avro_type(inlined["fields"][0]["type"], "a")
+    tb, _ = _parse_avro_type(inlined["fields"][1]["type"], "b")
+    assert ta == tb == ("enum", "Suit", ("S", "H"), None)
+
+
+def test_record_reference_inside_array_and_union():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "first",
+                "type": {
+                    "type": "record", "name": "Point",
+                    "fields": [
+                        {"name": "x", "type": "long"},
+                        {"name": "y", "type": "long"},
+                    ],
+                },
+            },
+            {"name": "rest", "type": {"type": "array", "items": "Point"}},
+            {"name": "maybe", "type": ["null", "Point"], "default": None},
+        ],
+    }
+    inlined = inline_named_types(schema)
+    # all three positions parse to the same record tag
+    t1, _ = _parse_avro_type(inlined["fields"][0]["type"], "f")
+    t2, _ = _parse_avro_type(inlined["fields"][1]["type"], "f")
+    t3, n3 = _parse_avro_type(inlined["fields"][2]["type"], "f")
+    assert t2 == ("array", t1, False)
+    assert t3 == t1 and n3
+
+    # and real bytes decode through the reference positions
+    rows = [
+        # first=(1,2); rest=[(3,4)]; maybe=null
+        encode_long(1) + encode_long(2)
+        + encode_long(1) + encode_long(3) + encode_long(4) + encode_long(0)
+        + encode_long(0),
+    ]
+    sync = b"\x5a" * 16
+    hdr = io.BytesIO()
+    write_container(iter([]), [], schema, hdr, sync=sync)
+    payload = b"".join(rows)
+    data = (
+        hdr.getvalue()
+        + encode_long(1) + encode_long(len(payload)) + payload + sync
+    )
+    _, got = read_container(io.BytesIO(data))
+    assert got == [((1, 2), [(3, 4)], None)]
+
+
+def test_namespace_fullname_and_bare_reference():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "namespace": "com.x",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "fixed", "name": "md5", "size": 4,
+                },  # inherits com.x -> fullname com.x.md5
+            },
+            {"name": "b", "type": "com.x.md5"},  # fullname reference
+            {"name": "c", "type": "md5"},        # bare, same namespace
+        ],
+    }
+    inlined = inline_named_types(schema)
+    tags = [
+        _parse_avro_type(f["type"], f["name"])[0]
+        for f in inlined["fields"]
+    ]
+    assert tags[0] == tags[1] == tags[2]
+    assert tags[0][0] == "fixed" and tags[0][1] == 4
+
+
+def test_recursive_schema_refused():
+    schema = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"], "default": None},
+        ],
+    }
+    with pytest.raises(NotImplementedError, match="recursive"):
+        inline_named_types(schema)
+
+
+def test_unknown_reference_still_refuses():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "NeverDefined"}],
+    }
+    inlined = inline_named_types(schema)  # passes through unknown names
+    with pytest.raises(NotImplementedError, match="named-type"):
+        _parse_avro_type(inlined["fields"][0]["type"], "a")
+
+
+def test_reference_through_container_read(tmp_path):
+    """End-to-end: a foreign-style writer schema with an enum reference
+    reads through read_container (the boundary where inlining hooks)."""
+    fields = [
+        {
+            "name": "s1",
+            "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]},
+        },
+        {"name": "s2", "type": "E"},
+    ]
+    schema = {"type": "record", "name": "r", "fields": fields}
+    sync = b"\x5a" * 16
+    hdr = io.BytesIO()
+    write_container(iter([]), [], schema, hdr, sync=sync)
+    payload = encode_long(0) + encode_long(1)  # A, B
+    data = (
+        hdr.getvalue()
+        + encode_long(1) + encode_long(len(payload)) + payload + sync
+    )
+    _, got = read_container(io.BytesIO(data))
+    assert got == [("A", "B")]
+
+
+def test_ambiguous_bare_name_refused_fullname_works():
+    """Two namespaces defining the same bare name: a bare reference is
+    ambiguous and refuses; fullname references stay precise."""
+    def schema(ref):
+        return {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": {
+                    "type": "fixed", "name": "h", "size": 4,
+                    "namespace": "x"}},
+                {"name": "b", "type": {
+                    "type": "fixed", "name": "h", "size": 8,
+                    "namespace": "y"}},
+                {"name": "c", "type": ref},
+            ],
+        }
+
+    inlined = inline_named_types(schema("y.h"))
+    t, _ = _parse_avro_type(inlined["fields"][2]["type"], "c")
+    assert t[1] == 8  # picked the y.h definition
+    with pytest.raises(NotImplementedError, match="ambiguous"):
+        inline_named_types(schema("h"))

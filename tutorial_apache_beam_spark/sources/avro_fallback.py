@@ -14,12 +14,16 @@ via the stdlib, snappy/zstandard when their libraries are installed).
 Enum and fixed decode READ-only (r10 second pass): Spark has no enum /
 fixed types so the writer never emits them; on read, enum values map to
 their symbol strings and fixed(N) to binary, exactly as spark-avro maps
-them, with the spec's enum-default resolution rule. Still refused,
-loudly and with the jar remediation: unions wider than ["null", T],
-named-type references (incl. recursive schemas), and the JVM-mapped
-logical types outside the subset (decimal, the millis/local-timestamp
-family) — decoding those as bare underlying types would silently
-diverge from spark-avro.
+them, with the spec's enum-default resolution rule. Named-type
+REFERENCES ("type": "com.x.Suit" after a definition — Java-generated
+schemas use them routinely) inline at the schema boundary
+(`inline_named_types`), fullname or same-namespace bare name. Still
+refused, loudly and with the jar remediation: unions wider than
+["null", T], RECURSIVE schemas (no finite Spark schema exists),
+ambiguous bare-name references, and the JVM-mapped logical types
+outside the subset (decimal, the millis/local-timestamp family) —
+decoding those as bare underlying types would silently diverge from
+spark-avro.
 
 Clean-room provenance: implemented from the public Apache Avro 1.11
 specification only (binary encoding §"Binary Encoding", container format
@@ -552,6 +556,87 @@ def read_header(fh) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
+def inline_named_types(schema):
+    """Deep-copied `schema` with every named-type REFERENCE replaced by
+    its definition (r10 — spec §Names: record/enum/fixed may be
+    referenced by fullname anywhere after definition, or by bare name
+    from the same namespace; nested definitions inherit the enclosing
+    namespace). Applied at the schema boundaries (`_decode_container`,
+    `read_avro_fallback`, `resolve_reader_schema`) so the rest of the
+    module keeps seeing reference-free schemas.
+
+    Refusals (NotImplementedError, jar remediation): RECURSIVE
+    references — a record reaching itself has no finite Spark schema —
+    and AMBIGUOUS bare-name references (the same bare name defined
+    under two namespaces). Unknown name strings pass through untouched;
+    the type parser refuses them with its named-type message."""
+    defs: dict[str, object] = {}
+    ambiguous: set[str] = set()
+    open_names: set[str] = set()
+
+    def recursive(name: str):
+        return NotImplementedError(
+            f"avro fallback does not decode recursive schemas (named "
+            f"type {name!r} references itself, directly or through "
+            "another type) — use the spark-avro package"
+        )
+
+    def walk(t, ns):
+        if isinstance(t, list):
+            return [walk(x, ns) for x in t]
+        if isinstance(t, str):
+            if "." in t:  # fullname reference
+                if t in open_names:
+                    raise recursive(t)
+                return defs.get(t, t)
+            nskey = f"{ns}.{t}" if ns else None
+            if t in open_names or (nskey and nskey in open_names):
+                raise recursive(t)
+            if nskey and nskey in defs:
+                return defs[nskey]
+            if t in defs:
+                if t in ambiguous:
+                    raise NotImplementedError(
+                        f"avro named-type reference {t!r} is ambiguous "
+                        "(defined under more than one namespace) — "
+                        "reference it by fullname"
+                    )
+                return defs[t]
+            return t  # primitive or unknown — the parser handles both
+        if isinstance(t, dict):
+            base = t.get("type")
+            if base in ("record", "enum", "fixed"):
+                name = t["name"]
+                if "." in name:
+                    space, bare = name.rsplit(".", 1)
+                else:
+                    space, bare = t.get("namespace", ns), name
+                full = f"{space}.{bare}" if space else bare
+                out = dict(t)
+                if base == "record":
+                    open_names.update((full, bare))
+                    out["fields"] = [
+                        {**f, "type": walk(f["type"], space)}
+                        for f in t["fields"]
+                    ]
+                    open_names.difference_update((full, bare))
+                defs[full] = out
+                if bare != full:
+                    if bare in defs and defs[bare] is not out:
+                        ambiguous.add(bare)
+                    else:
+                        defs[bare] = out
+                return out
+            out = dict(t)
+            for k in ("items", "values"):
+                if k in out:
+                    out[k] = walk(out[k], ns)
+            return out
+        return t
+
+    return walk(schema, None)
+
+
 # --- spec §Schema Resolution ------------------------------------------------
 
 _PRIMITIVE_TAGS = frozenset(
@@ -989,6 +1074,7 @@ def resolve_reader_schema(schemas: list[dict]) -> dict:
     resolves to (so an added-field evolution keeps the new column rather
     than silently dropping it), ties broken by first appearance. Raises
     ValueError when no candidate reads every file."""
+    schemas = [inline_named_types(s) for s in schemas]
     seen: list[dict] = []
     keys = set()
     for s in schemas:
@@ -1024,6 +1110,11 @@ def _decode_container(buf: io.BytesIO, reader_schema: dict | None = None):
     # compressed bytes as if they were plain (the pre-r8 reader fell
     # through to uncompressed for anything but deflate).
     _, decompress = _codec_pair(codec)
+    # Named-type references inline here (r10) so the resolution plan
+    # and decoders see reference-free schemas.
+    writer_schema = inline_named_types(writer_schema)
+    if reader_schema is not None:
+        reader_schema = inline_named_types(reader_schema)
     effective = reader_schema or writer_schema
     actions, template = _resolution_plan(writer_schema, effective)
     reader_names = [f["name"] for f in effective["fields"]]
@@ -1482,7 +1573,7 @@ def read_avro_fallback(
         with open(fp, "rb") as fh:
             s, codec, _sync = read_header(fh)
         _codec_pair(codec)
-        writer_schemas.append(s)
+        writer_schemas.append(inline_named_types(s))
     if reader_schema is None:
         try:
             reader_schema = resolve_reader_schema(writer_schemas)
@@ -1501,6 +1592,7 @@ def read_avro_fallback(
                 f"{drifted!r}) is not spec-resolvable: {ex}"
             ) from ex
     else:
+        reader_schema = inline_named_types(reader_schema)
         for fp, s in zip((f for f, _ in files), writer_schemas):
             try:
                 _resolution_plan(s, reader_schema)
