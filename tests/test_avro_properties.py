@@ -97,3 +97,110 @@ def test_container_roundtrip_is_deterministic(rows):
         )
         bufs.append(fh.getvalue())
     assert bufs[0] == bufs[1]
+
+
+# --- nested composites (r10): hypothesis over ARBITRARY SCHEMAS ------------
+#
+# The deterministic nested tests pin one fixture schema; here hypothesis
+# generates the SCHEMA too (bounded-depth arrays/maps/structs over the
+# primitive leaves, nullable at random positions) plus matching rows, so
+# the recursive encoder/decoder pair is exercised over schema shapes no
+# fixed fixture enumerates.
+
+_leaf_types = st.sampled_from(
+    [
+        T.LongType(),
+        T.IntegerType(),
+        T.BooleanType(),
+        T.StringType(),
+        T.BinaryType(),
+        T.DoubleType(),
+    ]
+)
+
+
+def _composite(children):
+    return st.one_of(
+        st.builds(T.ArrayType, children, st.booleans()),
+        st.builds(
+            lambda v, n: T.MapType(T.StringType(), v, n),
+            children,
+            st.booleans(),
+        ),
+        st.builds(
+            lambda ts: T.StructType(
+                [
+                    T.StructField(f"f{i}", t, nullable)
+                    for i, (t, nullable) in enumerate(ts)
+                ]
+            ),
+            st.lists(st.tuples(children, st.booleans()), min_size=1,
+                     max_size=3),
+        ),
+    )
+
+
+_dtype = st.recursive(_leaf_types, _composite, max_leaves=6)
+
+
+def _value_for(dt, nullable):
+    base = {
+        T.LongType: st.integers(-(2**63), 2**63 - 1),
+        T.IntegerType: st.integers(-(2**31), 2**31 - 1),
+        T.BooleanType: st.booleans(),
+        T.StringType: st.text(max_size=12),
+        T.BinaryType: st.binary(max_size=12),
+        T.DoubleType: st.floats(allow_nan=False),
+    }.get(type(dt))
+    if base is None:
+        if isinstance(dt, T.ArrayType):
+            base = st.lists(
+                _value_for(dt.elementType, dt.containsNull), max_size=4
+            )
+        elif isinstance(dt, T.MapType):
+            base = st.dictionaries(
+                st.text(max_size=6),
+                _value_for(dt.valueType, dt.valueContainsNull),
+                max_size=4,
+            )
+        else:  # StructType
+            base = st.tuples(
+                *(
+                    _value_for(f.dataType, f.nullable)
+                    for f in dt.fields
+                )
+            )
+    return st.one_of(st.none(), base) if nullable else base
+
+
+@st.composite
+def _schema_and_rows(draw):
+    n_fields = draw(st.integers(1, 4))
+    fields = [
+        T.StructField(f"c{i}", draw(_dtype), draw(st.booleans()))
+        for i in range(n_fields)
+    ]
+    schema = T.StructType(fields)
+    rows = draw(
+        st.lists(
+            st.tuples(
+                *(_value_for(f.dataType, f.nullable) for f in fields)
+            ),
+            max_size=8,
+        )
+    )
+    return schema, rows
+
+
+@given(sr=_schema_and_rows(), codec=st.sampled_from(["null", "deflate"]))
+@settings(max_examples=150, deadline=None)
+def test_nested_schema_roundtrip_arbitrary(sr, codec):
+    schema, rows = sr
+    av = spark_schema_to_avro(schema)
+    plan = _field_plan(schema)
+    fh = io.BytesIO()
+    n = write_container(iter(rows), plan, av, fh, codec=codec)
+    assert n == len(rows)
+    fh.seek(0)
+    eff, got = read_container(fh)
+    assert got == rows
