@@ -196,3 +196,74 @@ def test_ambiguous_bare_name_refused_fullname_works():
     assert t[1] == 8  # picked the y.h definition
     with pytest.raises(NotImplementedError, match="ambiguous"):
         inline_named_types(schema("h"))
+
+
+def test_nested_record_sharing_bare_name_does_not_mask_recursion():
+    """r10 review probe: outer record "X" containing nested "ns2.X" —
+    closing the nested record must not clobber the OUTER record's
+    recursion sentinel, or a bare self-reference resolves to ns2.X and
+    spec-correct recursive data mis-decodes silently."""
+    schema = {
+        "type": "record",
+        "name": "X",
+        "fields": [
+            {
+                "name": "inner",
+                "type": {
+                    "type": "record", "name": "X", "namespace": "ns2",
+                    "fields": [{"name": "v", "type": "long"}],
+                },
+            },
+            {"name": "self", "type": ["null", "X"], "default": None},
+        ],
+    }
+    with pytest.raises(NotImplementedError, match="recursive"):
+        inline_named_types(schema)
+
+
+def test_fullname_spellings_normalize_equal():
+    """Spec §Names: {"name": "com.x.Suit"} and {"name": "Suit",
+    "namespace": "com.x"} are the SAME type — after inlining both
+    normalize to the fullname spelling, so enum/fixed resolution
+    between two generators' spellings agrees (r10 review probe)."""
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _resolution_plan,
+    )
+
+    def rec(enum):
+        return {"type": "record", "name": "r",
+                "fields": [{"name": "s", "type": enum}]}
+
+    w = inline_named_types(rec(
+        {"type": "enum", "name": "com.x.Suit", "symbols": ["A", "B"]}
+    ))
+    r = inline_named_types(rec(
+        {"type": "enum", "name": "Suit", "namespace": "com.x",
+         "symbols": ["A", "B"]}
+    ))
+    assert w["fields"][0]["type"]["name"] == "com.x.Suit"
+    assert r["fields"][0]["type"]["name"] == "com.x.Suit"
+    actions, _ = _resolution_plan(w, r)  # must not refuse
+    assert actions[0][0] == "read"
+
+
+def test_null_second_union_refused():
+    """["long", "null"] is spec-legal but wire-different (branch 0 is
+    the VALUE): this module's decoders assume null-first, so accepting
+    it would desync the record stream silently (r10 review probe) —
+    refuse at parse time, everywhere a union can appear."""
+    for frag in (
+        ["long", "null"],
+        {"type": "array", "items": ["string", "null"]},
+        {"type": "record", "name": "n",
+         "fields": [{"name": "a", "type": ["long", "null"]}]},
+    ):
+        with pytest.raises(NotImplementedError, match="null-FIRST"):
+            _parse_avro_type(frag, "f")
+    # and through the converter's strip path
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _value_converter,
+    )
+
+    with pytest.raises(NotImplementedError, match="null-FIRST"):
+        _value_converter(["long", "null"], ["null", "long"], "f")

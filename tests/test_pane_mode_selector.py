@@ -224,3 +224,46 @@ def test_pipeline_api_routes_through_selector(spark, tmp_path):
             )
             .apply("Count", Count.per_key("user_id", "ts"))
         )
+
+
+def test_pane_key_contract_name_and_type(spark, tmp_path):
+    """r10 review: (a) both pane paths emit the CALLER's key name, so
+    mode='auto' can't change the output schema with the cardinality
+    hint; (b) non-integral keys refuse at PLAN time on the discarding
+    path (its state schema pins BIGINT — a string key used to crash
+    deep in the executor) with the accumulating remediation."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps(
+            {"event_time": BASE_EPOCH, "device_id": 7, "word": "w"}
+        )
+        + "\n"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_time BIGINT, device_id BIGINT, word STRING"
+        )
+        .json(str(src))
+        .select(
+            F.timestamp_seconds("event_time").alias("ts"),
+            "device_id",
+            "word",
+        )
+    )
+    # (a) caller's key name on BOTH paths
+    for mode, keys in (("discarding", 10), ("accumulating", 10**6)):
+        df = pane_counts(
+            stream, key_col="device_id", mode=mode, expected_keys=keys
+        )
+        assert set(df.columns) == {
+            "window_start", "device_id", "pane_count", "pane_index",
+        }, mode
+    # (b) string key: discarding refuses loudly, accumulating works
+    with pytest.raises(ValueError, match="integral key"):
+        pane_counts(stream, key_col="word", mode="discarding",
+                    expected_keys=10)
+    acc = pane_counts(stream, key_col="word", mode="accumulating")
+    assert "word" in acc.columns

@@ -229,3 +229,25 @@ def test_bm25_plan_prunes_before_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", pq_plan)) == 2
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", pq_plan)) == 1
     assert len(re.findall(r"\(\d+\) Generate", pq_plan)) == 1
+
+
+def test_oracle_qterm_values_mirror_engine_dedupe(spark):
+    """r10 review: the engine dedupes (query_id, term) but the oracle's
+    VALUES list is built separately — pin that the oracle rows are
+    duplicate-free and EXACTLY the engine's frame, so a future repeated
+    term in BM25_QUERIES stays a no-op on both sides of the hash gate."""
+    import re as _re
+
+    from tutorial_apache_beam_spark.queries.similarity import (
+        _BM25_QTERM_VALUES,
+    )
+
+    oracle_rows = set()
+    pairs = _re.findall(r"\((\d+), '([^']+)'\)", _BM25_QTERM_VALUES)
+    for qid, term in pairs:
+        assert (int(qid), term) not in oracle_rows, "oracle dup"
+        oracle_rows.add((int(qid), term))
+    engine_rows = {
+        (r.query_id, r.term) for r in query_terms_df(spark).collect()
+    }
+    assert oracle_rows == engine_rows

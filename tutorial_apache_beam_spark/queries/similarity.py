@@ -7,6 +7,8 @@ threshold or ordering — so include/exclude decisions agree.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,7 +91,11 @@ _IVF_ASSIGN = f"""
 # so no summation-order or rounding-boundary concern exists and the
 # score needs no round() guard at all.
 RRF_K = 60
-RRF_LCM = 495593280  # lcm(61, 62, 63, 64, 65)
+# Derived, not hand-written: the exact-integer-algebra claim holds for
+# ANY k because every addend RRF_LCM/(k+rank) divides exactly by
+# construction (r10 review: a hand-pinned 495593280 next to hardcoded
+# 60s let the two drift independently). For k=60 this is 495,593,280.
+RRF_LCM = math.lcm(*range(RRF_K + 1, RRF_K + 6))
 
 # BM25 recomputed in SQL (operators/retrieval.py mirrored verbatim):
 # identical tokenizer (lowercase, split on non-alphanumeric runs, drop
@@ -99,8 +105,14 @@ RRF_LCM = 495593280  # lcm(61, 62, 63, 64, 65)
 # 3-term summation-order noise (≤ ~1e-14 absolute); min rounding-
 # boundary margin measured 4.9e-10 across SFs — ≥ ~5×10^4 × the noise
 # bound (tests/test_retrieval.py sweeps it).
+# Deduped exactly like the engine side (query_terms_df, ADVICE r9): a
+# repeated term in a query list must contribute ONCE on both sides, or
+# the gate would hash-fail on the very input the engine was hardened
+# to absorb (r10 review finding).
 _BM25_QTERM_VALUES = ", ".join(
-    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    dict.fromkeys(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
 )
 _BM25_SCORED = f"""
     doc_tok AS (
@@ -243,7 +255,7 @@ def ann_scored_topk(
             UNION ALL SELECT 'ivf' AS method, * FROM ivf_scored
             UNION ALL SELECT 'bm25' AS method, * FROM bm25_scored)),
     fused AS (
-      SELECT query_id, vec_id, sum({RRF_LCM} // (60 + rn)) AS fi
+      SELECT query_id, vec_id, sum({RRF_LCM} // ({RRF_K} + rn)) AS fi
       FROM (SELECT CASE WHEN method = 'bm25' THEN probe_id
                         ELSE probe_id // 100 + 1 END AS query_id,
                    vec_id, rn
@@ -376,7 +388,9 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("query_id", "vec_id")
-        .agg(F.sum(F.expr(f"{RRF_LCM} div (60 + _rn)")).alias("fi"))
+        .agg(
+            F.sum(F.expr(f"{RRF_LCM} div ({RRF_K} + _rn)")).alias("fi")
+        )
         .withColumn("_fr", F.row_number().over(fuse_w))
         .filter(F.col("_fr") <= 5)
         .select(

@@ -613,13 +613,29 @@ def inline_named_types(schema):
                     space, bare = t.get("namespace", ns), name
                 full = f"{space}.{bare}" if space else bare
                 out = dict(t)
+                # Normalize to the FULLNAME spelling and drop the
+                # namespace attribute: spec §Names makes
+                # {"name": "com.x.Suit"} and {"name": "Suit",
+                # "namespace": "com.x"} the same type, but resolution
+                # compares name strings — two Java generators using the
+                # two equivalent spellings must not refuse each other
+                # (r10 review probe).
+                out["name"] = full
+                out.pop("namespace", None)
                 if base == "record":
-                    open_names.update((full, bare))
+                    # Track only the names THIS frame added: a nested
+                    # record sharing the bare name must not clobber the
+                    # enclosing record's recursion sentinel on close
+                    # (r10 review probe: outer "X" containing "ns2.X" —
+                    # blanket difference_update let a recursive bare
+                    # self-reference resolve to ns2.X silently).
+                    added = {full, bare} - open_names
+                    open_names.update(added)
                     out["fields"] = [
                         {**f, "type": walk(f["type"], space)}
                         for f in t["fields"]
                     ]
-                    open_names.difference_update((full, bare))
+                    open_names.difference_update(added)
                 defs[full] = out
                 if bare != full:
                     if bare in defs and defs[bare] is not out:
@@ -671,6 +687,18 @@ def _parse_avro_type(t, where: str):
             raise NotImplementedError(
                 f"avro fallback supports [\"null\", T] unions only; "
                 f"{where} has union {t!r} — use the spark-avro package"
+            )
+        if t[0] != "null":
+            # [T, "null"] is spec-legal and wire-DIFFERENT: the branch
+            # index 0 means T, not null. Every decoder/encoder in this
+            # module assumes null-first; accepting null-second here
+            # would decode branch 0 as null and desync the record
+            # stream with no error (caught by r10 review probe) —
+            # refuse loudly instead.
+            raise NotImplementedError(
+                f"avro fallback supports null-FIRST unions only; "
+                f"{where} has {t!r} (null second — branch indices "
+                "differ on the wire) — use the spark-avro package"
             )
         t = branches[0]
     if isinstance(t, dict):
@@ -836,8 +864,11 @@ def _reader_index(reader_fields: list[dict], where: str) -> dict[str, int]:
 
 def _strip_null_wrapper(t) -> tuple[object, bool]:
     """(branch fragment, nullable) from a raw avro type fragment that
-    may be a ["null", T] union (wider unions refuse in the parse)."""
+    may be a ["null", T] union (wider and null-SECOND unions refuse —
+    same rules as `_parse_avro_type`, enforced here too because
+    converters strip before parsing the branch)."""
     if isinstance(t, list):
+        _parse_avro_type(t, "union")  # refuses wide / null-second forms
         return [x for x in t if x != "null"][0], True
     return t, False
 
@@ -1111,7 +1142,12 @@ def _decode_container(buf: io.BytesIO, reader_schema: dict | None = None):
     # through to uncompressed for anything but deflate).
     _, decompress = _codec_pair(codec)
     # Named-type references inline here (r10) so the resolution plan
-    # and decoders see reference-free schemas.
+    # and decoders see reference-free schemas. The writer schema comes
+    # from THIS file's header so it must inline here; the reader schema
+    # usually arrives pre-inlined from read_avro_fallback — the repeat
+    # walk is idempotent and costs microseconds per file, accepted for
+    # the boundary guarantee (direct read_container callers pass raw
+    # schemas too).
     writer_schema = inline_named_types(writer_schema)
     if reader_schema is not None:
         reader_schema = inline_named_types(reader_schema)

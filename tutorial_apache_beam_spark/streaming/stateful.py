@@ -218,6 +218,22 @@ def discarding_pane_counts(
     window, expressed as a keyed state-store operator.
     """
     _require_utc_session(events, "discarding_pane_counts")
+    # The emitter's state/output schemas pin the key slot to BIGINT
+    # (np.full int64 per group): a string key would crash deep inside
+    # the executor, so refuse at PLAN time with the remediation (r10
+    # review — the Pipeline API now routes arbitrary keys here).
+    from pyspark.sql import types as T
+
+    key_type = events.schema[key_col].dataType
+    if not isinstance(
+        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"discarding pane operator requires an integral key column "
+            f"(state schema pins BIGINT); {key_col!r} is "
+            f"{key_type.simpleString()} — use mode='accumulating' or "
+            "map the key to an integral id first"
+        )
     # The watermark must ride on a column that survives the projection, so
     # it is declared on the derived window_start (event-time truncated to
     # the window) rather than the raw timestamp.
@@ -228,13 +244,19 @@ def discarding_pane_counts(
         .withWatermark("window_start", watermark_delay)
         .select("window_start", key_col)
     )
-    return bucketed.groupBy(key_col).applyInPandasWithState(
+    out = bucketed.groupBy(key_col).applyInPandasWithState(
         _make_emit_pane(_duration_ms(window_duration)),
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+    if key_col != "user_id":
+        # Both pane paths emit the CALLER's key name (the accumulating
+        # path always has), so mode='auto' cannot change the output
+        # schema with the cardinality hint (r10 review).
+        out = out.withColumnRenamed("user_id", key_col)
+    return out
 
 
 # Measured pane-path cost model (tools/pane_attrib.py, SCALING.md "Pane

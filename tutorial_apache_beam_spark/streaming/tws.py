@@ -509,6 +509,20 @@ def tws_pane_counts(
             "or use the output-identical state-v1 operator: "
             "streaming.stateful.discarding_pane_counts."
         ) from exc
+    # Same integral-key guard + caller-key-name contract as the v1
+    # twin (r10 review): the output schema pins the key slot to BIGINT.
+    from pyspark.sql import types as T
+
+    key_type = events.schema[key_col].dataType
+    if not isinstance(
+        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"discarding pane operator requires an integral key column "
+            f"(state schema pins BIGINT); {key_col!r} is "
+            f"{key_type.simpleString()} — use mode='accumulating' or "
+            "map the key to an integral id first"
+        )
     bucketed = (
         events.withColumn(
             "window_start", F.window(F.col(ts_col), window_duration).start
@@ -516,10 +530,13 @@ def tws_pane_counts(
         .withWatermark("window_start", watermark_delay)
         .select("window_start", key_col)
     )
-    return bucketed.groupBy(key_col).transformWithStateInPandas(
+    out = bucketed.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=PaneCountProcessor(_duration_ms(window_duration)),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode="EventTime",
         eventTimeColumnName="window_start",
     )
+    if key_col != "user_id":
+        out = out.withColumnRenamed("user_id", key_col)
+    return out
