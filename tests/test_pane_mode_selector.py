@@ -267,3 +267,39 @@ def test_pane_key_contract_name_and_type(spark, tmp_path):
                     expected_keys=10)
     acc = pane_counts(stream, key_col="word", mode="accumulating")
     assert "word" in acc.columns
+
+
+def test_non_count_combiner_refuses_pane_accumulation(spark, tmp_path):
+    """Pane semantics exist for Count.per_key only; a Sum downstream of
+    WindowInto(accumulation=...) must refuse, not silently emit final
+    results that look like panes (r10)."""
+    import json as _json
+
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Count,
+        FixedWindows,
+        Pipeline,
+        Sum,
+        WindowInto,
+        WithTimestamps,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"event_time": BASE_EPOCH, "user_id": 7}) + "\n"
+    )
+    p = Pipeline(spark)
+    windowed = (
+        p.create(_stream(spark, src))
+        .apply("Ts", WithTimestamps("ts"))
+        .apply(
+            "Win",
+            WindowInto(FixedWindows("1 minute"), accumulation="auto"),
+        )
+    )
+    with pytest.raises(NotImplementedError, match="Count.per_key only"):
+        windowed.apply("Sum", Sum.per_key("user_id"))
+    # Count still routes (sanity that the refusal is combiner-scoped)
+    out = windowed.apply("Count", Count.per_key("user_id"))
+    assert "pane_count" in out.df.columns

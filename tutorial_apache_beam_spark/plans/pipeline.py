@@ -373,6 +373,19 @@ class _PerKeyAgg(PTransform):
         raise NotImplementedError
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        if pcoll.spec.accumulation is not None:
+            # Pane semantics are implemented for Count.per_key only
+            # (the pane operators count); silently emitting final
+            # results for a Sum/Mean/CombinePerKey downstream of
+            # WindowInto(accumulation=...) would look like panes and
+            # not be — refuse instead (r10).
+            raise NotImplementedError(
+                "pane accumulation (WindowInto accumulation=...) is "
+                "implemented for Count.per_key only; "
+                f"{type(self).__name__} would silently emit final "
+                "results — drop the accumulation argument or use "
+                "Count.per_key"
+            )
         return pcoll._with(
             _windowed_group_agg(pcoll, self.key_cols, self.agg_exprs())
         )
