@@ -247,23 +247,24 @@ def test_fullname_spellings_normalize_equal():
     assert actions[0][0] == "read"
 
 
-def test_null_second_union_refused():
-    """["long", "null"] is spec-legal but wire-different (branch 0 is
-    the VALUE): this module's decoders assume null-first, so accepting
-    it would desync the record stream silently (r10 review probe) —
-    refuse at parse time, everywhere a union can appear."""
-    for frag in (
-        ["long", "null"],
-        {"type": "array", "items": ["string", "null"]},
-        {"type": "record", "name": "n",
-         "fields": [{"name": "a", "type": ["long", "null"]}]},
-    ):
-        with pytest.raises(NotImplementedError, match="null-FIRST"):
-            _parse_avro_type(frag, "f")
-    # and through the converter's strip path
+def test_null_second_union_decodes_with_correct_branch_indices():
+    """["long", "null"] is spec-legal and wire-DIFFERENT from the
+    null-first form (branch 0 is the VALUE): decoded via the general-
+    union tag, which reads its own index — the r10 review probe showed
+    the classic null-first fast path would decode branch 0 as null and
+    desync the stream silently."""
+    tag, nullable = _parse_avro_type(["long", "null"], "f")
+    assert tag == ("union", ("long", None), (0,)) and nullable
+    import io as _io
+
     from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _decode_value,
         _value_converter,
     )
 
-    with pytest.raises(NotImplementedError, match="null-FIRST"):
+    assert _decode_value(tag, _io.BytesIO(encode_long(0) + encode_long(42))) == 42
+    assert _decode_value(tag, _io.BytesIO(encode_long(1))) is None
+    # resolution: identical spelling resolves; reordered refuses loudly
+    assert _value_converter(["long", "null"], ["long", "null"], "f") is None
+    with pytest.raises(ValueError, match="no spec promotion|union"):
         _value_converter(["long", "null"], ["null", "long"], "f")

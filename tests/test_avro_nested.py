@@ -447,9 +447,9 @@ def test_drifted_nested_tree_resolves_on_read(spark, tmp_path):
 @pytest.mark.parametrize(
     "frag, msg",
     [
-        # enum/fixed left this list in the r10 second pass — they
-        # decode now (tests/test_avro_enum_fixed.py)
-        (["null", "long", "string"], "unions only"),
+        # enum/fixed (second pass) and general unions (third pass)
+        # left this list in r10 — they decode now
+        # (tests/test_avro_enum_fixed.py, test_avro_unions.py)
         ("SomeRecord", "named-type references"),
         (
             {"type": "long", "logicalType": "timestamp-millis"},

@@ -17,10 +17,15 @@ their symbol strings and fixed(N) to binary, exactly as spark-avro maps
 them, with the spec's enum-default resolution rule. Named-type
 REFERENCES ("type": "com.x.Suit" after a definition — Java-generated
 schemas use them routinely) inline at the schema boundary
-(`inline_named_types`), fullname or same-namespace bare name. Still
-refused, loudly and with the jar remediation: unions wider than
-["null", T], RECURSIVE schemas (no finite Spark schema exists),
-ambiguous bare-name references, and the JVM-mapped logical types
+(`inline_named_types`), fullname or same-namespace bare name. GENERAL
+unions decode READ-only too (r10 third pass), mapped as spark-avro
+maps them: 2-branch unions with null in either position → nullable T
+(the null-second form is wire-different — its branch indices are
+handled by the union tag, never the null-first fast path), several
+non-null branches → struct<member0, …>. Still refused, loudly and
+with the jar remediation: RECURSIVE schemas (no finite Spark schema
+exists), ambiguous bare-name references, general-union schema
+RESOLUTION beyond identical unions, and the JVM-mapped logical types
 outside the subset (decimal, the millis/local-timestamp family) —
 decoding those as bare underlying types would silently diverge from
 spark-avro.
@@ -345,12 +350,44 @@ def _decode_value(tag: str, buf: io.BytesIO):
         if len(raw) != tag[1]:
             raise EOFError("truncated avro fixed value")
         return raw
+    if tag[0] == "union":
+        # General union (r10): the index selects the ORIGINAL branch;
+        # a null branch yields None, one non-null branch yields the
+        # plain value, several yield the member tuple (one set, rest
+        # None) — spark-avro's struct<member0, …> mapping.
+        _, branch_tags, members = tag
+        k = decode_long(buf)
+        if not 0 <= k < len(branch_tags):
+            raise ValueError(
+                f"avro union branch index {k} out of range "
+                f"({len(branch_tags)} branches) — corrupt data or "
+                "wrong schema"
+            )
+        btag = branch_tags[k]
+        if btag is None:
+            return None
+        v = _decode_value(btag, buf)
+        if len(members) == 1:
+            return v
+        out = [None] * len(members)
+        out[members.index(k)] = v
+        return tuple(out)
     raise AssertionError(f"unknown decoder tag {tag}")
 
 
+def _is_union(tag) -> bool:
+    """True for general-union tags, which read their OWN branch index —
+    the callers' ["null", T] fast path (branch long, 0 = null) must not
+    fire for them."""
+    return isinstance(tag, tuple) and tag[0] == "union"
+
+
 def _decode_nullable(tag, nullable: bool, buf: io.BytesIO):
-    if nullable and decode_long(buf) == 0:
-        return None
+    if nullable:
+        if _is_union(tag):
+            return _decode_value(tag, buf)
+        if decode_long(buf) == 0:
+            return None
     return _decode_value(tag, buf)
 
 
@@ -683,24 +720,39 @@ def _parse_avro_type(t, where: str):
     nullable = isinstance(t, list)
     if nullable:
         branches = [x for x in t if x != "null"]
-        if len(branches) != 1 or len(t) != 2:
-            raise NotImplementedError(
-                f"avro fallback supports [\"null\", T] unions only; "
-                f"{where} has union {t!r} — use the spark-avro package"
+        if len(t) == 2 and len(branches) == 1 and t[0] == "null":
+            # The classic ["null", T] form — the writer's own shape.
+            # Wire handling stays in the callers' null-branch fast
+            # path; the tag is T's.
+            t = branches[0]
+        else:
+            # General unions (r10, READ-only): null in any position,
+            # and any number of branches. The tag carries the FULL
+            # original branch list so decode reads its own index —
+            # callers' null-first fast path must not fire for these
+            # (a null-second ["T", "null"] decoded under the classic
+            # path would desync the stream: r10 review probe). Maps to
+            # Spark exactly as spark-avro does: one non-null branch →
+            # that type (nullable); several → struct<member0, …> with
+            # the matching member set, others null.
+            branch_tags = tuple(
+                None
+                if b == "null"
+                else _parse_avro_type(b, f"{where} union branch {i}")[0]
+                for i, b in enumerate(t)
             )
-        if t[0] != "null":
-            # [T, "null"] is spec-legal and wire-DIFFERENT: the branch
-            # index 0 means T, not null. Every decoder/encoder in this
-            # module assumes null-first; accepting null-second here
-            # would decode branch 0 as null and desync the record
-            # stream with no error (caught by r10 review probe) —
-            # refuse loudly instead.
-            raise NotImplementedError(
-                f"avro fallback supports null-FIRST unions only; "
-                f"{where} has {t!r} (null second — branch indices "
-                "differ on the wire) — use the spark-avro package"
+            members = tuple(
+                i for i, b in enumerate(branch_tags) if b is not None
             )
-        t = branches[0]
+            if not members:
+                raise NotImplementedError(
+                    f"avro fallback cannot type an all-null union; "
+                    f"{where} has {t!r} — use the spark-avro package"
+                )
+            return (
+                ("union", branch_tags, members),
+                len(members) != len(branch_tags),
+            )
     if isinstance(t, dict):
         base = t["type"]
         if base == "array":
@@ -793,6 +845,19 @@ def _default_value(tag, dj):
         if tag[0] == "fixed":
             # like bytes: JSON string, code points 0-255 = byte values
             return str(dj).encode("latin-1")
+        if tag[0] == "union":
+            # spec: a union default corresponds to its FIRST branch
+            # (null-first defaults arrive as None and return above).
+            first = tag[1][0]
+            if first is None:
+                raise ValueError(
+                    "avro union default must be null when the first "
+                    "branch is null"
+                )
+            v = _default_value(first, dj)
+            if len(tag[2]) == 1:
+                return v
+            return (v,) + (None,) * (len(tag[2]) - 1)
         out = []
         for fname, ftag, _fnull in tag[1]:
             if fname not in dj:
@@ -864,11 +929,14 @@ def _reader_index(reader_fields: list[dict], where: str) -> dict[str, int]:
 
 def _strip_null_wrapper(t) -> tuple[object, bool]:
     """(branch fragment, nullable) from a raw avro type fragment that
-    may be a ["null", T] union (wider and null-SECOND unions refuse —
-    same rules as `_parse_avro_type`, enforced here too because
-    converters strip before parsing the branch)."""
+    may be a ["null", T] union. General unions (null in another
+    position, or several non-null branches) are NOT stripped — their
+    tag reads its own branch index, and resolution treats them
+    whole."""
     if isinstance(t, list):
-        _parse_avro_type(t, "union")  # refuses wide / null-second forms
+        tag, _ = _parse_avro_type(t, "union")
+        if _is_union(tag):
+            return t, False
         return [x for x in t if x != "null"][0], True
     return t, False
 
@@ -915,6 +983,15 @@ def _branch_converter(wb, rb, wtag, rtag, where: str):
             f"avro schema resolution: field {where!r} written as "
             f"{_tag_desc(wtag)} cannot be read as {_tag_desc(rtag)} "
             "(no spec promotion)"
+        )
+    if wtag[0] == "union":
+        # wtag == rtag (identity) returned above; resolving between
+        # DIFFERENT general unions (branch reordering/subsetting) is
+        # real spec surface this module doesn't cover — refuse.
+        raise ValueError(
+            f"avro schema resolution: {where}: general-union resolution "
+            "beyond identical unions is not supported — use the "
+            "spark-avro package"
         )
     if wtag[0] == "enum":
         # spec: named types must match by (full)name; a writer symbol
@@ -1172,12 +1249,20 @@ def _decode_container(buf: io.BytesIO, reader_schema: dict | None = None):
                 for act in actions:
                     if act[0] == "skip":
                         _, wtag, wnull = act
-                        if wnull and decode_long(block) == 0:
+                        if (
+                            wnull
+                            and not _is_union(wtag)
+                            and decode_long(block) == 0
+                        ):
                             continue
                         _decode_value(wtag, block)
                         continue
                     _, ridx, wtag, conv, wnull, rnull = act
-                    if wnull and decode_long(block) == 0:
+                    if (
+                        wnull
+                        and not _is_union(wtag)
+                        and decode_long(block) == 0
+                    ):
                         if not rnull:
                             raise ValueError(
                                 "avro schema resolution: null value in "
@@ -1535,6 +1620,16 @@ def _tag_to_spark(tag) -> T.DataType:
         return T.StringType()  # symbol strings, as spark-avro maps them
     if tag[0] == "fixed":
         return T.BinaryType()
+    if tag[0] == "union":
+        non_null = [tag[1][i] for i in tag[2]]
+        if len(non_null) == 1:
+            return _tag_to_spark(non_null[0])
+        return T.StructType(
+            [
+                T.StructField(f"member{j}", _tag_to_spark(bt), True)
+                for j, bt in enumerate(non_null)
+            ]
+        )
     return T.StructType(
         [
             T.StructField(n, _tag_to_spark(t), nl)
