@@ -172,18 +172,17 @@ def test_writer_surface_falls_back_without_jar(spark, tmp_path):
 
 def test_fallback_guards(spark, tmp_path):
     """Non-local paths and unrepresentable types refuse with the jar
-    remediation instead of mis-writing. (Structs/arrays/maps are no
-    longer refusals — r10 made them first-class; the remaining write
-    refusals are decimal-and-friends and non-string map keys, see
-    tests/test_avro_nested.py.)"""
+    remediation instead of mis-writing. (Structs/arrays/maps became
+    first-class in r10, decimal in r11; the remaining write refusal is
+    non-string map keys, see tests/test_avro_nested.py.)"""
     from pyspark.sql import functions as F
 
     df = spark.range(3)
     with pytest.raises(ValueError, match="spark-avro"):
         write_avro_fallback(df, "s3a://bucket/t.avro")
-    dec = df.select(F.col("id").cast("decimal(10,2)").alias("d"))
+    iv = df.select(F.make_interval(F.lit(0), F.lit(1)).alias("iv"))
     with pytest.raises(NotImplementedError, match="spark-avro"):
-        write_avro_fallback(dec, str(tmp_path / "x.avro"))
+        write_avro_fallback(iv, str(tmp_path / "x.avro"))
 
 
 def test_codec_surface():

@@ -465,18 +465,13 @@ def test_drifted_nested_tree_resolves_on_read(spark, tmp_path):
 @pytest.mark.parametrize(
     "frag, msg",
     [
-        # enum/fixed (second pass) and general unions (third pass)
-        # left this list in r10 — they decode now
-        # (tests/test_avro_enum_fixed.py, test_avro_unions.py)
+        # enum/fixed (r10 second pass), general unions (r10 third
+        # pass), and decimal + the timestamp families (r11) left this
+        # list — they decode now (tests/test_avro_enum_fixed.py,
+        # test_avro_unions.py, test_avro_logical_types.py)
         ("SomeRecord", "named-type references"),
-        (
-            {"type": "long", "logicalType": "timestamp-millis"},
-            "timestamp-millis",
-        ),
-        (
-            {"type": "bytes", "logicalType": "decimal", "precision": 10},
-            "decimal",
-        ),
+        ({"type": "int", "logicalType": "time-millis"}, "time-millis"),
+        ({"type": "long", "logicalType": "time-micros"}, "time-micros"),
     ],
 )
 def test_refusals_name_the_construct(frag, msg):
@@ -502,9 +497,8 @@ def test_write_refusals(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="string keys"):
         write_avro_fallback(df, str(tmp_path / "m.avro"))
-    df2 = spark.range(3).select(F.col("id").cast("decimal(10,2)").alias("d"))
-    with pytest.raises(NotImplementedError, match="spark-avro"):
-        write_avro_fallback(df2, str(tmp_path / "d.avro"))
+    # decimal stopped being a write refusal in r11 — covered by
+    # tests/test_avro_logical_types.py round-trips.
 
 
 # --- truncation robustness over a nested multi-block container ---------------

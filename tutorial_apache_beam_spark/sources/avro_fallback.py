@@ -22,13 +22,18 @@ unions decode READ-only too (r10 third pass), mapped as spark-avro
 maps them: 2-branch unions with null in either position → nullable T
 (the null-second form is wire-different — its branch indices are
 handled by the union tag, never the null-first fast path), several
-non-null branches → struct<member0, …>. Still refused, loudly and
-with the jar remediation: RECURSIVE schemas (no finite Spark schema
-exists), ambiguous bare-name references, general-union schema
-RESOLUTION beyond identical unions, and the JVM-mapped logical types
-outside the subset (decimal, the millis/local-timestamp family) —
-decoding those as bare underlying types would silently diverge from
-spark-avro.
+non-null branches → struct<member0, …>. DECIMAL (bytes- or
+fixed-backed, → DecimalType) and the millis/local-timestamp logical
+types (→ TimestampType / TimestampNTZType) decode since r11 (VERDICT
+r10 item 2 — they were the most common real-world wall on this path);
+decimal and local-timestamp-micros also WRITE (Spark has those column
+types; timestamp-millis stays read-only because the writer always
+emits micros). Still refused, loudly and with the jar remediation:
+RECURSIVE schemas (no finite Spark schema exists), ambiguous bare-name
+references, general-union schema RESOLUTION beyond identical unions,
+and time-of-day logical types (time-millis/micros — Spark's TIME
+mapping is not stable across versions; decoding them as bare int/long
+would silently diverge from spark-avro).
 
 Clean-room provenance: implemented from the public Apache Avro 1.11
 specification only (binary encoding §"Binary Encoding", container format
@@ -75,6 +80,7 @@ import shutil
 import struct
 import zlib
 from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -108,11 +114,21 @@ def _avro_type_for(dt: T.DataType, path: str) -> object:
     maps, and structs (r10 — the nested extension of the r6 flat
     subset). Nested record names are path-derived (`{path}_record`) so
     every record fullname in the schema is unique, as the spec
-    requires. Refuses what the wire subset can't represent (decimal,
-    non-string map keys, …) with the jar remediation."""
+    requires. Decimal maps to bytes-backed decimal and TimestampNTZ to
+    local-timestamp-micros (r11). Refuses what the wire subset can't
+    represent (non-string map keys, …) with the jar remediation."""
     entry = _SPARK_TO_AVRO.get(type(dt))
     if entry is not None:
         return entry[0]
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.ArrayType):
         items = _avro_type_for(dt.elementType, f"{path}_item")
         return {
@@ -167,10 +183,11 @@ def _avro_fields_for(schema: T.StructType, path: str) -> list[dict]:
 
 def spark_schema_to_avro(schema: T.StructType, name: str = "record") -> dict:
     """Avro record schema (as a JSON-able dict) for a Spark schema —
-    primitives, date/timestamp-micros, and (r10) arrays, maps, and
-    nested structs, each nullable position becoming the spec's
-    ["null", T] union. What the subset can't represent (decimal,
-    non-string map keys) raises with the spark-avro remediation
+    primitives, date/timestamp-micros/decimal/local-timestamp-micros,
+    and (r10) arrays, maps, and nested structs, each nullable position
+    becoming the spec's ["null", T] union. What the subset can't
+    represent (non-string map keys) raises with the spark-avro
+    remediation
     instead of mis-encoding.
     """
     return {
@@ -230,9 +247,10 @@ def _encode_value(tag: str, v, out: bytearray) -> None:
         out += encode_long(len(raw)) + raw
     elif tag == "date":
         out += encode_long((v - _EPOCH_DATE).days)
-    elif tag == "timestamp-micros":
+    elif tag in ("timestamp-micros", "local-timestamp-micros"):
         # Session timezone is UTC (engine default); Spark hands Python
-        # workers naive datetimes in that session zone, so naive == UTC.
+        # workers naive datetimes in that session zone, so naive == UTC
+        # — which also makes the local (wall-clock) encoding identical.
         if v.tzinfo is not None:
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         delta = v - _EPOCH
@@ -240,6 +258,33 @@ def _encode_value(tag: str, v, out: bytearray) -> None:
             (delta.days * 86_400 + delta.seconds) * 1_000_000
             + delta.microseconds
         )
+    elif tag[0] == "decimal":
+        _, prec, scale, under = tag
+        scaled = Decimal(v).scaleb(scale)
+        unscaled = int(scaled)
+        if unscaled != scaled:
+            # Spark enforces column scale, so this only fires on
+            # hand-built rows; rounding here would silently change data.
+            raise ValueError(
+                f"decimal value {v} does not fit scale {scale} exactly"
+            )
+        if len(str(abs(unscaled))) > prec:
+            raise ValueError(
+                f"decimal value {v} exceeds declared precision "
+                f"({prec},{scale})"
+            )
+        if under == "bytes":
+            # minimal two's-complement length, as Java emits
+            n = 1
+            while True:
+                try:
+                    raw = unscaled.to_bytes(n, "big", signed=True)
+                    break
+                except OverflowError:
+                    n += 1
+            out += encode_long(len(raw)) + raw
+        else:
+            out += unscaled.to_bytes(under, "big", signed=True)
     elif tag[0] == "array":
         # spec: series of blocks (count, items...), 0-count terminator.
         # One block per value — readers must still accept multi-block
@@ -313,6 +358,28 @@ def _decode_value(tag: str, buf: io.BytesIO):
         return _EPOCH_DATE + timedelta(days=decode_long(buf))
     if tag == "timestamp-micros":
         return _EPOCH + timedelta(microseconds=decode_long(buf))
+    if tag == "timestamp-millis":
+        return _EPOCH + timedelta(milliseconds=decode_long(buf))
+    # local-timestamp-*: same naive-datetime VALUE as the instant
+    # timestamps (the engine session pins UTC, where session-local ==
+    # UTC wall time); the distinction is carried by the Spark TYPE
+    # (TimestampNTZType vs TimestampType) in _tag_to_spark.
+    if tag == "local-timestamp-micros":
+        return _EPOCH + timedelta(microseconds=decode_long(buf))
+    if tag == "local-timestamp-millis":
+        return _EPOCH + timedelta(milliseconds=decode_long(buf))
+    if tag[0] == "decimal":
+        _, _prec, scale, under = tag
+        size = decode_long(buf) if under == "bytes" else under
+        if size < 0:
+            raise ValueError(f"negative avro decimal byte length {size}")
+        raw = buf.read(size)
+        if len(raw) != size:
+            raise EOFError("truncated avro decimal value")
+        # spec §Decimal: two's-complement big-endian unscaled integer.
+        return Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-scale)
     if tag[0] == "array":
         _, itag, inull = tag
         out = []
@@ -410,6 +477,10 @@ def _spark_tag(dt: T.DataType):
     entry = _SPARK_TO_AVRO.get(type(dt))
     if entry is not None:
         return entry[1]
+    if isinstance(dt, T.DecimalType):
+        return ("decimal", dt.precision, dt.scale, "bytes")
+    if isinstance(dt, T.TimestampNTZType):
+        return "local-timestamp-micros"
     if isinstance(dt, T.ArrayType):
         return ("array", _spark_tag(dt.elementType), dt.containsNull)
     if isinstance(dt, T.MapType):
@@ -707,22 +778,59 @@ _PRIMITIVE_TAGS = frozenset(
 )
 # Logical types this module maps to Spark types. Logical types the
 # JVM ecosystem COMMONLY maps but this subset doesn't are refused
-# loudly (reading timestamp-millis as a bare long would be
-# spec-sanctioned — unknown logical types fall back to the underlying
-# type — but silently diverges from what spark-avro returns); truly
-# foreign logical annotations are ignored per the spec.
-_KNOWN_LOGICAL = frozenset(("date", "timestamp-micros"))
-_REFUSED_LOGICAL = frozenset(
+# loudly (reading time-millis as a bare int would be spec-sanctioned —
+# unknown logical types fall back to the underlying type — but silently
+# diverges from what spark-avro returns); truly foreign logical
+# annotations are ignored per the spec. r11 (VERDICT r10 item 2) moved
+# decimal and the millis/local-timestamp family from refused to known:
+# Spark maps them natively (DecimalType, TimestampType,
+# TimestampNTZType), so only decode work stood between the fallback and
+# the most common Java-produced interchange types. Refused now: only
+# time-of-day (Spark's TIME mapping is not stable across versions).
+_KNOWN_LOGICAL = frozenset(
     (
-        "decimal", "timestamp-millis", "time-millis", "time-micros",
+        "date", "timestamp-micros", "timestamp-millis",
         "local-timestamp-millis", "local-timestamp-micros",
     )
 )
+_REFUSED_LOGICAL = frozenset(("time-millis", "time-micros"))
+
+# Spark's DecimalType bound; an avro decimal past it cannot round-trip.
+_MAX_DECIMAL_PRECISION = 38
+
+
+def _parse_decimal_attrs(t: dict, where: str) -> tuple[int, int]:
+    """Validate a decimal logical type's precision/scale per spec
+    §Decimal ('precision must be a positive integer', 'scale must be
+    zero or a positive integer less than or equal to the precision').
+    The spec sanctions IGNORING an invalid logical type (falling back to
+    bare bytes/fixed), but that is exactly the silent spark-avro
+    divergence this module refuses — raise instead."""
+    prec, scale = t.get("precision"), t.get("scale", 0)
+    if (
+        not isinstance(prec, int) or isinstance(prec, bool) or prec < 1
+        or not isinstance(scale, int) or isinstance(scale, bool)
+        or not 0 <= scale <= prec
+    ):
+        raise NotImplementedError(
+            f"avro decimal at {where} has invalid precision/scale "
+            f"({prec!r}, {scale!r}); the spec's fallback (read as bare "
+            f"{t.get('type')!r}) would silently diverge from spark-avro "
+            "— fix the schema or use the spark-avro package"
+        )
+    if prec > _MAX_DECIMAL_PRECISION:
+        raise NotImplementedError(
+            f"avro decimal at {where} has precision {prec} > Spark's "
+            f"DecimalType bound ({_MAX_DECIMAL_PRECISION}) — use the "
+            "spark-avro package"
+        )
+    return prec, scale
 
 
 def _parse_avro_type(t, where: str):
     """(tag, nullable) for one avro type fragment of this module's
-    subset — primitives, date/timestamp-micros, ["null", T] unions,
+    subset — primitives, the known logical types (date, decimal,
+    the timestamp families), ["null", T] unions,
     and (r10) arrays, maps, and nested records, recursively. Foreign
     constructs (wider unions, enum/fixed, named-type references,
     JVM-mapped logical types outside the subset) refuse with the
@@ -765,6 +873,29 @@ def _parse_avro_type(t, where: str):
             )
     if isinstance(t, dict):
         base = t["type"]
+        lt = t.get("logicalType")
+        if lt == "decimal":
+            # Checked BEFORE the bare fixed/bytes handling: the logical
+            # annotation rides the underlying type's schema object, and
+            # a decimal-over-fixed swallowed by the fixed branch would
+            # silently read raw two's-complement bytes as binary.
+            prec, scale = _parse_decimal_attrs(t, where)
+            if base == "bytes":
+                return ("decimal", prec, scale, "bytes"), nullable
+            if base == "fixed":
+                size = int(t["size"])
+                # capacity: an N-byte two's complement holds < 2^(8N-1);
+                # the spec documents max precision = floor(log10(...)).
+                if prec > len(str(2 ** (8 * size - 1) - 1)):
+                    raise NotImplementedError(
+                        f"avro decimal at {where}: precision {prec} "
+                        f"cannot fit in fixed({size}) — invalid schema"
+                    )
+                return ("decimal", prec, scale, size), nullable
+            raise NotImplementedError(
+                f"avro decimal at {where} annotates {base!r}; the spec "
+                "allows bytes or fixed only — fix the schema"
+            )
         if base == "array":
             itag, inull = _parse_avro_type(t["items"], f"{where} items")
             return ("array", itag, inull), nullable
@@ -855,6 +986,13 @@ def _default_value(tag, dj):
         if tag[0] == "fixed":
             # like bytes: JSON string, code points 0-255 = byte values
             return str(dj).encode("latin-1")
+        if tag[0] == "decimal":
+            # default rides the UNDERLYING bytes/fixed form: a JSON
+            # string whose code points are the two's-complement bytes
+            raw = str(dj).encode("latin-1")
+            return Decimal(
+                int.from_bytes(raw, "big", signed=True)
+            ).scaleb(-tag[2])
         if tag[0] == "union":
             # spec: a union default corresponds to its FIRST branch
             # (null-first defaults arrive as None and return above).
@@ -890,8 +1028,10 @@ def _default_value(tag, dj):
         return str(dj).encode("latin-1")
     if tag == "date":
         return _EPOCH_DATE + timedelta(days=int(dj))
-    if tag == "timestamp-micros":
+    if tag in ("timestamp-micros", "local-timestamp-micros"):
         return _EPOCH + timedelta(microseconds=int(dj))
+    if tag in ("timestamp-millis", "local-timestamp-millis"):
+        return _EPOCH + timedelta(milliseconds=int(dj))
     raise AssertionError(f"unknown default tag {tag}")
 
 
@@ -1003,6 +1143,19 @@ def _branch_converter(wb, rb, wtag, rtag, where: str):
             "beyond identical unions is not supported — use the "
             "spark-avro package"
         )
+    if wtag[0] == "decimal":
+        # spec §Decimal: "for the purposes of schema resolution, two
+        # schemas that are decimal logical types match if their scales
+        # and precisions match" — the underlying form (bytes vs any
+        # fixed size) is wire detail, already absorbed by decode.
+        if (wtag[1], wtag[2]) != (rtag[1], rtag[2]):
+            raise ValueError(
+                f"avro schema resolution: {where}: decimal "
+                f"precision/scale mismatch (writer ({wtag[1]},{wtag[2]})"
+                f" vs reader ({rtag[1]},{rtag[2]})) — the spec defines "
+                "no decimal re-scaling promotion"
+            )
+        return None
     if wtag[0] == "enum":
         # spec: named types must match by (full)name; a writer symbol
         # absent from the reader enum takes the reader's enum default,
@@ -1116,6 +1269,8 @@ def _tag_desc(tag) -> str:
         return f"enum {tag[1]}"
     if tag[0] == "fixed":
         return f"fixed({tag[1]}) {tag[2]}"
+    if tag[0] == "decimal":
+        return f"decimal({tag[1]},{tag[2]})"
     return "record"
 
 
@@ -1615,6 +1770,9 @@ _AVRO_TO_SPARK = {
     "double": T.DoubleType(), "string": T.StringType(),
     "bytes": T.BinaryType(), "date": T.DateType(),
     "timestamp-micros": T.TimestampType(),
+    "timestamp-millis": T.TimestampType(),
+    "local-timestamp-micros": T.TimestampNTZType(),
+    "local-timestamp-millis": T.TimestampNTZType(),
 }
 
 
@@ -1622,6 +1780,8 @@ def _tag_to_spark(tag) -> T.DataType:
     """Spark type for one decoder tag, recursing into composites (r10)."""
     if isinstance(tag, str):
         return _AVRO_TO_SPARK[tag]
+    if tag[0] == "decimal":
+        return T.DecimalType(tag[1], tag[2])
     if tag[0] == "array":
         return T.ArrayType(_tag_to_spark(tag[1]), tag[2])
     if tag[0] == "map":
