@@ -264,7 +264,8 @@ def test_null_second_union_decodes_with_correct_branch_indices():
 
     assert _decode_value(tag, _io.BytesIO(encode_long(0) + encode_long(42))) == 42
     assert _decode_value(tag, _io.BytesIO(encode_long(1))) is None
-    # resolution: identical spelling resolves; reordered refuses loudly
+    # resolution: identical spelling resolves; since r11 the REORDERED
+    # spelling resolves too (same member layout → identity converter;
+    # spec union case 1, tests/test_avro_union_resolution.py)
     assert _value_converter(["long", "null"], ["long", "null"], "f") is None
-    with pytest.raises(ValueError, match="no spec promotion|union"):
-        _value_converter(["long", "null"], ["null", "long"], "f")
+    assert _value_converter(["long", "null"], ["null", "long"], "f") is None

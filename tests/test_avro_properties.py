@@ -204,3 +204,225 @@ def test_nested_schema_roundtrip_arbitrary(sr, codec):
     fh.seek(0)
     eff, got = read_container(fh)
     assert got == rows
+
+
+# --- unions under skip paths (r11, VERDICT r10 item 8) ----------------------
+#
+# The historical bug class on this path is stream DESYNC under skip (the
+# r10 null-second desync was caught by review, not fuzz). Hypothesis
+# generates avro schemas containing general unions at every nesting
+# depth (field / array item / map value / nested record field), encodes
+# rows with a TEST-LOCAL spec-direct encoder (the engine writer never
+# emits general unions — the test plays the Java writer), then decodes
+# under a reader keeping a random FIELD SUBSET, so dropped union-bearing
+# fields exercise the skip actions. Any mis-consumed byte shows up as a
+# wrong value or a crash in a LATER field or row.
+
+import struct as _struct
+
+from tutorial_apache_beam_spark.sources.avro_fallback import (
+    _decode_container,
+    encode_long,
+)
+
+_UNION_POOL = ["long", "string", "boolean", "double", "bytes", "int"]
+
+
+def _union_frag(draw):
+    k = draw(st.integers(2, 4))
+    branches = draw(
+        st.permutations(_UNION_POOL)
+    )[: k - 1]
+    null_at = draw(st.integers(0, k - 1))
+    out = list(branches)
+    if draw(st.booleans()):
+        out.insert(min(null_at, len(out)), "null")
+    return out
+
+
+@st.composite
+def _avro_frag(draw, depth=0):
+    choices = ["prim", "union"]
+    if depth < 2:
+        choices += ["array", "map", "record"]
+    kind = draw(st.sampled_from(choices))
+    if kind == "prim":
+        return draw(st.sampled_from(_UNION_POOL))
+    if kind == "union":
+        return _union_frag(draw)
+    if kind == "array":
+        items = draw(_avro_frag(depth=depth + 1))
+        return {"type": "array", "items": items}
+    if kind == "map":
+        values = draw(_avro_frag(depth=depth + 1))
+        return {"type": "map", "values": values}
+    fields = [
+        {"name": f"n{depth}_{i}", "type": draw(_avro_frag(depth=depth + 1))}
+        for i in range(draw(st.integers(1, 3)))
+    ]
+    return {
+        "type": "record",
+        "name": f"rec{depth}_{draw(st.integers(0, 10**6))}",
+        "fields": fields,
+    }
+
+
+def _gen_value(draw, frag):
+    """A (encodable, spec-wire) value for one fragment; unions yield
+    (branch_index, inner_value) so the encoder knows the wire branch."""
+    if isinstance(frag, list):
+        idx = draw(st.integers(0, len(frag) - 1))
+        b = frag[idx]
+        return ("u", idx, None if b == "null" else _gen_value(draw, b))
+    if isinstance(frag, dict):
+        t = frag["type"]
+        if t == "array":
+            return [
+                _gen_value(draw, frag["items"])
+                for _ in range(draw(st.integers(0, 3)))
+            ]
+        if t == "map":
+            return {
+                draw(st.text(max_size=4)): _gen_value(draw, frag["values"])
+                for _ in range(draw(st.integers(0, 3)))
+            }
+        return tuple(_gen_value(draw, f["type"]) for f in frag["fields"])
+    return draw(
+        {
+            "long": st.integers(-(2**63), 2**63 - 1),
+            "int": st.integers(-(2**31), 2**31 - 1),
+            "string": st.text(max_size=8),
+            "boolean": st.booleans(),
+            "double": st.floats(allow_nan=False),
+            "bytes": st.binary(max_size=8),
+        }[frag]
+    )
+
+
+def _enc(frag, v, out: bytearray) -> None:
+    """Test-local spec-direct encoder (independent of the engine's)."""
+    if isinstance(frag, list):
+        _, idx, inner = v
+        out += encode_long(idx)
+        if frag[idx] != "null":
+            _enc(frag[idx], inner, out)
+        return
+    if isinstance(frag, dict):
+        t = frag["type"]
+        if t == "array":
+            if v:
+                out += encode_long(len(v))
+                for x in v:
+                    _enc(frag["items"], x, out)
+            out += encode_long(0)
+            return
+        if t == "map":
+            if v:
+                out += encode_long(len(v))
+                for k, x in v.items():
+                    kb = k.encode("utf-8")
+                    out += encode_long(len(kb)) + kb
+                    _enc(frag["values"], x, out)
+            out += encode_long(0)
+            return
+        for f, x in zip(frag["fields"], v):
+            _enc(f["type"], x, out)
+        return
+    if frag == "boolean":
+        out.append(1 if v else 0)
+    elif frag in ("int", "long"):
+        out += encode_long(v)
+    elif frag == "double":
+        out += _struct.pack("<d", v)
+    elif frag == "string":
+        raw = v.encode("utf-8")
+        out += encode_long(len(raw)) + raw
+    elif frag == "bytes":
+        out += encode_long(len(v)) + v
+    else:  # pragma: no cover
+        raise AssertionError(frag)
+
+
+def _expected(frag, v):
+    """The Python value the engine's decoder yields for one wire value
+    (union member-layout transform applied recursively)."""
+    if isinstance(frag, list):
+        _, idx, inner = v
+        members = [i for i, b in enumerate(frag) if b != "null"]
+        if frag[idx] == "null":
+            return None
+        val = _expected(frag[idx], inner)
+        if len(members) == 1:
+            return val
+        out = [None] * len(members)
+        out[members.index(idx)] = val
+        return tuple(out)
+    if isinstance(frag, dict):
+        t = frag["type"]
+        if t == "array":
+            return [_expected(frag["items"], x) for x in v]
+        if t == "map":
+            return {k: _expected(frag["values"], x) for k, x in v.items()}
+        return tuple(
+            _expected(f["type"], x) for f, x in zip(frag["fields"], v)
+        )
+    return v
+
+
+@st.composite
+def _union_case(draw):
+    n_fields = draw(st.integers(2, 5))
+    fields = [
+        {"name": f"c{i}", "type": draw(_avro_frag())}
+        for i in range(n_fields)
+    ]
+    # at least one general union somewhere, else the case tests nothing
+    if not any(isinstance(f["type"], list) for f in fields):
+        fields[0] = {"name": "c0", "type": _union_frag(draw)}
+    rows = [
+        tuple(_gen_value(draw, f["type"]) for f in fields)
+        for _ in range(draw(st.integers(1, 6)))
+    ]
+    keep = sorted(
+        draw(
+            st.sets(
+                st.integers(0, n_fields - 1),
+                min_size=1,
+                max_size=n_fields,
+            )
+        )
+    )
+    return fields, rows, keep
+
+
+@given(case=_union_case())
+@settings(max_examples=120, deadline=None)
+def test_union_skip_fuzz_stays_aligned(case):
+    fields, rows, keep = case
+    writer = {"type": "record", "name": "r", "fields": fields}
+    hdr = io.BytesIO()
+    sync = b"\x5a" * 16
+    write_container(iter([]), [], writer, hdr, sync=sync)
+    payload = bytearray()
+    for row in rows:
+        for f, v in zip(fields, row):
+            _enc(f["type"], v, payload)
+    data = (
+        hdr.getvalue()
+        + encode_long(len(rows))
+        + encode_long(len(bytes(payload)))
+        + bytes(payload)
+        + sync
+    )
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [fields[i] for i in keep],
+    }
+    _, recs = _decode_container(io.BytesIO(data), reader)
+    got = list(recs)
+    want = [
+        tuple(_expected(fields[i]["type"], row[i]) for i in keep)
+        for row in rows
+    ]
+    assert got == want

@@ -28,12 +28,15 @@ types (→ TimestampType / TimestampNTZType) decode since r11 (VERDICT
 r10 item 2 — they were the most common real-world wall on this path);
 decimal and local-timestamp-micros also WRITE (Spark has those column
 types; timestamp-millis stays read-only because the writer always
-emits micros). Still refused, loudly and with the jar remediation:
-RECURSIVE schemas (no finite Spark schema exists), ambiguous bare-name
-references, general-union schema RESOLUTION beyond identical unions,
-and time-of-day logical types (time-millis/micros — Spark's TIME
-mapping is not stable across versions; decoding them as bare int/long
-would silently diverge from spark-avro).
+emits micros). General-union schema RESOLUTION follows the spec's
+three union cases since r11 (branch reorder/subset/drift, writer
+nonunion→reader union, writer union→reader nonunion; an unmatched
+writer branch errors on first VALUE, like Java's lazy error action).
+Still refused, loudly and with the jar remediation: RECURSIVE schemas
+(no finite Spark schema exists), ambiguous bare-name references, and
+time-of-day logical types (time-millis/micros — Spark's TIME mapping
+is not stable across versions; decoding them as bare int/long would
+silently diverge from spark-avro).
 
 Clean-room provenance: implemented from the public Apache Avro 1.11
 specification only (binary encoding §"Binary Encoding", container format
@@ -1102,13 +1105,20 @@ def _value_converter(wt, rt, where: str):
     incompatibility, naming the path."""
     wb, wnull = _strip_null_wrapper(wt)
     rb, rnull = _strip_null_wrapper(rt)
-    if wnull and not rnull:
+    wtag, _ = _parse_avro_type(wb, where)
+    rtag, _ = _parse_avro_type(rb, where)
+    # Effective nullability includes a general union's own null branch
+    # (decode produces None through the union tag, not the classic
+    # wrapper) — a null-capable writer position read as non-nullable is
+    # near-certain data loss, so it refuses at PLAN time even though
+    # Java would only error on the first null value.
+    w_can_null = wnull or (_is_union(wtag) and None in wtag[1])
+    r_can_null = rnull or (_is_union(rtag) and None in rtag[1])
+    if w_can_null and not r_can_null:
         raise ValueError(
             f"avro schema resolution: {where} is nullable in the writer "
             "schema but the reader declares it non-nullable"
         )
-    wtag, _ = _parse_avro_type(wb, where)
-    rtag, _ = _parse_avro_type(rb, where)
     conv = _branch_converter(wb, rb, wtag, rtag, where)
     if conv is not None and wnull:
         inner = conv
@@ -1120,6 +1130,12 @@ def _branch_converter(wb, rb, wtag, rtag, where: str):
     """Converter for the non-null branches (see `_value_converter`)."""
     if wtag == rtag:
         return None
+    if _is_union(wtag) or _is_union(rtag):
+        # r11 (VERDICT r10 item 3): spec §Schema Resolution's three
+        # union cases — union↔union (reorder/subset/drift), writer
+        # nonunion → reader union promotion, writer union → reader
+        # nonunion — previously refused beyond identical unions.
+        return _union_converter(wb, rb, wtag, rtag, where)
     if isinstance(wtag, str) or isinstance(rtag, str):
         if (wtag, rtag) in _PROMOTIONS:
             return _PROMOTIONS[(wtag, rtag)]
@@ -1133,15 +1149,6 @@ def _branch_converter(wb, rb, wtag, rtag, where: str):
             f"avro schema resolution: field {where!r} written as "
             f"{_tag_desc(wtag)} cannot be read as {_tag_desc(rtag)} "
             "(no spec promotion)"
-        )
-    if wtag[0] == "union":
-        # wtag == rtag (identity) returned above; resolving between
-        # DIFFERENT general unions (branch reordering/subsetting) is
-        # real spec surface this module doesn't cover — refuse.
-        raise ValueError(
-            f"avro schema resolution: {where}: general-union resolution "
-            "beyond identical unions is not supported — use the "
-            "spark-avro package"
         )
     if wtag[0] == "decimal":
         # spec §Decimal: "for the purposes of schema resolution, two
@@ -1254,6 +1261,145 @@ def _branch_converter(wb, rb, wtag, rtag, where: str):
             else:
                 v = wtup[s[1]]
                 out.append(v if s[2] is None else s[2](v))
+        return tuple(out)
+
+    return conv
+
+
+def _unqual(name: str) -> str:
+    """Unqualified form of an avro fullname (spec §Schema Resolution
+    matches named types on the UNQUALIFIED name)."""
+    return name.rsplit(".", 1)[-1]
+
+
+def _branch_matches(wf, rf, where: str, promote: bool) -> bool:
+    """Spec §Schema Resolution's 'match' test between two NON-NULL
+    branch fragments, used to pick a union branch: same primitive (or,
+    with `promote`, a promotion), records/enums/fixed on unqualified
+    name (fixed also on size), decimals on precision+scale, arrays/maps
+    structurally. Callers run TWO passes — exact type first, promotions
+    only if nothing matched exactly — mirroring Java's
+    firstMatchingBranch (otherwise a writer string would land in a
+    reader bytes branch that merely precedes the exact string branch).
+    The test is SHALLOW by design — once branches match, recursive
+    resolution errors PROPAGATE rather than falling through to a later
+    reader branch, exactly like Java's resolver. Branch matching does
+    not consult named-type aliases (Java's applyAliases pre-pass; a
+    renamed branch record resolves there, refuses here — loud, not
+    divergent-silent)."""
+    wtag, _ = _parse_avro_type(wf, f"{where} (branch match)")
+    rtag, _ = _parse_avro_type(rf, f"{where} (branch match)")
+    if isinstance(wtag, str) and isinstance(rtag, str):
+        return wtag == rtag or (promote and (wtag, rtag) in _PROMOTIONS)
+    if isinstance(wtag, str) or isinstance(rtag, str):
+        return False
+    if wtag[0] != rtag[0]:
+        return False
+    if wtag[0] == "record":
+        # record tags carry no name; the fragments do (named refs are
+        # inlined at the schema boundary, so both are dicts here)
+        return _unqual(wf.get("name", "")) == _unqual(rf.get("name", ""))
+    if wtag[0] == "enum":
+        return _unqual(wtag[1]) == _unqual(rtag[1])
+    if wtag[0] == "fixed":
+        return _unqual(wtag[2]) == _unqual(rtag[2]) and wtag[1] == rtag[1]
+    if wtag[0] == "decimal":
+        return (wtag[1], wtag[2]) == (rtag[1], rtag[2])
+    return True  # array/map: shallow match, items/values resolve after
+
+
+def _union_converter(wb, rb, wtag, rtag, where: str):
+    """Spec §Schema Resolution for unions, value-level (r11). Covers all
+    three spec cases — the writer's branch is recoverable from the
+    decoded value alone (None = null branch; plain value = single
+    non-null member; member tuple = exactly one non-None slot), so no
+    wire re-read is needed:
+
+    - "if both are unions: the first schema in the reader's union that
+      matches the selected writer's schema is recursively resolved
+      against it";
+    - "if reader's is a union, but writer's is not: the first schema in
+      the reader's union that matches the writer's schema is recursively
+      resolved against it";
+    - "if writer's is a union, but reader's is not: if the reader's
+      schema matches the selected writer's schema, it is recursively
+      resolved against it".
+
+    A writer branch with no matching reader branch errors when a VALUE
+    of that branch is read (Java's lazy error action); if NO writer
+    branch can ever resolve, the plan refuses immediately. Null
+    compatibility was already enforced by the caller's effective-
+    nullability check."""
+    if _is_union(wtag):
+        wfrags = [wb[i] for i in wtag[2]]
+        w_union = True
+    else:
+        wfrags, w_union = [wb], False
+    if _is_union(rtag):
+        rslots = list(enumerate(rb[i] for i in rtag[2]))
+        k_r = len(rtag[2])
+    else:
+        rslots, k_r = [(0, rb)], 1
+    k_w = len(wfrags)
+
+    mapping: list = []
+    for wf in wfrags:
+        hit = next(
+            (
+                (slot, rf)
+                for slot, rf in rslots
+                if _branch_matches(wf, rf, where, promote=False)
+            ),
+            None,
+        ) or next(
+            (
+                (slot, rf)
+                for slot, rf in rslots
+                if _branch_matches(wf, rf, where, promote=True)
+            ),
+            None,
+        )
+        if hit is None:
+            wdesc = _tag_desc(_parse_avro_type(wf, where)[0])
+            mapping.append(
+                f"avro schema resolution: {where}: writer union branch "
+                f"{wdesc} matches no reader branch"
+            )
+            continue
+        slot, rf = hit
+        wt2, _ = _parse_avro_type(wf, where)
+        rt2, _ = _parse_avro_type(rf, where)
+        c = None if wt2 == rt2 else _branch_converter(wf, rf, wt2, rt2, where)
+        mapping.append((slot, c))
+    if all(isinstance(m, str) for m in mapping):
+        raise ValueError(
+            mapping[0] + " (and no other writer branch matches either)"
+        )
+    if k_w == k_r and all(
+        m == (i, None) for i, m in enumerate(mapping)
+    ):
+        # Same member layout, no per-branch conversion (e.g. only the
+        # null POSITION moved): decoded values are already the reader's.
+        return None
+
+    def conv(v):
+        if v is None:
+            return None
+        if w_union and k_w > 1:
+            wi = next(i for i, x in enumerate(v) if x is not None)
+            val = v[wi]
+        else:
+            wi, val = 0, v
+        m = mapping[wi]
+        if isinstance(m, str):
+            raise ValueError(m)
+        slot, c = m
+        if c is not None:
+            val = c(val)
+        if k_r == 1:
+            return val
+        out = [None] * k_r
+        out[slot] = val
         return tuple(out)
 
     return conv
