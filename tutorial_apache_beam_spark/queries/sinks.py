@@ -53,9 +53,10 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. the surviving table is read back and aggregated per day;
     4. (S1's interchange leg, r9) the per-day aggregate round-trips
        through the no-JAR Avro fallback — distributed deflate write
-       partitioned by event_date, distributed binaryFile+mapPartitions
-       read with partition-value recovery — so the fallback source/sink
-       sits inside the hash-checked loop, not just pytest.
+       partitioned by event_date, read back through the Spark 4 Python
+       DataSource surface (format("avro_fallback"), r11) with
+       partition-value recovery — so the fallback source/sink sits
+       inside the hash-checked loop, not just pytest.
 
     The oracle computes the same per-day counts directly from `events`
     with the retention predicate — rows written, partitioned, pruned,
@@ -69,7 +70,6 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tutorial_apache_beam_spark.plans.pipeline import Pipeline, WriteParquet
     from tutorial_apache_beam_spark.sources.avro_fallback import (
-        read_avro_fallback,
         write_avro_fallback,
     )
     from tutorial_apache_beam_spark.streaming.replay import stream_events
@@ -111,6 +111,16 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_avro_fallback(
         daily, avro_dir, codec="deflate", partition_by=["event_date"]
     )
-    return read_avro_fallback(spark, avro_dir).select(
+    # r11: the read-back leg goes through the Spark 4 Python DataSource
+    # surface (format("avro_fallback")) so the idiomatic reader — not
+    # just the helper — sits inside the hash-checked loop; the helper
+    # path shares the same scan plan and stays pinned by
+    # tests/test_avro_datasource.py's parity test.
+    from tutorial_apache_beam_spark.sources.avro_datasource import (
+        register_avro_fallback,
+    )
+
+    register_avro_fallback(spark)
+    return spark.read.format("avro_fallback").load(avro_dir).select(
         "event_date", "n_rows", "n_clicks"
     )

@@ -1,0 +1,213 @@
+"""Spark 4 Python DataSource wrapper for the no-JAR Avro fallback (r11,
+VERDICT r10 item 4): the idiomatic reader surface —
+
+    register_avro_fallback(spark)
+    df  = spark.read.format("avro_fallback").load("/path/to/tree")
+    sdf = spark.readStream.format("avro_fallback").load("/path/to/tree")
+
+— over the same driver-side plan (`avro_fallback.scan_avro_tree`) the
+`read_avro_fallback` helper uses, so the two surfaces cannot drift on
+file discovery, spec §Schema Resolution, or Hive partition typing. The
+streaming reader is the S1 file-replay analog for Avro drops (reference
+Demo1.java:75-83 — sources shouldn't have format cliffs): each
+micro-batch picks up files that appeared since the last committed
+offset, validates at PLAN time that they resolve to the reader schema
+fixed at stream start, and decodes them on executors.
+
+Scale shape: one InputPartition per container file (the writer emits one
+file per DataFrame partition, so read parallelism tracks write
+parallelism); the driver touches HEADERS only (a few hundred bytes per
+file); row decode runs in the Python DataSource worker on executors.
+Streaming offsets carry the set of processed RELATIVE paths as a sorted
+JSON list — O(files seen) per offset, the right trade for replay/backfill
+trees (a 100-TB streaming ingest uses the Kafka source, not file
+replay).
+
+Batch reads prefer `read_avro_fallback` when the session is available:
+its binaryFile path bin-packs small files per maxPartitionBytes. This
+surface exists for API parity and for the streaming reader, which
+binaryFile cannot express.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class AvroFilePartition(InputPartition):
+    """One container file: absolute path + its CAST partition values +
+    the resolved avro reader schema (JSON, so the executor-side decode
+    needs no driver object graph)."""
+
+    def __init__(self, path: str, pvals: tuple, reader_json: str):
+        self.path = path
+        self.pvals = pvals
+        self.reader_json = reader_json
+
+
+def _decode_file(partition: AvroFilePartition):
+    """Executor-side decode of one container file. Imports resolve from
+    the worker's own module copy (same contract as read_avro_fallback's
+    mapPartitions body)."""
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _decode_container,
+    )
+
+    rschema = json.loads(partition.reader_json)
+    with open(partition.path, "rb") as fh:
+        data = fh.read()
+    _, recs = _decode_container(io.BytesIO(data), rschema)
+    for rec in recs:
+        yield rec + partition.pvals
+
+
+class AvroFallbackReader(DataSourceReader):
+    def __init__(self, plan):
+        self._plan = plan
+        self._reader_json = json.dumps(plan.reader_schema)
+
+    def partitions(self):
+        return [
+            AvroFilePartition(fp, pvals, self._reader_json)
+            for fp, pvals in self._plan.files
+        ]
+
+    def read(self, partition: AvroFilePartition):
+        return _decode_file(partition)
+
+
+class AvroFallbackStreamReader(DataSourceStreamReader):
+    """File-replay streaming over a growing avro tree. Offsets are the
+    SORTED list of processed paths relative to the root — explicit set
+    difference, so a late-written file with an 'earlier' name is still
+    picked up (a position-in-sorted-listing offset would skip it)."""
+
+    def __init__(self, plan):
+        self._plan = plan
+        self._reader_json = json.dumps(plan.reader_schema)
+        # Writer schemas already validated by scan_avro_tree for files
+        # present at stream start; late files validate in partitions().
+        self._validated = {fp for fp, _ in plan.files}
+        self._pvals = dict(plan.files)
+
+    def _rel(self, fp: str) -> str:
+        return os.path.relpath(fp, self._plan.root)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            _discover_avro_files,
+        )
+
+        _, files = _discover_avro_files(self._plan.root)
+        return {"files": sorted(self._rel(fp) for fp, _ in files)}
+
+    def partitions(self, start: dict, end: dict):
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            _codec_pair,
+            _resolution_plan,
+            inline_named_types,
+            read_header,
+        )
+
+        fresh = sorted(set(end["files"]) - set(start["files"]))
+        out = []
+        for rel in fresh:
+            fp = os.path.join(self._plan.root, rel)
+            pvals = (
+                self._pvals[fp]
+                if fp in self._pvals
+                else self._plan.partition_values_for(fp)
+            )
+            if fp not in self._validated:
+                # Late file: header-only plan-time validation, exactly
+                # like scan_avro_tree's pass over the initial tree.
+                with open(fp, "rb") as fh:
+                    s, codec, _sync = read_header(fh)
+                _codec_pair(codec)
+                try:
+                    _resolution_plan(
+                        inline_named_types(s), self._plan.reader_schema
+                    )
+                except ValueError as ex:
+                    raise ValueError(
+                        f"avro stream: late file {fp!r} does not resolve "
+                        f"to the reader schema fixed at stream start: {ex}"
+                    ) from ex
+                self._validated.add(fp)
+            out.append(AvroFilePartition(fp, pvals, self._reader_json))
+        return out
+
+    def read(self, partition: AvroFilePartition):
+        return _decode_file(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class AvroFallbackDataSource(DataSource):
+    """format("avro_fallback"): options — `path` (required, local/posix
+    tree of .avro container files), `readerSchema` (optional avro record
+    schema as a JSON string; default = the spec-resolved widest schema
+    across the tree)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_fallback"
+
+    def _plan(self):
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            scan_avro_tree,
+        )
+
+        if getattr(self, "_plan_cache", None) is None:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError(
+                    "avro_fallback requires a path — "
+                    ".format('avro_fallback').load('/dir')"
+                )
+            rs = self.options.get("readerschema")
+            reader_schema = json.loads(rs) if rs else None
+            self._plan_cache = scan_avro_tree(path, reader_schema)
+        return self._plan_cache
+
+    def schema(self):
+        return self._plan().out_schema
+
+    def _check_schema(self, schema: StructType):
+        plan = self._plan()
+        if schema != plan.out_schema:
+            raise ValueError(
+                "avro_fallback derives its schema from the files "
+                "(self-describing format); the supplied schema does not "
+                f"match the derived one.\n  supplied: "
+                f"{schema.simpleString()}\n  derived:  "
+                f"{plan.out_schema.simpleString()}\nDrop .schema(...) or "
+                "pass a readerSchema option (avro record JSON) instead."
+            )
+        return plan
+
+    def reader(self, schema: StructType) -> AvroFallbackReader:
+        return AvroFallbackReader(self._check_schema(schema))
+
+    def streamReader(self, schema: StructType) -> AvroFallbackStreamReader:
+        return AvroFallbackStreamReader(self._check_schema(schema))
+
+
+def register_avro_fallback(spark) -> None:
+    """Idempotent: make format('avro_fallback') available on this
+    session (batch and streaming reads)."""
+    spark.dataSource.register(AvroFallbackDataSource)

@@ -1969,28 +1969,74 @@ def _norm_file_path(p: str) -> str:
     return os.path.realpath(p)
 
 
-def read_avro_fallback(
-    spark: SparkSession, path: str, reader_schema: dict | None = None
-) -> DataFrame:
-    """Read a directory (or Hive-partitioned tree) of avro container
-    files (this writer's subset) back into a DataFrame — DISTRIBUTED
-    (r9): the driver reads each file's header only (schema + codec); the
-    row decode runs on executors via `spark.read.format("binaryFile")` +
-    `mapPartitions`, so aggregate input size is bounded by the cluster,
-    not driver memory. binaryFile hands whole files (one container = one
-    decode unit) and bin-packs small files per `maxPartitionBytes`, so
-    parallelism tracks the writer's one-file-per-partition layout.
+_PARTITION_CASTERS = {
+    T.LongType: int,
+    T.DoubleType: float,
+    T.DateType: date.fromisoformat,
+    T.StringType: str,
+}
 
-    Drifted trees decode under spec schema resolution: the reader
-    schema is the widest file schema every file resolves to (or pass
-    `reader_schema`, an avro record dict, explicitly); incompatible
-    drift refuses naming the offending file. Partition columns are
-    recovered from the `col=value` directory names (unescaped,
-    __HIVE_DEFAULT_PARTITION__ → NULL) and appended after the data
-    columns with Spark's default inference (long → double → date →
-    string)."""
-    from urllib.parse import unquote
 
+class AvroScanPlan:
+    """Driver-side plan for reading one avro tree — shared by
+    `read_avro_fallback` (binaryFile + mapPartitions) and the Spark 4
+    Python DataSource wrapper (sources/avro_datasource.py, r11), so the
+    two surfaces cannot drift on discovery, resolution, or partition
+    typing. Holds: discovered files with their CAST partition values,
+    the resolved avro reader schema (JSON dict), the full Spark output
+    schema (data columns then partition columns), and the partition
+    column names/types for typing late-arriving files on the streaming
+    path."""
+
+    def __init__(self, root, files, pvals_by_path, reader_schema,
+                 out_schema, pcols, ptypes):
+        self.root = root
+        self.files = files                    # [(abs path, pvals tuple)]
+        self.pvals_by_path = pvals_by_path    # normed path -> pvals
+        self.reader_schema = reader_schema
+        self.out_schema = out_schema
+        self.pcols = pcols
+        self.ptypes = ptypes
+
+    def partition_values_for(self, file_path: str):
+        """Partition tuple for a file DISCOVERED AFTER planning (the
+        streaming reader's late files): directory-derived raw values
+        cast with the types fixed at plan time — a late value that no
+        longer fits the inferred column type refuses loudly rather than
+        silently demoting a running stream's schema."""
+        from urllib.parse import unquote
+
+        rel = os.path.relpath(os.path.dirname(file_path), self.root)
+        segs = () if rel == "." else tuple(
+            seg.split("=", 1) for seg in rel.split(os.sep)
+        )
+        if [c for c, _ in segs] != self.pcols:
+            raise ValueError(
+                f"avro stream: file {file_path!r} has partition levels "
+                f"{[c for c, _ in segs]!r}, the stream fixed "
+                f"{self.pcols!r} at start"
+            )
+        out = []
+        for i, (_, raw) in enumerate(segs):
+            if raw == _HIVE_DEFAULT_PARTITION:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    _PARTITION_CASTERS[type(self.ptypes[i])](unquote(raw))
+                )
+            except ValueError as ex:
+                raise ValueError(
+                    f"avro stream: partition value {raw!r} of "
+                    f"{file_path!r} does not fit the column type "
+                    f"{self.ptypes[i].simpleString()} fixed at stream "
+                    "start"
+                ) from ex
+        return tuple(out)
+
+
+def _discover_avro_files(path: str):
+    """(root, [(abs path, ((col, raw), ...))]) for one avro tree."""
     local = _require_local(path, "avro read")
     files: list[tuple[str, tuple[tuple[str, str], ...]]] = []
     for dirpath, dirnames, filenames in os.walk(local):
@@ -2004,6 +2050,20 @@ def read_avro_fallback(
         for n in sorted(filenames):
             if n.endswith(".avro") and not n.startswith("."):
                 files.append((os.path.join(dirpath, n), pparts))
+    return local, files
+
+
+def scan_avro_tree(path: str, reader_schema: dict | None = None) -> AvroScanPlan:
+    """Plan a read of one avro tree: discover files, read HEADERS only
+    (a few hundred bytes per file — fail fast on unknown codecs and
+    unresolvable drift before any executor work), resolve the reader
+    schema per spec §Schema Resolution, and type the Hive partition
+    columns from directory names (long → double → date → string, with
+    mixed raws demoting to string exactly as Spark's own inference
+    does)."""
+    from urllib.parse import unquote
+
+    local, files = _discover_avro_files(path)
     if not files:
         raise FileNotFoundError(f"no .avro files under {path!r}")
     pcols = [c for c, _ in files[0][1]]
@@ -2012,9 +2072,6 @@ def read_avro_fallback(
             f"inconsistent partition directory levels under {path!r}"
         )
 
-    # Driver pass: HEADERS only — a few hundred bytes per file. Fail
-    # fast here on unknown codecs and unresolvable drift, before any
-    # executor work is scheduled.
     writer_schemas: list[dict] = []
     for fp, _ in files:
         with open(fp, "rb") as fh:
@@ -2049,10 +2106,6 @@ def read_avro_fallback(
                     f"reader schema: {ex}"
                 ) from ex
 
-    # Partition typing from directory names alone (driver-side
-    # metadata): per-column type from ALL files' values — a mix of
-    # `day=1` and `day=x` demotes the whole column to string, exactly
-    # as Spark demotes conflicting partition inferences.
     praw_per_file = [
         tuple(
             None if raw == _HIVE_DEFAULT_PARTITION else unquote(raw)
@@ -2069,15 +2122,9 @@ def read_avro_fallback(
         )
         for vals in praw_per_col
     ]
-    _CASTERS = {
-        T.LongType: int,
-        T.DoubleType: float,
-        T.DateType: date.fromisoformat,
-        T.StringType: str,
-    }
     pvals_by_path = {
         _norm_file_path(fp): tuple(
-            None if v is None else _CASTERS[type(ptypes[i])](v)
+            None if v is None else _PARTITION_CASTERS[type(ptypes[i])](v)
             for i, v in enumerate(praw)
         )
         for (fp, _), praw in zip(files, praw_per_file)
@@ -2089,19 +2136,54 @@ def read_avro_fallback(
             _unpack_field, reader_schema["fields"]
         )
     ]
-    _require_utc_for_timestamps(
-        spark,
-        any(_has_timestamp(f.dataType) for f in fields),
-        "avro read",
-    )
     # Partition columns append after the data columns, Spark-style;
     # always nullable (the Hive default partition carries NULL).
     fields.extend(
         T.StructField(c, ptypes[i], True) for i, c in enumerate(pcols)
     )
-    out_schema = T.StructType(fields)
+    return AvroScanPlan(
+        root=local,
+        files=[(fp, pvals_by_path[_norm_file_path(fp)]) for fp, _ in files],
+        pvals_by_path=pvals_by_path,
+        reader_schema=reader_schema,
+        out_schema=T.StructType(fields),
+        pcols=pcols,
+        ptypes=ptypes,
+    )
 
-    reader_json = json.dumps(reader_schema)
+
+def read_avro_fallback(
+    spark: SparkSession, path: str, reader_schema: dict | None = None
+) -> DataFrame:
+    """Read a directory (or Hive-partitioned tree) of avro container
+    files (this writer's subset) back into a DataFrame — DISTRIBUTED
+    (r9): the driver reads each file's header only (schema + codec); the
+    row decode runs on executors via `spark.read.format("binaryFile")` +
+    `mapPartitions`, so aggregate input size is bounded by the cluster,
+    not driver memory. binaryFile hands whole files (one container = one
+    decode unit) and bin-packs small files per `maxPartitionBytes`, so
+    parallelism tracks the writer's one-file-per-partition layout.
+
+    Drifted trees decode under spec schema resolution: the reader
+    schema is the widest file schema every file resolves to (or pass
+    `reader_schema`, an avro record dict, explicitly); incompatible
+    drift refuses naming the offending file. Partition columns are
+    recovered from the `col=value` directory names (unescaped,
+    __HIVE_DEFAULT_PARTITION__ → NULL) and appended after the data
+    columns with Spark's default inference (long → double → date →
+    string). The same plan (`scan_avro_tree`) also backs the Spark 4
+    Python DataSource surface: `spark.read.format("avro_fallback")`
+    after `register_avro_fallback` (sources/avro_datasource.py)."""
+    plan = scan_avro_tree(path, reader_schema)
+    out_schema = plan.out_schema
+    pvals_by_path = plan.pvals_by_path
+    _require_utc_for_timestamps(
+        spark,
+        any(_has_timestamp(f.dataType) for f in out_schema.fields),
+        "avro read",
+    )
+    files = plan.files
+    reader_json = json.dumps(plan.reader_schema)
 
     def decode_partition(rows_iter):
         # Executor-side. The decode functions are imported AT CALL TIME
