@@ -241,6 +241,17 @@ LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
 # uniformly slowed machine can no longer stamp itself clean.
 CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.453"))
 CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
+# Clean-record eligibility (r11, VERDICT r10 item 6): bench_last.json is
+# overwritten by EVERY full run — including the driver's noisy-hour runs
+# (r10: a cal_ratio-1.11 run clobbered the committed 1.01 record).
+# bench_clean.json is the durable twin: updated ONLY when the run is
+# uncontaminated, on reference silicon, AND its calibration ratio is
+# inside this tight band — a noisy run leaves the previous clean record
+# untouched, so the repo always carries one machine-checkably clean
+# measurement (extra.clean_stamp records why it qualified).
+CLEAN_MAX_CAL_RATIO = float(
+    os.environ.get("SPARK_GRAFT_CLEAN_MAX_CAL_RATIO", "1.05")
+)
 # CAL_REF_S is HARDWARE-SPECIFIC (ADVICE r8): it is the sha256
 # throughput of the machine the reference was calibrated on. The
 # artifact records the host fingerprint next to the ratio so a run on
@@ -664,11 +675,33 @@ def main() -> None:
         if "--headline-only" in sys.argv
         else "bench_last.json"
     )
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, fname), "w") as fh:
         fh.write(json.dumps(result) + "\n")
+    # Durable CLEAN record (r11, VERDICT r10 item 6): refreshed only by
+    # a full run that is uncontaminated, host-matched, and inside the
+    # tight calibration band — so the driver's noisy-hour bench_last
+    # overwrites can never clobber the committed clean measurement.
+    clean_eligible = (
+        fname == "bench_last.json"
+        and not load_contaminated
+        and result["extra"]["cal_host_matches_ref"]
+        and cal_ratio is not None
+        and cal_ratio <= CLEAN_MAX_CAL_RATIO
+    )
+    if clean_eligible:
+        clean = dict(result)
+        clean["extra"] = dict(result["extra"])
+        clean["extra"]["clean_stamp"] = {
+            "cal_ratio": cal_ratio,
+            "clean_max_cal_ratio": CLEAN_MAX_CAL_RATIO,
+            "steal_pct": steal_pct,
+            "written_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        with open(os.path.join(here, "bench_clean.json"), "w") as fh:
+            fh.write(json.dumps(clean) + "\n")
     # stdout gets a COMPACT line that FITS the driver's tail budget
     # (VERDICT r5 item 3): headline metric + all 50 per-query numbers +
     # the two scalar extras, minimal whitespace (~1.7k chars). The bulky
@@ -686,7 +719,9 @@ def main() -> None:
             "load_contaminated": load_contaminated,
             "headline_spread_median": spread_median,
             "cal_ratio": cal_ratio,
+            "cal_host_matches_ref": result["extra"]["cal_host_matches_ref"],
             "steal_pct": steal_pct,
+            "clean_record_written": clean_eligible,
             "full": fname,
         },
     }

@@ -329,7 +329,7 @@ def test_tws_degrades_loudly_without_protobuf(spark, monkeypatch):
     events = spark.createDataFrame(
         [(datetime(2024, 1, 1), 1)], "ts TIMESTAMP, user_id BIGINT"
     )
-    with pytest.raises(RuntimeError, match="discarding_pane_counts"):
+    with pytest.raises(RuntimeError, match="discarding_pane_aggregate"):
         tws_pane_counts(events)
 
 
@@ -417,6 +417,89 @@ def test_tws_matches_state_v1_panes(spark, tmp_path):
         )
     )
     assert v1 == v2
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime "
+    "(neither the real wheel nor vendor/protoshim activated)",
+)
+def test_tws_pane_aggregate_matches_v1_sum_multikey(spark, tmp_path):
+    """r11 parity: the combiner-generic/multi-key pane form is
+    output-identical across the two stateful APIs (sum over a composite
+    (BIGINT, STRING) key, two micro-batches of firings)."""
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_aggregate,
+    )
+    from tutorial_apache_beam_spark.streaming.tws import tws_pane_aggregate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH + i, "user_id": 7, "points": 10 + i,
+         "device": d}
+        for i, d in enumerate(["m", "m", "web"])
+    ])
+    _write(src, "b1.json", [
+        {"event_time": BASE_EPOCH + 10, "user_id": 7, "points": 5,
+         "device": "m"},
+        {"event_time": BASE_EPOCH + 11, "user_id": 9, "points": 2,
+         "device": "web"},
+    ])
+
+    def build(op):
+        def run(stream):
+            return op(
+                stream, key_cols=["user_id", "device"],
+                value_col="points", agg="sum",
+            )
+
+        return run
+
+    def drain(op, ck, out):
+        stream = (
+            spark.readStream.schema(
+                "event_time BIGINT, user_id BIGINT, points BIGINT, "
+                "device STRING"
+            )
+            .json(str(src))
+            .select(
+                F.timestamp_seconds("event_time").alias("ts"),
+                "user_id", "points", "device",
+            )
+        )
+        q = (
+            build(op)(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (
+                r["window_start"].isoformat(), r["user_id"], r["device"],
+                r["pane_value"], r["pane_index"],
+            )
+            for r in spark.read.parquet(str(tmp_path / out)).collect()
+        )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+    try:
+        v2 = drain(tws_pane_aggregate, "ck2", "out2")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    v1 = drain(discarding_pane_aggregate, "ck1", "out1")
+    assert v1 == v2
+    # Beam invariant: the discarding sum panes total the input sum.
+    assert sum(r[3] for r in v1) == 10 + 11 + 12 + 5 + 2
 
 
 @pytest.mark.skipif(

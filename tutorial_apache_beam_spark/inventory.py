@@ -87,7 +87,9 @@ LINEAGE: list[tuple[str, str, str]] = [
      "instead of plain append. r9: + avro-fallback round trip of the "
      "per-day aggregate (distributed deflate write partitioned by "
      "event_date, distributed read with partition recovery) — S1's "
-     "no-JAR interchange leg enters the hash-checked loop"),
+     "no-JAR interchange leg enters the hash-checked loop. r11: the "
+     "read-back goes through the Spark 4 Python DataSource surface "
+     "(format('avro_fallback'), same scan plan — cost-neutral)"),
     ("near_dup_clusters", "near_dup_clusters [r1, rows-only]",
      "r2: recursive-CTE transitive-closure oracle"),
     ("embedding_cosine_near_dups", "embedding_cosine_near_dups [r1]",
@@ -100,6 +102,13 @@ LINEAGE: list[tuple[str, str, str]] = [
      "rows, one join state, one source replay)"),
     ("training_data_pipeline", "training_data_pipeline [r1]",
      "r3: + decontamination + curriculum stages"),
+    ("streaming_discarding_panes", "streaming_discarding_panes [r1]",
+     "r11: + tagged `sum` branch — Sum.perKey(event_id) panes over a "
+     "composite (user_id, event_type) key via the combiner-generic "
+     "pane_aggregate, a SECOND full drain alongside the historical "
+     "count branch (~2x the r10 slot's work); output columns unified "
+     "to (combiner, window_start, user_id, event_type, pane_value, "
+     "pane_index)"),
     ("(dropped)", "approx_distinct_users [r1]",
      "HLL sketch values are engine-specific, never hash-comparable; moved "
      "to error-bound pytest (tests/test_sketches.py)"),

@@ -48,20 +48,38 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from tutorial_apache_beam_spark.streaming.stateful import (
-    OUTPUT_SCHEMA,
     STATE_SCHEMA,
-    _count_panes,
+    _agg_panes,
     _duration_ms,
 )
 
 
 class PaneCountProcessor(StatefulProcessor):
-    """Per-user pane emitter: each micro-batch's rows for a (window, user)
-    are one pane; emits the batch-local delta with a monotonically
-    increasing pane_index (Beam PaneInfo.index analog)."""
+    """Per-key pane emitter: each micro-batch's rows for a (window, key)
+    are one pane; emits the batch-local combiner delta with a
+    monotonically increasing pane_index (Beam PaneInfo.index analog).
 
-    def __init__(self, window_ms: int) -> None:
+    Combiner-generic since r11 (the same `_agg_panes` body as the v1
+    emitter): the constructor's key_specs/agg/value_col mirror
+    `stateful._make_pane_emitter`, with the historical count-only
+    defaults so existing pickled checkpoints and the parity tests keep
+    their exact shape."""
+
+    def __init__(
+        self,
+        window_ms: int,
+        key_specs: tuple = (("user_id", "int"),),
+        agg: str = "count",
+        value_col: str | None = None,
+        value_kind: str = "int",
+        value_name: str = "pane_count",
+    ) -> None:
         self._window_ms = window_ms
+        self._key_specs = key_specs
+        self._agg = agg
+        self._value_col = value_col
+        self._value_kind = value_kind
+        self._value_name = value_name
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
@@ -81,7 +99,6 @@ class PaneCountProcessor(StatefulProcessor):
         if not frames:
             return
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-        (user_id,) = key
 
         stored = self._panes.get()
         win_ms, pane_idx = stored if stored is not None else ([], [])
@@ -97,8 +114,11 @@ class PaneCountProcessor(StatefulProcessor):
 
         # Shared hot-path body with the v1 emitter (one invocation per
         # key per micro-batch is the cost model for both APIs); mutates
-        # open_windows in place — see _count_panes.
-        out = _count_panes(pdf, open_windows, user_id)
+        # open_windows in place — see _agg_panes.
+        out = _agg_panes(
+            pdf, open_windows, key, self._key_specs, self._agg,
+            self._value_col, self._value_kind, self._value_name,
+        )
 
         self._panes.update(
             (list(open_windows.keys()), list(open_windows.values()))
@@ -471,16 +491,21 @@ def tws_ingest_dedup(
     )
 
 
-def tws_pane_counts(
+def tws_pane_aggregate(
     events: DataFrame,
     ts_col: str = "ts",
-    key_col: str = "user_id",
+    key_cols: list[str] | tuple[str, ...] = ("user_id",),
+    value_col: str | None = None,
+    agg: str = "count",
     window_duration: str = "1 minute",
+    slide_duration: str | None = None,
     watermark_delay: str = "2 minutes",
 ) -> DataFrame:
-    """`discarding_pane_counts` on the state-v2 API — identical contract:
-    one row per (window, key, firing), `pane_count` = delta since the
-    previous firing, `pane_index` = firing ordinal.
+    """`discarding_pane_aggregate` on the state-v2 API — identical
+    contract (r11, combiner-generic/multi-key/sliding like the v1 twin):
+    one row per (window, keys, firing), `pane_count`/`pane_value` =
+    combiner delta since the previous firing, `pane_index` = firing
+    ordinal.
 
     Requires `spark.sql.streaming.stateStore.providerClass` =
     RocksDBStateStoreProvider (the transformWithState backend).
@@ -493,63 +518,62 @@ def tws_pane_counts(
     from tutorial_apache_beam_spark.protoshim import ensure_protobuf_runtime
 
     from tutorial_apache_beam_spark.streaming.stateful import (
+        _pane_plan,
         _require_utc_session,
     )
 
-    _require_utc_session(events, "tws_pane_counts")
+    key_cols = list(key_cols)
+    _require_utc_session(events, "tws_pane_aggregate")
     try:
         ensure_protobuf_runtime(spark=events.sparkSession)
     except ImportError as exc:
         raise RuntimeError(
-            "tws_pane_counts needs the state-v2 API "
+            "tws_pane_aggregate needs the state-v2 API "
             "(transformWithStateInPandas), whose Python worker speaks "
             "protobuf to the JVM state server — and neither google.protobuf "
             "nor the vendored protoshim runtime could be activated "
             f"({exc}). Install protobuf (any pure-Python wheel suffices), "
             "or use the output-identical state-v1 operator: "
-            "streaming.stateful.discarding_pane_counts."
+            "streaming.stateful.discarding_pane_aggregate."
         ) from exc
-    # Integral-key guard + caller-key-name contract (r10 review): this
-    # twin's output schema pins the key slot to BIGINT. A key named like
-    # a pane output column would collide on the rename below — Spark
-    # only errors later, on the first ambiguous reference — so refuse
-    # at plan time (ADVICE r10 item 1).
-    from pyspark.sql import types as T
-
-    from tutorial_apache_beam_spark.streaming.stateful import (
-        RESERVED_PANE_COLS,
+    key_specs, value_kind, value_name, out_schema, bucket = _pane_plan(
+        events, ts_col, key_cols, window_duration, slide_duration,
+        agg, value_col, "tws_pane_aggregate",
     )
-
-    if key_col in RESERVED_PANE_COLS:
-        raise ValueError(
-            f"tws_pane_counts: key column {key_col!r} collides with a "
-            f"pane output column ({sorted(RESERVED_PANE_COLS)}) — rename "
-            "it before windowing"
-        )
-    key_type = events.schema[key_col].dataType
-    if not isinstance(
-        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        raise ValueError(
-            f"discarding pane operator requires an integral key column "
-            f"(state schema pins BIGINT); {key_col!r} is "
-            f"{key_type.simpleString()} — use mode='accumulating' or "
-            "map the key to an integral id first"
-        )
+    keep = [value_col] if value_col is not None else []
     bucketed = (
-        events.withColumn(
-            "window_start", F.window(F.col(ts_col), window_duration).start
-        )
+        events.withColumn("window_start", bucket.start)
         .withWatermark("window_start", watermark_delay)
-        .select("window_start", key_col)
+        .select("window_start", *key_cols, *keep)
     )
-    out = bucketed.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=PaneCountProcessor(_duration_ms(window_duration)),
-        outputStructType=OUTPUT_SCHEMA,
+    return bucketed.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=PaneCountProcessor(
+            _duration_ms(window_duration), key_specs, agg, value_col,
+            value_kind, value_name,
+        ),
+        outputStructType=out_schema,
         outputMode="Append",
         timeMode="EventTime",
         eventTimeColumnName="window_start",
     )
-    if key_col != "user_id":
-        out = out.withColumnRenamed("user_id", key_col)
-    return out
+
+
+def tws_pane_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """`discarding_pane_counts` on the state-v2 API — the historical
+    single-key count view over `tws_pane_aggregate` (which also lifted
+    the r10 integral-key-only restriction, in lockstep with the v1
+    twin)."""
+    return tws_pane_aggregate(
+        events,
+        ts_col=ts_col,
+        key_cols=[key_col],
+        agg="count",
+        window_duration=window_duration,
+        watermark_delay=watermark_delay,
+    )
