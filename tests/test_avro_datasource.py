@@ -61,10 +61,19 @@ def test_batch_parity_with_helper(registered, tmp_path):
     )
     # partition column typed from directory names on both surfaces
     assert ds.schema["part"].dataType == T.LongType()
-    # one input partition per container file (write parallelism = read
-    # parallelism, the layout contract)
+    # small files bin-pack into ONE task at the default 128 MB bin;
+    # binBytes=1 forces one task per file (the no-packing bound)
     n_files = len(glob.glob(f"{tree}/part=*/*.avro"))
-    assert ds.rdd.getNumPartitions() == n_files
+    assert ds.rdd.getNumPartitions() == 1
+    per_file = (
+        spark.read.format("avro_fallback")
+        .option("binBytes", 1)
+        .load(tree)
+    )
+    assert per_file.rdd.getNumPartitions() == n_files
+    assert sorted(map(tuple, per_file.collect())) == sorted(
+        map(tuple, helper.collect())
+    )
 
 
 def test_schema_must_match_derived(registered, tmp_path):
@@ -143,7 +152,7 @@ def test_stream_reader_offset_semantics(spark, tmp_path):
     assert first["files"] == sorted(first["files"])
     assert rdr.partitions(first, first) == []
     parts = rdr.partitions(rdr.initialOffset(), first)
-    assert len(parts) == len(plan.files)
+    assert sum(len(p.files) for p in parts) == len(plan.files)
     rows = [r for p in parts for r in rdr.read(p)]
     assert len(rows) == 6
 
@@ -188,7 +197,7 @@ def test_stream_late_partition_value_typing(spark, tmp_path):
     os.makedirs(os.path.join(tree, "part=5"))
     shutil.copy(src, os.path.join(tree, "part=5", "x.avro"))
     parts = rdr.partitions(first, rdr.latestOffset())
-    assert [p.pvals for p in parts] == [(5,)]
+    assert [pv for p in parts for _, pv in p.files] == [(5,)]
 
     os.makedirs(os.path.join(tree, "part=zzz"))
     shutil.copy(src, os.path.join(tree, "part=zzz", "y.avro"))

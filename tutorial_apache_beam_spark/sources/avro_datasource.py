@@ -14,9 +14,11 @@ micro-batch picks up files that appeared since the last committed
 offset, validates at PLAN time that they resolve to the reader schema
 fixed at stream start, and decodes them on executors.
 
-Scale shape: one InputPartition per container file (the writer emits one
-file per DataFrame partition, so read parallelism tracks write
-parallelism); the driver touches HEADERS only (a few hundred bytes per
+Scale shape: container files bin-pack into input partitions up to
+`binBytes` (default 128 MB, binaryFile's default) — a 100k-small-file
+tree costs hundreds of Python tasks, not 100k, while a big file still
+gets its own task (a container decodes sequentially, so bins never
+split files); the driver touches HEADERS only (a few hundred bytes per
 file); row decode runs in the Python DataSource worker on executors.
 Streaming offsets carry the set of processed RELATIVE paths as a sorted
 JSON list — O(files seen) per offset, the right trade for replay/backfill
@@ -45,45 +47,75 @@ from pyspark.sql.types import StructType
 
 
 class AvroFilePartition(InputPartition):
-    """One container file: absolute path + its CAST partition values +
-    the resolved avro reader schema (JSON, so the executor-side decode
-    needs no driver object graph)."""
+    """One decode task: a BIN of container files (absolute path + CAST
+    partition values each) + the resolved avro reader schema (JSON, so
+    the executor-side decode needs no driver object graph)."""
 
-    def __init__(self, path: str, pvals: tuple, reader_json: str):
-        self.path = path
-        self.pvals = pvals
+    def __init__(self, files: list[tuple[str, tuple]], reader_json: str):
+        self.files = files
         self.reader_json = reader_json
 
 
-def _decode_file(partition: AvroFilePartition):
-    """Executor-side decode of one container file. Imports resolve from
-    the worker's own module copy (same contract as read_avro_fallback's
-    mapPartitions body)."""
+# binaryFile's default bin size: small container files pack together so
+# a 100k-small-file tree costs hundreds of Python tasks, not 100k —
+# while one big file still gets its own task (a container decodes
+# sequentially, so a bin never splits a file).
+_DEFAULT_BIN_BYTES = 128 * 1024 * 1024
+
+
+def _pack_bins(files, bin_bytes: int):
+    """First-fit-decreasing-ish size packing preserving discovery order
+    inside each bin (rows stay grouped by file anyway): greedy fill to
+    `bin_bytes`, oversized files alone in their bin."""
+    bins: list[list[tuple[str, tuple]]] = []
+    cur: list[tuple[str, tuple]] = []
+    cur_sz = 0
+    for fp, pvals in files:
+        try:
+            sz = os.path.getsize(fp)
+        except OSError:
+            sz = bin_bytes  # vanished/unreadable: isolate, fail loudly
+        if cur and cur_sz + sz > bin_bytes:
+            bins.append(cur)
+            cur, cur_sz = [], 0
+        cur.append((fp, pvals))
+        cur_sz += sz
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def _decode_bin(partition: AvroFilePartition):
+    """Executor-side decode of one bin of container files. Imports
+    resolve from the worker's own module copy (same contract as
+    read_avro_fallback's mapPartitions body)."""
     from tutorial_apache_beam_spark.sources.avro_fallback import (
         _decode_container,
     )
 
     rschema = json.loads(partition.reader_json)
-    with open(partition.path, "rb") as fh:
-        data = fh.read()
-    _, recs = _decode_container(io.BytesIO(data), rschema)
-    for rec in recs:
-        yield rec + partition.pvals
+    for path, pvals in partition.files:
+        with open(path, "rb") as fh:
+            data = fh.read()
+        _, recs = _decode_container(io.BytesIO(data), rschema)
+        for rec in recs:
+            yield rec + pvals
 
 
 class AvroFallbackReader(DataSourceReader):
-    def __init__(self, plan):
+    def __init__(self, plan, bin_bytes: int = _DEFAULT_BIN_BYTES):
         self._plan = plan
+        self._bin_bytes = bin_bytes
         self._reader_json = json.dumps(plan.reader_schema)
 
     def partitions(self):
         return [
-            AvroFilePartition(fp, pvals, self._reader_json)
-            for fp, pvals in self._plan.files
+            AvroFilePartition(bin_, self._reader_json)
+            for bin_ in _pack_bins(self._plan.files, self._bin_bytes)
         ]
 
     def read(self, partition: AvroFilePartition):
-        return _decode_file(partition)
+        return _decode_bin(partition)
 
 
 class AvroFallbackStreamReader(DataSourceStreamReader):
@@ -123,7 +155,7 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
         )
 
         fresh = sorted(set(end["files"]) - set(start["files"]))
-        out = []
+        batch = []
         for rel in fresh:
             fp = os.path.join(self._plan.root, rel)
             pvals = (
@@ -147,11 +179,14 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
                         f"to the reader schema fixed at stream start: {ex}"
                     ) from ex
                 self._validated.add(fp)
-            out.append(AvroFilePartition(fp, pvals, self._reader_json))
-        return out
+            batch.append((fp, pvals))
+        return [
+            AvroFilePartition(bin_, self._reader_json)
+            for bin_ in _pack_bins(batch, _DEFAULT_BIN_BYTES)
+        ]
 
     def read(self, partition: AvroFilePartition):
-        return _decode_file(partition)
+        return _decode_bin(partition)
 
     def commit(self, end: dict) -> None:
         pass
@@ -161,7 +196,8 @@ class AvroFallbackDataSource(DataSource):
     """format("avro_fallback"): options — `path` (required, local/posix
     tree of .avro container files), `readerSchema` (optional avro record
     schema as a JSON string; default = the spec-resolved widest schema
-    across the tree)."""
+    across the tree), `binBytes` (batch-read bin size for small-file
+    packing, default 128 MB)."""
 
     @classmethod
     def name(cls) -> str:
@@ -201,7 +237,10 @@ class AvroFallbackDataSource(DataSource):
         return plan
 
     def reader(self, schema: StructType) -> AvroFallbackReader:
-        return AvroFallbackReader(self._check_schema(schema))
+        bin_bytes = int(self.options.get("binbytes", _DEFAULT_BIN_BYTES))
+        if bin_bytes < 1:
+            raise ValueError(f"binBytes must be >= 1, got {bin_bytes}")
+        return AvroFallbackReader(self._check_schema(schema), bin_bytes)
 
     def streamReader(self, schema: StructType) -> AvroFallbackStreamReader:
         return AvroFallbackStreamReader(self._check_schema(schema))
