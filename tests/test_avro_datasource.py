@@ -173,6 +173,72 @@ def test_stream_reader_offset_semantics(spark, tmp_path):
         rdr.partitions(first, second)
 
 
+def test_writer_roundtrip_partitioned(registered, tmp_path):
+    """df.write.format('avro_fallback'): Hive col=value layout, codec
+    option, parity with the helper's reader on both surfaces, and
+    overwrite/append mode semantics."""
+    spark = registered
+    out = str(tmp_path / "out")
+    rows = _write_tree(spark, str(tmp_path / "seed"))
+    df = spark.read.format("avro_fallback").load(str(tmp_path / "seed"))
+    (
+        df.withColumn("part", df.part.cast("string"))
+        .write.format("avro_fallback")
+        .option("partitionBy", "part")
+        .option("codec", "deflate")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert sorted(os.listdir(out)) == ["part=0", "part=1"]
+    back = spark.read.format("avro_fallback").load(out)
+    assert sorted((r["id"], r["d"], r["ts"]) for r in back.collect()) == [
+        (i, d, ts) for i, d, ts, _ in rows
+    ]
+    helper = read_avro_fallback(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, helper.collect())
+    )
+    # append mode adds rows instead of replacing
+    (
+        df.limit(1)
+        .withColumn("part", df.part.cast("string"))
+        .write.format("avro_fallback")
+        .option("partitionBy", "part")
+        .mode("append")
+        .save(out)
+    )
+    assert spark.read.format("avro_fallback").load(out).count() == 7
+    # overwrite replaces
+    (
+        df.limit(2)
+        .withColumn("part", df.part.cast("string"))
+        .write.format("avro_fallback")
+        .option("partitionBy", "part")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert spark.read.format("avro_fallback").load(out).count() == 2
+
+
+def test_writer_plan_time_refusals(registered, tmp_path):
+    spark = registered
+    df = spark.range(3)
+    with pytest.raises(Exception, match="codec"):
+        (
+            df.write.format("avro_fallback")
+            .option("codec", "lz77")
+            .mode("overwrite")
+            .save(str(tmp_path / "x"))
+        )
+    with pytest.raises(Exception, match="not in frame"):
+        (
+            df.write.format("avro_fallback")
+            .option("partitionBy", "nope")
+            .mode("overwrite")
+            .save(str(tmp_path / "y"))
+        )
+
+
 def test_stream_late_partition_value_typing(spark, tmp_path):
     """A late file in a NEW directory of the fixed partition column uses
     the types fixed at stream start; a value that no longer fits refuses

@@ -4,6 +4,8 @@ VERDICT r10 item 4): the idiomatic reader surface —
     register_avro_fallback(spark)
     df  = spark.read.format("avro_fallback").load("/path/to/tree")
     sdf = spark.readStream.format("avro_fallback").load("/path/to/tree")
+    df.write.format("avro_fallback").option("partitionBy", "day") \\
+      .mode("overwrite").save("/path/to/out")
 
 — over the same driver-side plan (`avro_fallback.scan_avro_tree`) the
 `read_avro_fallback` helper uses, so the two surfaces cannot drift on
@@ -41,7 +43,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -192,6 +196,53 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
         pass
 
 
+class AvroFallbackWriter(DataSourceWriter):
+    """df.write.format("avro_fallback") — the same task-commit protocol
+    as `write_avro_fallback` (deterministic final name per partition id,
+    dot-hidden temp + os.replace, so retries overwrite their failed
+    predecessor instead of duplicating rows). commit()/abort() are
+    no-ops by design: every task's file is already atomically final, the
+    exact semantics of the helper this wraps."""
+
+    def __init__(self, local, pcols, names, plan, avro_schema, codec,
+                 salt):
+        self._local = local
+        self._pcols = pcols
+        self._names = names
+        self._plan = plan
+        self._avro_schema = avro_schema
+        self._codec = codec
+        self._salt = salt
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            _write_task_partition,
+        )
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            base_stem = f"part-{ctx.partitionId():05d}-{self._salt}"
+            attempt = ctx.taskAttemptId()
+        else:  # pragma: no cover — defensive, mirrors the helper
+            base_stem = (
+                f"part-{os.getpid():05d}-{self._salt}-{os.urandom(4).hex()}"
+            )
+            attempt = int.from_bytes(os.urandom(4), "big")
+        _write_task_partition(
+            iterator, self._local, self._pcols, self._names, self._plan,
+            self._avro_schema, self._codec, base_stem, attempt,
+        )
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        pass
+
+
 class AvroFallbackDataSource(DataSource):
     """format("avro_fallback"): options — `path` (required, local/posix
     tree of .avro container files), `readerSchema` (optional avro record
@@ -244,6 +295,72 @@ class AvroFallbackDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> AvroFallbackStreamReader:
         return AvroFallbackStreamReader(self._check_schema(schema))
+
+    def writer(self, schema: StructType, overwrite: bool):
+        """Batch write: options — `path`, `codec` (default null),
+        `partitionBy` (comma-separated column names for Hive `col=value`
+        layout). Driver-side prep (schema mapping, directory handling,
+        UTC guard) mirrors `write_avro_fallback`; the per-task protocol
+        is shared code."""
+        import shutil
+
+        from pyspark.sql import SparkSession
+        from pyspark.sql import types as T
+
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            _codec_pair,
+            _field_plan,
+            _has_timestamp,
+            _require_local,
+            _require_utc_for_timestamps,
+            spark_schema_to_avro,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "avro_fallback requires a path — "
+                ".format('avro_fallback').save('/dir')"
+            )
+        local = _require_local(path, "avro write")
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            _require_utc_for_timestamps(
+                spark,
+                any(_has_timestamp(f.dataType) for f in schema.fields),
+                "avro write",
+            )
+        pcols = [
+            c.strip()
+            for c in self.options.get("partitionby", "").split(",")
+            if c.strip()
+        ]
+        missing = [c for c in pcols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"partitionBy columns not in frame: {missing}"
+            )
+        data_fields = [f for f in schema.fields if f.name not in pcols]
+        if pcols and not data_fields:
+            raise ValueError(
+                "partitionBy covers every column; nothing left to write"
+            )
+        if os.path.exists(local) and overwrite:
+            shutil.rmtree(local)
+        os.makedirs(local, exist_ok=True)
+        codec = self.options.get("codec", "null")
+        _codec_pair(codec)  # unknown codec fails at PLAN time, not mid-task
+        data_schema = T.StructType(data_fields)
+        plan = _field_plan(data_schema)
+        return AvroFallbackWriter(
+            local=local,
+            pcols=pcols,
+            names=[p[0] for p in plan],
+            plan=plan,
+            avro_schema=spark_schema_to_avro(data_schema),
+            codec=codec,
+            salt=os.urandom(4).hex(),
+        )
 
 
 def register_avro_fallback(spark) -> None:
