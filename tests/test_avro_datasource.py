@@ -239,6 +239,170 @@ def test_writer_plan_time_refusals(registered, tmp_path):
         )
 
 
+def test_pushdown_scan_reuse_upstream_sentinel(spark, tmp_path):
+    """WHY the avro_fallback reader deliberately has NO pushFilters
+    partition pruning (r11): on this Spark version,
+    PlanPythonDataSourceScan caches the LAST pushed-down scan per
+    relation and reuses it for any later FILTERLESS query over the same
+    DataFrame — so filter-dependent partitions silently drop rows
+    (measured: after df.where(p).collect(), a plain df.count() returned
+    the pruned subset). This sentinel registers a throwaway pruning
+    DataSource and ASSERTS the unsafe reuse; when a Spark upgrade makes
+    it fail (count == 4), the caching is fixed and partition pruning
+    should be (re)implemented in avro_datasource.AvroFallbackReader —
+    the r11 implementation (type-guarded _prunes over plan partition
+    values, consumed filters) lives in this repo's git history."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+
+    class _PruneReader(DataSourceReader):
+        def __init__(self):
+            self.keep = None
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("part",):
+                    self.keep = f.value
+                    continue
+                yield f
+
+        def partitions(self):
+            parts = [0, 1] if self.keep is None else [self.keep]
+            return [InputPartition(p) for p in parts]
+
+        def read(self, partition):
+            base = partition.value * 2
+            yield (base, partition.value)
+            yield (base + 1, partition.value)
+
+    class _PruneSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "prune_sentinel"
+
+        def schema(self):
+            return "id INT, part INT"
+
+        def reader(self, schema):
+            return _PruneReader()
+
+    try:
+        spark.dataSource.register(_PruneSource)
+        df = spark.read.format("prune_sentinel").load()
+        assert sorted(
+            r["id"] for r in df.where("part = 1").collect()
+        ) == [2, 3]
+        n = df.count()
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    assert n == 2, (
+        "Spark no longer reuses the last pushed-down scan for filterless "
+        f"queries (count == {n}): partition-pruning pushdown is now safe "
+        "to implement in avro_datasource.AvroFallbackReader — see this "
+        "test's docstring"
+    )
+
+
+def test_streaming_sink_exactly_once_protocol(registered, tmp_path):
+    """writeStream.format('avro_fallback'): bid-prefixed finals per
+    epoch, Hive layout, read-back parity — and the two-phase commit
+    unit-level: a replayed epoch's commit deletes the previous attempt's
+    finals for that batch id before promoting its own temps."""
+    spark = registered
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps({"id": i, "day": str(i % 2)}) for i in range(6)
+        )
+        + "\n"
+    )
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.schema("id BIGINT, day STRING")
+            .json(str(src))
+            .writeStream.format("avro_fallback")
+            .option("path", out)
+            .option("partitionBy", "day")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    files = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/day=*/*.avro")
+    )
+    assert files and all(f.startswith("bid0-part-") for f in files)
+    back = spark.read.format("avro_fallback").load(out)
+    assert sorted((r["id"], r["day"]) for r in back.collect()) == [
+        (i, i % 2) for i in range(6)
+    ]
+
+    # second epoch appends under bid1 without touching bid0 finals
+    (src / "b.json").write_text(_json.dumps({"id": 100, "day": "0"}) + "\n")
+    drain()
+    files2 = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/day=*/*.avro")
+    )
+    assert files == [f for f in files2 if f.startswith("bid0-")]
+    assert any(f.startswith("bid1-") for f in files2)
+    assert spark.read.format("avro_fallback").load(out).count() == 7
+
+    # unit-level replay idempotence: same epoch committed twice (the
+    # second attempt simulating a driver retry) leaves ONE set of finals
+    from tutorial_apache_beam_spark.sources.avro_datasource import (
+        AvroFallbackStreamWriter,
+    )
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _field_plan,
+        spark_schema_to_avro,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    plan = _field_plan(schema)
+    target = str(tmp_path / "unit")
+    os.makedirs(target)
+    w = AvroFallbackStreamWriter(
+        local=target, pcols=[], names=["id"], plan=plan,
+        avro_schema=spark_schema_to_avro(schema), codec="null",
+    )
+    from pyspark.sql import Row
+
+    for attempt in range(2):
+        msg = w.write(iter([Row(id=1), Row(id=2)]))
+        w.commit([msg], batchId=7)
+    finals = glob.glob(f"{target}/bid7-*.avro")
+    assert len(finals) == 1
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        read_container,
+    )
+    import io as _io
+
+    _, rows = read_container(_io.BytesIO(open(finals[0], "rb").read()))
+    assert rows == [(1,), (2,)]
+    # abort removes temps
+    msg = w.write(iter([Row(id=3)]))
+    w.abort([msg], batchId=8)
+    assert not glob.glob(f"{target}/.stream-part-*")
+
+
 def test_stream_late_partition_value_typing(spark, tmp_path):
     """A late file in a NEW directory of the fixed partition column uses
     the types fixed at stream start; a value that no longer fits refuses

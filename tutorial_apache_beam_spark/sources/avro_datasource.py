@@ -39,10 +39,13 @@ import io
 import json
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -107,6 +110,20 @@ def _decode_bin(partition: AvroFilePartition):
 
 
 class AvroFallbackReader(DataSourceReader):
+    """Batch reader. DELIBERATELY no pushFilters / partition pruning:
+    on Spark 4.1.2, `PlanPythonDataSourceScan` caches the LAST
+    pushed-down scan per relation and reuses it wholesale for any later
+    FILTERLESS query over the same DataFrame — measured live in this
+    repo: after `df.where("day = 2").collect()`, a plain `df.count()`
+    returned the pruned subset's count (5 of 20), with no Python call
+    at all for the second query. Any filter-dependent partitions list
+    is therefore unsafe to build from pushFilters on this version, no
+    matter how the reader manages its own state (replacement,
+    consume-once, and pickle-excluded pruning state were all tried and
+    measured wrong). tests/test_avro_datasource.py pins the upstream
+    behavior with a sentinel test so a Spark release that fixes the
+    caching flags pruning for re-implementation."""
+
     def __init__(self, plan, bin_bytes: int = _DEFAULT_BIN_BYTES):
         self._plan = plan
         self._bin_bytes = bin_bytes
@@ -243,6 +260,113 @@ class AvroFallbackWriter(DataSourceWriter):
         pass
 
 
+@dataclass
+class AvroStagedFiles(WriterCommitMessage):
+    """Task → driver: staged temp files as (out_dir, tmp_path) pairs,
+    plus the task's partition id (the final-name key)."""
+
+    partition_id: int
+    staged: list  # [(out_dir, tmp_path)]
+
+
+class AvroFallbackStreamWriter(DataSourceStreamWriter):
+    """writeStream.format("avro_fallback") with EXACTLY-ONCE epochs via
+    the same two-phase protocol as the engine's parquet streaming sink
+    (plans/pipeline._commit_batch_exactly_once): tasks stage dot-hidden
+    temp files and report them in their commit messages; the DRIVER's
+    commit(batchId) first deletes any `bid{batchId}-*` finals a previous
+    PARTIAL attempt of this epoch left behind, then renames every staged
+    temp to its batch-deterministic final name
+    (`bid{batchId}-part-{taskPartition:05d}.avro` inside each Hive
+    partition dir). A replayed epoch therefore overwrites itself
+    byte-for-byte instead of duplicating rows; a crashed epoch leaves
+    only dot-temps, which every reader skips. Losing speculative
+    attempts can strand a dot-temp (invisible to readers; reaped by
+    any overwrite-mode rewrite of the directory)."""
+
+    def __init__(self, local, pcols, names, plan, avro_schema, codec):
+        self._local = local
+        self._pcols = pcols
+        self._names = names
+        self._plan = plan
+        self._avro_schema = avro_schema
+        self._codec = codec
+
+    def write(self, iterator) -> AvroStagedFiles:
+        from pyspark import TaskContext
+
+        from tutorial_apache_beam_spark.sources.avro_fallback import (
+            _hive_escape,
+            write_container,
+        )
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = (
+            ctx.taskAttemptId()
+            if ctx is not None
+            else int.from_bytes(os.urandom(4), "big")
+        )
+        groups: dict[tuple, list[tuple]] = {}
+        for r in iterator:
+            key = (
+                tuple(r[c] for c in self._pcols) if self._pcols else ()
+            )
+            groups.setdefault(key, []).append(
+                tuple(r[n] for n in self._names)
+            )
+        staged = []
+        for key, grows in groups.items():
+            out_dir = self._local
+            for col, v in zip(self._pcols, key):
+                out_dir = f"{out_dir}/{col}={_hive_escape(v)}"
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{out_dir}/.stream-part-{pid:05d}.avro.tmp-{attempt}"
+            with open(tmp, "wb") as fh:
+                write_container(
+                    iter(grows), self._plan, self._avro_schema, fh,
+                    codec=self._codec,
+                )
+            staged.append((out_dir, tmp))
+        return AvroStagedFiles(partition_id=pid, staged=staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
+
+        prefix = f"bid{batchId}-"
+        dirs = {
+            d
+            for m in messages
+            if m is not None
+            for d, _ in m.staged
+        }
+        # Phase 1: clear this epoch's leftovers from a previous partial
+        # attempt (they are finals of the SAME batch id — replacing them
+        # wholesale is what makes the replay idempotent).
+        for d in dirs:
+            for old in _glob.glob(os.path.join(d, f"{prefix}*.avro")):
+                os.remove(old)
+        # Phase 2: promote every staged temp to its final name.
+        for m in messages:
+            if m is None:
+                continue
+            for d, tmp in m.staged:
+                final = os.path.join(
+                    d, f"{prefix}part-{m.partition_id:05d}.avro"
+                )
+                os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for _d, tmp in m.staged:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+
 class AvroFallbackDataSource(DataSource):
     """format("avro_fallback"): options — `path` (required, local/posix
     tree of .avro container files), `readerSchema` (optional avro record
@@ -296,14 +420,12 @@ class AvroFallbackDataSource(DataSource):
     def streamReader(self, schema: StructType) -> AvroFallbackStreamReader:
         return AvroFallbackStreamReader(self._check_schema(schema))
 
-    def writer(self, schema: StructType, overwrite: bool):
-        """Batch write: options — `path`, `codec` (default null),
-        `partitionBy` (comma-separated column names for Hive `col=value`
-        layout). Driver-side prep (schema mapping, directory handling,
-        UTC guard) mirrors `write_avro_fallback`; the per-task protocol
-        is shared code."""
-        import shutil
-
+    def _write_prep(self, schema: StructType):
+        """Shared driver-side write planning (batch + streaming): path
+        guard, UTC guard, partitionBy split, codec validation, avro
+        schema/plan for the data columns. Mirrors
+        `write_avro_fallback`'s prep; the per-task protocol is shared
+        code too."""
         from pyspark.sql import SparkSession
         from pyspark.sql import types as T
 
@@ -345,25 +467,62 @@ class AvroFallbackDataSource(DataSource):
             raise ValueError(
                 "partitionBy covers every column; nothing left to write"
             )
-        if os.path.exists(local) and overwrite:
-            shutil.rmtree(local)
-        os.makedirs(local, exist_ok=True)
         codec = self.options.get("codec", "null")
         _codec_pair(codec)  # unknown codec fails at PLAN time, not mid-task
         data_schema = T.StructType(data_fields)
         plan = _field_plan(data_schema)
+        return (
+            local, pcols, [p[0] for p in plan], plan,
+            spark_schema_to_avro(data_schema), codec,
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        """Batch write: options — `path`, `codec` (default null),
+        `partitionBy` (comma-separated column names for Hive `col=value`
+        layout)."""
+        import shutil
+
+        local, pcols, names, plan, avro_schema, codec = self._write_prep(
+            schema
+        )
+        if os.path.exists(local) and overwrite:
+            shutil.rmtree(local)
+        os.makedirs(local, exist_ok=True)
         return AvroFallbackWriter(
             local=local,
             pcols=pcols,
-            names=[p[0] for p in plan],
+            names=names,
             plan=plan,
-            avro_schema=spark_schema_to_avro(data_schema),
+            avro_schema=avro_schema,
             codec=codec,
             salt=os.urandom(4).hex(),
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """Streaming write (append mode): same options as the batch
+        writer; exactly-once epochs via the two-phase bid-prefixed
+        commit (see AvroFallbackStreamWriter)."""
+        if overwrite:
+            raise ValueError(
+                "avro_fallback streaming sink supports append output "
+                "mode only (a file tree has no per-epoch full-replace "
+                "semantics)"
+            )
+        local, pcols, names, plan, avro_schema, codec = self._write_prep(
+            schema
+        )
+        os.makedirs(local, exist_ok=True)
+        return AvroFallbackStreamWriter(
+            local=local,
+            pcols=pcols,
+            names=names,
+            plan=plan,
+            avro_schema=avro_schema,
+            codec=codec,
         )
 
 
 def register_avro_fallback(spark) -> None:
     """Idempotent: make format('avro_fallback') available on this
-    session (batch and streaming reads)."""
+    session (batch + streaming reads and writes)."""
     spark.dataSource.register(AvroFallbackDataSource)
