@@ -433,3 +433,11 @@ def test_stream_late_partition_value_typing(spark, tmp_path):
     shutil.copy(src, os.path.join(tree, "part=zzz", "y.avro"))
     with pytest.raises(ValueError, match="does not fit the column type"):
         rdr.partitions(first, rdr.latestOffset())
+    os.remove(os.path.join(tree, "part=zzz", "y.avro"))
+    # r11 review: Python-only numeric forms must refuse with the same
+    # STRICT rules as scan-time inference — bare int('1_5')/float('1_5')
+    # would silently accept 15 into the LongType column
+    os.makedirs(os.path.join(tree, "part=1_5"))
+    shutil.copy(src, os.path.join(tree, "part=1_5", "z.avro"))
+    with pytest.raises(ValueError, match="does not fit the column type"):
+        rdr.partitions(first, rdr.latestOffset())

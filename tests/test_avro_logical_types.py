@@ -128,6 +128,47 @@ def test_decimal_golden_wire_bytes():
         )
 
 
+def test_decimal_38_digits_survive_default_context():
+    """r11 review: Decimal.scaleb under Python's DEFAULT 28-digit
+    context silently rounds wider decimals on encode AND decode; the
+    codec pins an explicit wide context. 38 significant digits (Spark's
+    bound) must round-trip bit-exactly."""
+    tag = ("decimal", 38, 2, "bytes")
+    v = Decimal("123456789012345678901234567890123456.78")
+    out = bytearray()
+    _encode_value(tag, v, out)
+    got = _decode_value(tag, io.BytesIO(bytes(out)))
+    assert got == v and str(got) == str(v)
+    # and through a reader-field default (the third scaleb site)
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _default_value,
+    )
+
+    unscaled = 12345678901234567890123456789012345678
+    n = (unscaled.bit_length() + 8) // 8
+    raw = unscaled.to_bytes(n, "big", signed=True)
+    assert _default_value(tag, raw.decode("latin-1")) == v
+
+
+def test_fixed_decimal_capacity_matches_spec_bound():
+    """Spec: max precision for fixed(n) = floor(log10(2^(8n-1)-1)) —
+    fixed(1) holds 2 digits (127), not 3 (r11 review off-by-one)."""
+    ok = {
+        "type": "fixed", "name": "f", "size": 1,
+        "logicalType": "decimal", "precision": 2,
+    }
+    assert _parse_avro_type(ok, "f")[0] == ("decimal", 2, 0, 1)
+    bad = dict(ok, precision=3)
+    with pytest.raises(NotImplementedError, match="cannot fit in fixed"):
+        _parse_avro_type(bad, "f")
+    # fixed(16): 38 ok (spec bound), 39 > Spark bound anyway
+    ok16 = {
+        "type": "fixed", "name": "g", "size": 16,
+        "logicalType": "decimal", "precision": 38,
+    }
+    assert _parse_avro_type(ok16, "f")[0] == ("decimal", 38, 0, 16)
+
+
 def test_timestamp_millis_and_local_golden_decode():
     wire = encode_long(1_700_000_000_123)
     got = _decode_value("timestamp-millis", io.BytesIO(wire))

@@ -169,6 +169,99 @@ def test_sliding_window_panes(spark, tmp_path):
     assert all(r["pane_count"] == 1 and r["pane_index"] == 0 for r in rows)
 
 
+def test_sliding_watermark_widened_by_window_span(spark, tmp_path):
+    """r11 review: with the raw delay on window_start, a sliding window
+    whose span (size - period) exceeds the delay late-filters an
+    ON-TIME event's older window instances — panes silently undercount.
+    The plan must carry delay + (size - period) on the watermark."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [
+        {"event_time": BASE_EPOCH, "user_id": 7, "points": 1, "device": "m"},
+    ])
+    out = discarding_pane_aggregate(
+        _stream(spark, src), key_cols=["user_id"],
+        window_duration="10 minutes", slide_duration="1 minute",
+        watermark_delay="2 minutes",
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # 2 min + (10 min - 1 min) = 660000 ms
+    assert "660000" in plan
+    # fixed windows keep the caller's delay verbatim
+    fixed = discarding_pane_aggregate(
+        _stream(spark, src), key_cols=["user_id"],
+        window_duration="10 minutes", watermark_delay="2 minutes",
+    )
+    fplan = fixed._jdf.queryExecution().analyzed().toString()
+    assert "660000" not in fplan
+
+
+def test_nan_treated_as_missing_on_both_paths(spark, tmp_path):
+    """r11 review: the pandas float64 view cannot distinguish NULL from
+    NaN, so both pane paths normalize NaN → NULL at plan time — the
+    selector's mode choice must not change results on NaN-bearing
+    input."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join([
+            '{"event_time": %d, "user_id": 7, "points": 5.0, "device": "m"}'
+            % BASE_EPOCH,
+            '{"event_time": %d, "user_id": 7, "points": NaN, "device": "m"}'
+            % (BASE_EPOCH + 1),
+            '{"event_time": %d, "user_id": 9, "points": NaN, "device": "m"}'
+            % (BASE_EPOCH + 2),
+        ]) + "\n"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_time BIGINT, user_id BIGINT, points DOUBLE"
+            )
+            .option("allowNonNumericNumbers", "true")
+            .json(str(src))
+            .select(
+                F.timestamp_seconds("event_time").alias("ts"),
+                "user_id",
+                "points",
+            )
+        )
+
+    results = {}
+    for mode, builder, out_mode in (
+        ("disc", discarding_pane_aggregate, "append"),
+        ("acc", accumulating_pane_aggregate, "update"),
+    ):
+        out = builder(
+            stream(), key_cols=["user_id"], value_col="points", agg="max"
+        )
+        q = (
+            out.writeStream.outputMode(out_mode)
+            .format("memory")
+            .queryName(f"nan_{mode}_{tmp_path.name}")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_{mode}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[mode] = {
+            (r["user_id"],): r["pane_value"]
+            for r in spark.sql(
+                f"SELECT * FROM nan_{mode}_{tmp_path.name}"
+            ).collect()
+        }
+        spark.catalog.dropTempView(f"nan_{mode}_{tmp_path.name}")
+    # user 7: max(5.0, NaN→missing) = 5.0 on BOTH paths (JVM F.max
+    # would otherwise return NaN); user 9 (all-NaN):
+    # discarding emits no row, accumulating emits NULL — both "missing"
+    assert results["disc"] == {(7,): 5.0}
+    assert results["acc"][(7,)] == 5.0
+    assert results["acc"].get((9,)) is None
+
+
 def test_accumulating_schema_matches_discarding(spark, tmp_path):
     """mode='auto' must not be able to change the output schema with the
     cardinality hint: both paths agree on names AND types per combiner."""

@@ -296,8 +296,7 @@ class AvroFallbackStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         from tutorial_apache_beam_spark.sources.avro_fallback import (
-            _hive_escape,
-            write_container,
+            _stage_task_groups,
         )
 
         ctx = TaskContext.get()
@@ -307,27 +306,11 @@ class AvroFallbackStreamWriter(DataSourceStreamWriter):
             if ctx is not None
             else int.from_bytes(os.urandom(4), "big")
         )
-        groups: dict[tuple, list[tuple]] = {}
-        for r in iterator:
-            key = (
-                tuple(r[c] for c in self._pcols) if self._pcols else ()
-            )
-            groups.setdefault(key, []).append(
-                tuple(r[n] for n in self._names)
-            )
-        staged = []
-        for key, grows in groups.items():
-            out_dir = self._local
-            for col, v in zip(self._pcols, key):
-                out_dir = f"{out_dir}/{col}={_hive_escape(v)}"
-            os.makedirs(out_dir, exist_ok=True)
-            tmp = f"{out_dir}/.stream-part-{pid:05d}.avro.tmp-{attempt}"
-            with open(tmp, "wb") as fh:
-                write_container(
-                    iter(grows), self._plan, self._avro_schema, fh,
-                    codec=self._codec,
-                )
-            staged.append((out_dir, tmp))
+        staged = _stage_task_groups(
+            iterator, self._local, self._pcols, self._names, self._plan,
+            self._avro_schema, self._codec,
+            f"stream-part-{pid:05d}.avro.tmp-{attempt}",
+        )
         return AvroStagedFiles(partition_id=pid, staged=staged)
 
     def commit(self, messages, batchId: int) -> None:
@@ -426,15 +409,12 @@ class AvroFallbackDataSource(DataSource):
         schema/plan for the data columns. Mirrors
         `write_avro_fallback`'s prep; the per-task protocol is shared
         code too."""
-        from pyspark.sql import SparkSession
         from pyspark.sql import types as T
 
         from tutorial_apache_beam_spark.sources.avro_fallback import (
             _codec_pair,
             _field_plan,
-            _has_timestamp,
             _require_local,
-            _require_utc_for_timestamps,
             spark_schema_to_avro,
         )
 
@@ -445,13 +425,9 @@ class AvroFallbackDataSource(DataSource):
                 ".format('avro_fallback').save('/dir')"
             )
         local = _require_local(path, "avro write")
-        spark = SparkSession.getActiveSession()
-        if spark is not None:
-            _require_utc_for_timestamps(
-                spark,
-                any(_has_timestamp(f.dataType) for f in schema.fields),
-                "avro write",
-            )
+        # No per-write UTC check here: this runs in a sessionless
+        # planning worker; register_avro_fallback owns the timezone
+        # guard at the driver-side choke point.
         pcols = [
             c.strip()
             for c in self.options.get("partitionby", "").split(",")
@@ -524,5 +500,25 @@ class AvroFallbackDataSource(DataSource):
 
 def register_avro_fallback(spark) -> None:
     """Idempotent: make format('avro_fallback') available on this
-    session (batch + streaming reads and writes)."""
+    session (batch + streaming reads and writes).
+
+    Refuses non-UTC sessions: the helper surface checks
+    `_require_utc_for_timestamps` per read/write, but the DataSource's
+    reader()/writer() execute in Python planning WORKERS where no
+    active session exists to ask (a getActiveSession() check there is
+    silently None — r11 review), so the timezone guard must run HERE,
+    the one driver-side choke point. Conservative by design: the check
+    applies even to timestamp-free trees — a non-UTC session gets a
+    loud registration error with the remediation instead of silently
+    zone-shifted timestamps later."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz.upper() not in ("UTC", "GMT", "Z", "ETC/UTC"):
+        raise ValueError(
+            "register_avro_fallback requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}): the fallback "
+            "codec encodes/decodes timestamps as naive UTC, which a "
+            "non-UTC session would silently zone-shift — and the "
+            "DataSource API offers no per-query point to enforce this "
+            "(planning runs in sessionless workers)"
+        )
     spark.dataSource.register(AvroFallbackDataSource)

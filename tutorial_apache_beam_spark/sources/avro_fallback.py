@@ -82,8 +82,16 @@ import re
 import shutil
 import struct
 import zlib
+import decimal as _decimal
 from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
+
+# Decimal arithmetic context for the codec: the DEFAULT context rounds
+# at 28 significant digits, silently corrupting decimal(38,*) values on
+# both encode and decode (caught by r11 review — scaleb under the
+# default context zeroes trailing digits past 28 with no error). 80
+# digits covers Spark's 38-digit bound plus the largest scale shift.
+_DEC_CTX = _decimal.Context(prec=80)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -263,7 +271,7 @@ def _encode_value(tag: str, v, out: bytearray) -> None:
         )
     elif tag[0] == "decimal":
         _, prec, scale, under = tag
-        scaled = Decimal(v).scaleb(scale)
+        scaled = Decimal(v).scaleb(scale, context=_DEC_CTX)
         unscaled = int(scaled)
         if unscaled != scaled:
             # Spark enforces column scale, so this only fires on
@@ -382,7 +390,7 @@ def _decode_value(tag: str, buf: io.BytesIO):
         # spec §Decimal: two's-complement big-endian unscaled integer.
         return Decimal(
             int.from_bytes(raw, "big", signed=True)
-        ).scaleb(-scale)
+        ).scaleb(-scale, context=_DEC_CTX)
     if tag[0] == "array":
         _, itag, inull = tag
         out = []
@@ -888,8 +896,11 @@ def _parse_avro_type(t, where: str):
             if base == "fixed":
                 size = int(t["size"])
                 # capacity: an N-byte two's complement holds < 2^(8N-1);
-                # the spec documents max precision = floor(log10(...)).
-                if prec > len(str(2 ** (8 * size - 1) - 1)):
+                # spec max precision = floor(log10(2^(8N-1) - 1)), which
+                # is len(str(...)) MINUS ONE (len = floor(log10)+1 — the
+                # off-by-one accepted fixed(1) precision 3, caught by
+                # r11 review; 127 holds only 2 full digits).
+                if prec > len(str(2 ** (8 * size - 1) - 1)) - 1:
                     raise NotImplementedError(
                         f"avro decimal at {where}: precision {prec} "
                         f"cannot fit in fixed({size}) — invalid schema"
@@ -995,7 +1006,7 @@ def _default_value(tag, dj):
             raw = str(dj).encode("latin-1")
             return Decimal(
                 int.from_bytes(raw, "big", signed=True)
-            ).scaleb(-tag[2])
+            ).scaleb(-tag[2], context=_DEC_CTX)
         if tag[0] == "union":
             # spec: a union default corresponds to its FIRST branch
             # (null-first defaults arrive as None and return above).
@@ -1768,6 +1779,40 @@ def write_avro_fallback(
     df.foreachPartition(write_partition)
 
 
+def _stage_task_groups(
+    rows,
+    local: str,
+    pcols: list[str],
+    names: list[str],
+    plan,
+    avro_schema: dict,
+    codec: str,
+    tmp_base: str,
+) -> list[tuple[str, str]]:
+    """Shared task-side staging for BOTH write surfaces (the
+    foreachPartition helper and the DataSource batch/stream writers —
+    one implementation so Hive escaping / null-partition / grouping
+    fixes can never drift between them, r11 review): group rows by
+    partition value, lay out `col=value` directories, stream each group
+    into the dot-hidden `.{tmp_base}` inside its directory. Returns
+    [(out_dir, tmp_path)]; callers own the rename/commit protocol."""
+    groups: dict[tuple, list[tuple]] = {}
+    for r in rows:
+        key = tuple(r[c] for c in pcols) if pcols else ()
+        groups.setdefault(key, []).append(tuple(r[n] for n in names))
+    staged = []
+    for key, grows in groups.items():
+        out_dir = local
+        for col, v in zip(pcols, key):
+            out_dir = f"{out_dir}/{col}={_hive_escape(v)}"
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = f"{out_dir}/.{tmp_base}"
+        with open(tmp, "wb") as fh:
+            write_container(iter(grows), plan, avro_schema, fh, codec=codec)
+        staged.append((out_dir, tmp))
+    return staged
+
+
 def _write_task_partition(
     rows,
     local: str,
@@ -1780,27 +1825,19 @@ def _write_task_partition(
     attempt: int,
     fault=None,
 ) -> None:
-    """One task attempt's write: group rows by partition value, stream
-    each group into `.{base_stem}.avro.tmp-{attempt}`, then os.replace
-    over the final name. Module-level (not a closure) so the commit
-    protocol is failure-injectable under test: `fault(out_dir, tmp)` is
-    called after the temp file is fully written but BEFORE the rename —
-    the widest crash window — and local mode never retries tasks, so a
+    """One task attempt's write: stage per-partition-value groups (see
+    `_stage_task_groups`), then os.replace each temp over its final
+    name. Module-level (not a closure) so the commit protocol is
+    failure-injectable under test: `fault(out_dir, tmp)` is called
+    after the temp file is fully written but BEFORE the rename — the
+    widest crash window — and local mode never retries tasks, so a
     real mid-write death can't be simulated through foreachPartition
     (VERDICT r7 #5)."""
-    groups: dict[tuple, list[tuple]] = {}
-    for r in rows:
-        key = tuple(r[c] for c in pcols) if pcols else ()
-        groups.setdefault(key, []).append(tuple(r[n] for n in names))
-    for key, grows in groups.items():
-        out_dir = local
-        for col, v in zip(pcols, key):
-            out_dir = f"{out_dir}/{col}={_hive_escape(v)}"
-        os.makedirs(out_dir, exist_ok=True)
-        base = f"{base_stem}.avro"
-        tmp = f"{out_dir}/.{base}.tmp-{attempt}"
-        with open(tmp, "wb") as fh:
-            write_container(iter(grows), plan, avro_schema, fh, codec=codec)
+    base = f"{base_stem}.avro"
+    for out_dir, tmp in _stage_task_groups(
+        rows, local, pcols, names, plan, avro_schema, codec,
+        f"{base}.tmp-{attempt}",
+    ):
         if fault is not None:
             fault(out_dir, tmp)
         os.replace(tmp, f"{out_dir}/{base}")
@@ -2021,17 +2058,40 @@ class AvroScanPlan:
             if raw == _HIVE_DEFAULT_PARTITION:
                 out.append(None)
                 continue
-            try:
-                out.append(
-                    _PARTITION_CASTERS[type(self.ptypes[i])](unquote(raw))
+            # STRICT parse, same rules as the scan-time inference
+            # (_infer_partition_value): bare int()/float() accept
+            # Python-only forms ('1_5' → 15.0, lowercase 'nan'/'inf')
+            # that the initial scan would have typed as STRING — a late
+            # file must not silently smuggle them into a numeric column
+            # fixed at stream start (r11 review).
+            val = _infer_partition_value(unquote(raw))
+            want = type(self.ptypes[i])
+            ok = (
+                (want is T.LongType and isinstance(val, int))
+                or (
+                    want is T.DoubleType
+                    and isinstance(val, (int, float))
                 )
-            except ValueError as ex:
+                or (
+                    want is T.DateType
+                    and isinstance(val, date)
+                    and not isinstance(val, datetime)
+                )
+                or want is T.StringType
+            )
+            if not ok:
                 raise ValueError(
                     f"avro stream: partition value {raw!r} of "
                     f"{file_path!r} does not fit the column type "
                     f"{self.ptypes[i].simpleString()} fixed at stream "
                     "start"
-                ) from ex
+                )
+            if want is T.StringType:
+                out.append(unquote(raw))
+            elif want is T.DoubleType:
+                out.append(float(val))
+            else:
+                out.append(val)
         return tuple(out)
 
 

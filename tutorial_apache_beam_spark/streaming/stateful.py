@@ -170,7 +170,12 @@ def _agg_panes(
       the list-built output before vectorization);
     - null VALUE rows are ignored (Spark's sum/min/max/avg skip nulls);
       a window whose batch rows are all-null-valued emits no pane row
-      for that firing (Beam combiners never see nulls at all).
+      for that firing (Beam combiners never see nulls at all). Float
+      NaN is treated as missing too, BY CONTRACT on both pane paths
+      (the plan normalizes NaN → NULL before aggregating): this
+      float64 view cannot distinguish Arrow-delivered NULL from NaN,
+      so the normalization turns that limitation into a defined,
+      mode-stable semantic.
 
     Integral values ride Arrow's nullable-long representation (float64 +
     NaN) and are cast back to int64 after the null drop — exact for
@@ -429,14 +434,42 @@ def discarding_pane_aggregate(
     # The watermark must ride on a column that survives the projection, so
     # it is declared on the derived window_start (event-time truncated to
     # the window) rather than the raw timestamp. For sliding windows one
-    # event yields several window_start rows; the watermark advances on
-    # the max, exactly like the fixed case.
+    # event yields several window_start rows spanning (ts - size, ts];
+    # the watermark advances on the max, so the declared delay is
+    # WIDENED by (size - period) — without that, an ON-TIME event's
+    # older window instances would be dropped as late the moment
+    # size - period exceeds the delay (r11 review), silently
+    # undercounting panes. The widening restores an effective lateness
+    # tolerance of `watermark_delay` in event-time terms, matching the
+    # accumulating path's raw-ts watermark.
     keep = [value_col] if value_col is not None else []
+    effective_delay = watermark_delay
+    if slide_duration is not None:
+        span_ms = max(
+            _duration_ms(window_duration) - _duration_ms(slide_duration), 0
+        )
+        effective_delay = (
+            f"{_duration_ms(watermark_delay, allow_zero=True) + span_ms}"
+            " milliseconds"
+        )
     bucketed = (
         events.withColumn("window_start", bucket.start)
-        .withWatermark("window_start", watermark_delay)
+        .withWatermark("window_start", effective_delay)
         .select("window_start", *key_cols, *keep)
     )
+    if value_col is not None and isinstance(
+        events.schema[value_col].dataType, _FLOAT_TYPES
+    ):
+        # NaN → NULL before the emitter: after Arrow transfer the
+        # pandas float64 view cannot distinguish NULL from NaN, so the
+        # Python path inherently treats both as missing — normalizing
+        # HERE (and identically on the accumulating path) makes that a
+        # defined, mode-stable semantic instead of a silent
+        # discarding-vs-accumulating divergence (r11 review).
+        bucketed = bucketed.withColumn(
+            value_col,
+            F.nanvl(F.col(value_col), F.lit(None).cast("double")),
+        )
     return bucketed.groupBy(*key_cols).applyInPandasWithState(
         _make_pane_emitter(
             _duration_ms(window_duration), key_specs, agg, value_col,
@@ -483,9 +516,15 @@ def accumulating_pane_aggregate(
     if agg == "count":
         expr = F.count(F.lit(1))
     else:
+        src = F.col(value_col)
+        if isinstance(events.schema[value_col].dataType, _FLOAT_TYPES):
+            # NaN → NULL, mirroring the discarding path (whose pandas
+            # float64 view cannot tell them apart): both pane modes
+            # treat NaN as missing, by contract (r11 review).
+            src = F.nanvl(src, F.lit(None).cast("double"))
         expr = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg}[
             agg
-        ](value_col)
+        ](src)
     out_type = "bigint" if value_kind == "int" else "double"
     return (
         events.withWatermark(ts_col, watermark_delay)

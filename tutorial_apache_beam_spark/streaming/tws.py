@@ -540,12 +540,34 @@ def tws_pane_aggregate(
         events, ts_col, key_cols, window_duration, slide_duration,
         agg, value_col, "tws_pane_aggregate",
     )
+    # Sliding delay widening + NaN→NULL normalization: identical to the
+    # v1 twin — see discarding_pane_aggregate for the rationale (an
+    # on-time event's older window instances must not be late-filtered;
+    # both pane paths treat NaN as missing by contract).
+    from pyspark.sql import types as T
+
     keep = [value_col] if value_col is not None else []
+    effective_delay = watermark_delay
+    if slide_duration is not None:
+        span_ms = max(
+            _duration_ms(window_duration) - _duration_ms(slide_duration), 0
+        )
+        effective_delay = (
+            f"{_duration_ms(watermark_delay, allow_zero=True) + span_ms}"
+            " milliseconds"
+        )
     bucketed = (
         events.withColumn("window_start", bucket.start)
-        .withWatermark("window_start", watermark_delay)
+        .withWatermark("window_start", effective_delay)
         .select("window_start", *key_cols, *keep)
     )
+    if value_col is not None and isinstance(
+        events.schema[value_col].dataType, (T.FloatType, T.DoubleType)
+    ):
+        bucketed = bucketed.withColumn(
+            value_col,
+            F.nanvl(F.col(value_col), F.lit(None).cast("double")),
+        )
     return bucketed.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=PaneCountProcessor(
             _duration_ms(window_duration), key_specs, agg, value_col,
