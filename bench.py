@@ -682,12 +682,16 @@ def main() -> None:
     # a full run that is uncontaminated, host-matched, and inside the
     # tight calibration band — so the driver's noisy-hour bench_last
     # overwrites can never clobber the committed clean measurement.
+    # Two-sided band (ADVICE r11): cal_ratio well BELOW 1 means the
+    # committed CAL_REF_S no longer describes this host (recalibration
+    # drift, or a probe anomaly) — an implausibly fast calibration is
+    # suspect, not clean, so it must not stamp the durable record.
     clean_eligible = (
         fname == "bench_last.json"
         and not load_contaminated
         and result["extra"]["cal_host_matches_ref"]
         and cal_ratio is not None
-        and cal_ratio <= CLEAN_MAX_CAL_RATIO
+        and (1.0 / CLEAN_MAX_CAL_RATIO) <= cal_ratio <= CLEAN_MAX_CAL_RATIO
     )
     if clean_eligible:
         clean = dict(result)

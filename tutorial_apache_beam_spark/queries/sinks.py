@@ -121,6 +121,17 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_avro_fallback(spark)
+    # Re-assert UTC right before the DataSource read (ADVICE r11): the
+    # registration-time guard cannot see a session-timezone flip made
+    # AFTER registering (reader() runs in sessionless workers), so the
+    # hash-checked loop pins the invariant at the point of use.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz.upper() not in ("UTC", "GMT", "Z", "ETC/UTC"):
+        raise AssertionError(
+            f"sink_roundtrip_retention: session timezone drifted to "
+            f"{tz!r} after register_avro_fallback — the DataSource read "
+            "would zone-shift timestamps"
+        )
     return spark.read.format("avro_fallback").load(avro_dir).select(
         "event_date", "n_rows", "n_clicks"
     )

@@ -209,6 +209,12 @@ def streaming_demo1_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0 AS INT)                       AS pane_index
     FROM events
     GROUP BY 2, 3, 4
+    -- Engine contract: a window whose batch rows are ALL null-valued
+    -- emits no pane (Beam combiners never see nulls); without this
+    -- HAVING the oracle would emit a NULL-sum row for such a group —
+    -- a latent divergence the fixture's non-null event_id masks
+    -- (ADVICE r11). Stated on both sides now.
+    HAVING count(event_id) > 0
     """,
 )
 def streaming_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:

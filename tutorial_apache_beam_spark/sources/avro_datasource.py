@@ -143,7 +143,18 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
     """File-replay streaming over a growing avro tree. Offsets are the
     SORTED list of processed paths relative to the root — explicit set
     difference, so a late-written file with an 'earlier' name is still
-    picked up (a position-in-sorted-listing offset would skip it)."""
+    picked up (a position-in-sorted-listing offset would skip it).
+
+    Schema fixing holds WITHIN one query run only (ADVICE r11): late
+    files validate against the reader schema resolved at stream start,
+    but on a query RESTART the DataSource is re-instantiated and
+    `scan_avro_tree` re-resolves the widest schema over the tree as it
+    stands THEN — writer-schema drift that landed before the restart
+    can change the stream's output schema across the checkpoint
+    boundary. A production stream that must survive restarts under
+    drift should pin the schema explicitly with the `readerSchema`
+    option (an avro record JSON string); every file then resolves to
+    that fixed schema in every run, or refuses loudly."""
 
     def __init__(self, plan):
         self._plan = plan
@@ -317,18 +328,22 @@ class AvroFallbackStreamWriter(DataSourceStreamWriter):
         import glob as _glob
 
         prefix = f"bid{batchId}-"
-        dirs = {
-            d
-            for m in messages
-            if m is not None
-            for d, _ in m.staged
-        }
         # Phase 1: clear this epoch's leftovers from a previous partial
         # attempt (they are finals of the SAME batch id — replacing them
-        # wholesale is what makes the replay idempotent).
-        for d in dirs:
-            for old in _glob.glob(os.path.join(d, f"{prefix}*.avro")):
-                os.remove(old)
+        # wholesale is what makes the replay idempotent). The sweep
+        # covers the WHOLE output tree, not just directories the current
+        # attempt's staged files reached (ADVICE r11): a replayed epoch
+        # whose rows land in a different set of Hive partition dirs
+        # (nondeterministic upstream, e.g. a processing-time-derived
+        # partition column) would otherwise leave stale finals from the
+        # earlier partial attempt, duplicating rows. `**` with
+        # recursive=True matches zero or more directory levels, so
+        # unpartitioned finals at the root are swept too.
+        for old in _glob.glob(
+            os.path.join(self._local, "**", f"{prefix}*.avro"),
+            recursive=True,
+        ):
+            os.remove(old)
         # Phase 2: promote every staged temp to its final name.
         for m in messages:
             if m is None:
@@ -510,7 +525,17 @@ def register_avro_fallback(spark) -> None:
     the one driver-side choke point. Conservative by design: the check
     applies even to timestamp-free trees — a non-UTC session gets a
     loud registration error with the remediation instead of silently
-    zone-shifted timestamps later."""
+    zone-shifted timestamps later.
+
+    KNOWN HOLE, by API shape (ADVICE r11): this guard runs at
+    REGISTRATION time only. Setting spark.sql.session.timeZone to a
+    non-UTC zone AFTER registering silently reintroduces the
+    zone-shifted timestamp decode the guard exists to prevent —
+    reader()/writer() run in sessionless workers and cannot re-check.
+    Callers that flip the session timezone mid-session must re-assert
+    UTC (or call register_avro_fallback again, which re-checks) before
+    the next format('avro_fallback') read/write; the engine's own gate
+    does exactly that (queries/sinks.py)."""
     tz = spark.conf.get("spark.sql.session.timeZone")
     if tz.upper() not in ("UTC", "GMT", "Z", "ETC/UTC"):
         raise ValueError(
