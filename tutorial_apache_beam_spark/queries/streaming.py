@@ -277,6 +277,62 @@ def streaming_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_panes",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT min(ts)        AS window_start,
+           user_id,
+           count(*)       AS pane_count,
+           CAST(0 AS INT) AS pane_index
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam `Sessions.withGapDuration(30 min)` composed with
+    `.discardingFiredPanes()` (r12 — the last pane-surface refusal
+    closed; reference composability bar Demo2.java:149-157): session
+    windows as keyed interval state, pane deltas per firing, merged
+    sessions inheriting the earliest-start constituent's ordinal.
+
+    A single availableNow drain fires every session exactly once, so
+    pane deltas equal session totals, `window_start` is the session
+    start (min event time), and pane_index is 0 — ALL sessions emit
+    (discarding panes fire per touched session per batch, not at
+    watermark close, which is what distinguishes this gate's oracle
+    from `streaming_session_counts`' closed-only filter). Multi-firing
+    deltas, cross-batch merges, and backward start extension are
+    covered by tests/test_session_panes.py and the tws parity test.
+    """
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_aggregate,
+    )
+
+    panes = discarding_pane_aggregate(
+        stream_events(spark, sf_dir),
+        ts_col="ts",
+        key_cols=["user_id"],
+        agg="count",
+        session_gap="30 minutes",
+    )
+    return run_stream_to_memory(panes, spark, output_mode="append")
+
+
+@register(
     "streaming_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,

@@ -23,9 +23,29 @@ combiner-generic (`pane_aggregate` with agg in count/sum/min/max/mean over
 a numeric value column), multi-key (composite grouping keys, integral or
 string), and window-generic (FixedWindows and SlidingWindows — a sliding
 bucket just yields several window_start rows per event, which the
-per-window state dict already handles). Sessions stay out by construction:
-merging windows have no stable window identity for a pane ordinal to
-attach to.
+per-window state dict already handles).
+
+r12 closes the last pane-surface refusal: SESSION windows
+(`session_gap=`), Beam's `Sessions.withGapDuration` composed with
+`discardingFiredPanes` (reference bar: Demo2.java:149-157 — Beam
+composes any WindowFn with any pane mode). Merging windows have no
+plan-time window identity, so the per-key state tracks SESSION
+INTERVALS (start, end, next pane ordinal) instead of fixed window
+starts, merging on overlap-or-touch (new ts within gap of a session's
+last event — `start2 <= end1`, Spark's own session rule). PANE-IDENTITY
+RULE under merges, documented contract: the merged session inherits the
+pane ordinal of the EARLIEST-START pre-existing session among those
+merged (a session formed entirely from new rows starts at ordinal 0).
+Consequences, both Beam-faithful for merging windows: a session's
+`window_start` can move EARLIER across firings (late-but-admissible
+rows extend it backwards — window identity lives in state, not in the
+start value), and a merge of two fired sessions continues the earliest
+constituent's ordinal (the other's firings remain in the output as
+panes of a window that later merged away, exactly Beam's
+`mergedWindows` behavior). Boundary convention: a session whose end
+equals the current watermark is closed (keep rule `end > watermark`,
+same as the fixed-window path), so an event landing exactly on both
+boundaries starts a new session.
 
 Scale / performance design — state is keyed by the GROUPING KEY, not
 (window, key): applyInPandasWithState pays a per-group Python invocation
@@ -60,6 +80,18 @@ OUTPUT_SCHEMA = (
 )
 # Open windows for this key: window starts (epoch ms) + next pane index.
 STATE_SCHEMA = "win_ms ARRAY<BIGINT>, pane_idx ARRAY<INT>"
+# Open SESSIONS for this key (r12): parallel interval arrays — start and
+# end epoch MICROSECONDS plus the next pane ordinal per session. Session
+# starts are raw event times (not bucket-truncated like fixed windows),
+# so the state carries Spark's native timestamp precision — an epoch-ms
+# view would silently truncate `window_start` by up to 999 µs (caught
+# live against the DuckDB oracle's min(ts)). A separate state shape from
+# STATE_SCHEMA (fixed/sliding windows need no end: it is
+# start + window_ms), carried by the session-pane operators only, so
+# existing fixed-window checkpoints are untouched.
+SESSION_STATE_SCHEMA = (
+    "sess_start ARRAY<BIGINT>, sess_end ARRAY<BIGINT>, pane_idx ARRAY<INT>"
+)
 
 # Output columns every pane emission owns — a grouping key with one of
 # these names would collide with the emitted schema (Spark only errors
@@ -254,6 +286,236 @@ def _count_panes(
     )
 
 
+def _pane_frame(
+    starts_us,
+    values,
+    pane_indexes,
+    key_values: tuple,
+    key_specs: tuple[tuple[str, str], ...],
+    value_name: str,
+) -> pd.DataFrame:
+    """Output-frame construction for the session pane body (starts in
+    epoch MICROSECONDS — Spark timestamp precision): dtypes match the
+    plan-time output schema exactly (datetime64[ns] window_start, int64
+    key/value columns, int32 pane_index; null key cells ride an object
+    column)."""
+    n = len(starts_us)
+    data: dict[str, Any] = {
+        "window_start": np.asarray(starts_us, dtype="int64")
+        .astype("datetime64[us]")
+        .astype("datetime64[ns]")
+    }
+    for (name, kind), kv in zip(key_specs, key_values):
+        if kv is None:
+            data[name] = pd.Series([None] * n, dtype="object")
+        elif kind == "int":
+            data[name] = np.full(n, kv, dtype="int64")
+        else:
+            data[name] = pd.Series([kv] * n, dtype="object")
+    data[value_name] = values
+    data["pane_index"] = np.asarray(pane_indexes, dtype="int32")
+    return pd.DataFrame(data)
+
+
+def _session_panes(
+    pdf: pd.DataFrame,
+    sessions: list[list],
+    key_values: tuple,
+    key_specs: tuple[tuple[str, str], ...],
+    agg: str,
+    value_col: str | None,
+    value_kind: str,
+    value_name: str,
+    gap_us: int,
+    ts_col: str,
+) -> pd.DataFrame:
+    """Session-window twin of `_agg_panes` — the SHARED body of both
+    session-pane emitters (v1 applyInPandasWithState and the tws
+    state-v2 twin), run once per key per micro-batch. All interval
+    arithmetic is in epoch MICROSECONDS (Spark timestamp precision —
+    session starts are raw event times, so a coarser view would
+    truncate `window_start`).
+
+    `sessions` is the key's open-session list, each entry
+    [start_us, end_us, next_pane_idx] — MUTATED in place to the merged
+    post-batch state (emitted sessions get their ordinal bumped).
+
+    Algorithm: (1) batch-local sessionization is vectorized — sort the
+    valid event times, break groups where the gap is exceeded
+    (diff > gap_us, i.e. events exactly `gap` apart share a session,
+    Spark's own rule), and aggregate per group with ufunc.reduceat like
+    the fixed-window body; (2) the handful of batch groups then merges
+    with the handful of open sessions in one sorted linear sweep
+    (overlap-or-touch: next.start <= cur.end) — O(groups + sessions)
+    Python on top of the vectorized row work, so per-row cost stays
+    numpy-side. Null semantics carried over from `_agg_panes`, by
+    contract on both pane paths: null event times are dropped, null (or
+    NaN-normalized) VALUE rows are ignored entirely — they neither
+    aggregate NOR extend a session's extent — and a batch whose rows
+    for a key are all invalid emits nothing and leaves state untouched.
+
+    Pane identity under merges (the documented r12 rule): the merged
+    session inherits the pane ordinal of the EARLIEST-START
+    pre-existing session among those merged; a session formed entirely
+    from new rows starts at 0. Mean panes carry the pane-local mean
+    (sum/count combined across the merged batch groups).
+    """
+    t_all = pdf[ts_col].to_numpy().astype("datetime64[us]")
+    valid = ~np.isnat(t_all)
+    if agg == "count":
+        t_us = t_all[valid].astype("int64")
+        vals = None
+    else:
+        v_series = pdf[value_col]
+        valid &= v_series.notna().to_numpy()
+        t_us = t_all[valid].astype("int64")
+        vals = v_series.to_numpy()[valid].astype(
+            "int64" if value_kind == "int" else "float64"
+        )
+    out_dtype = "int64" if value_kind == "int" else "float64"
+    if len(t_us) == 0:
+        return _pane_frame(
+            [], np.empty(0, dtype=out_dtype), [], key_values, key_specs,
+            value_name,
+        )
+    order = np.argsort(t_us, kind="stable")
+    t_sorted = t_us[order]
+    v_sorted = vals[order] if vals is not None else None
+    brk = np.empty(len(t_sorted), dtype=bool)
+    brk[0] = True
+    np.greater(t_sorted[1:] - t_sorted[:-1], gap_us, out=brk[1:])
+    starts_idx = np.flatnonzero(brk)
+    bounds = np.append(starts_idx, len(t_sorted))
+    counts = np.diff(bounds).astype("int64")
+    g_start = t_sorted[starts_idx]
+    g_end = t_sorted[bounds[1:] - 1] + gap_us
+    # Per-group (sum_or_value, count) accumulators — a uniform pair so
+    # the merge sweep combines any agg the same way.
+    if agg == "count":
+        g_acc = counts
+    elif agg in ("sum", "mean"):
+        g_acc = np.add.reduceat(v_sorted, starts_idx)
+    elif agg == "min":
+        g_acc = np.minimum.reduceat(v_sorted, starts_idx)
+    else:  # max — _pane_plan validated the combiner
+        g_acc = np.maximum.reduceat(v_sorted, starts_idx)
+
+    # Merge sweep over (open sessions ∪ batch groups), sorted by start;
+    # ties order old-before-new so the inherited ordinal is the old one.
+    items: list[tuple] = [
+        (s[0], 0, s[1], s[2], None, 0) for s in sessions
+    ] + [
+        (int(g_start[j]), 1, int(g_end[j]), None, g_acc[j], int(counts[j]))
+        for j in range(len(g_start))
+    ]
+    items.sort(key=lambda it: (it[0], it[1]))
+    # merged entry: [start, end, inherited_idx|None, acc|None, cnt]
+    merged: list[list] = []
+    for start, kind, end, old_idx, acc, cnt in items:
+        if merged and start <= merged[-1][1]:
+            m = merged[-1]
+            m[1] = max(m[1], end)
+            if kind == 0:
+                if m[2] is None:
+                    m[2] = old_idx
+            else:
+                if m[3] is None:
+                    m[3] = acc
+                elif agg in ("count", "sum", "mean"):
+                    m[3] = m[3] + acc
+                elif agg == "min":
+                    m[3] = min(m[3], acc)
+                else:
+                    m[3] = max(m[3], acc)
+                m[4] += cnt
+        else:
+            # Uniform shape: old entries carry acc=None/cnt=0, new ones
+            # old_idx=None — the loop above fills whichever is missing.
+            merged.append([start, end, old_idx, acc, cnt])
+    out_starts: list[int] = []
+    out_values: list = []
+    out_idx: list[int] = []
+    sessions.clear()
+    for start, end, old_idx, acc, cnt in merged:
+        idx = 0 if old_idx is None else old_idx
+        if acc is not None:  # touched by this batch → fire a pane
+            out_starts.append(start)
+            out_values.append(acc / cnt if agg == "mean" else acc)
+            out_idx.append(idx)
+            sessions.append([start, end, idx + 1])
+        else:
+            sessions.append([start, end, idx])
+    return _pane_frame(
+        out_starts,
+        np.asarray(out_values, dtype=out_dtype),
+        out_idx,
+        key_values,
+        key_specs,
+        value_name,
+    )
+
+
+def _make_session_pane_emitter(
+    gap_us: int,
+    key_specs: tuple[tuple[str, str], ...],
+    agg: str,
+    value_col: str | None,
+    value_kind: str,
+    value_name: str,
+    ts_col: str,
+):
+    """Per-KEY session-pane emitter (v1 API): open-session intervals +
+    pane ordinals in three parallel array columns (epoch µs); inline
+    pruning of sessions the watermark closed; ONE re-armed event-time
+    timer per key at the newest session end for idle-key cleanup — the
+    same state and timer shape as the fixed-window emitter. Watermark
+    and timer ride Spark's millisecond API: the prune compares in µs
+    (wm_ms * 1000), the timer target rounds the newest end UP to the
+    next ms so the cleanup can never fire before a session truly
+    closes."""
+
+    def _emit_session_pane(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+
+        starts, ends, idxs = state.get if state.exists else ([], [], [])
+        watermark_ms = state.getCurrentWatermarkMs()
+        wm_us = watermark_ms * 1000
+        sessions = [
+            [s, e, i]
+            for s, e, i in zip(starts, ends, idxs)
+            if e > wm_us  # closed sessions cannot be extended
+        ]
+
+        yield _session_panes(
+            pdf, sessions, key, key_specs, agg, value_col, value_kind,
+            value_name, gap_us, ts_col,
+        )
+
+        state.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+            )
+        )
+        newest_end_ms = (
+            -(-max(s[1] for s in sessions) // 1000) if sessions else 0
+        )
+        state.setTimeoutTimestamp(max(newest_end_ms, watermark_ms + 1))
+
+    return _emit_session_pane
+
+
 def _make_pane_emitter(
     window_ms: int,
     key_specs: tuple[tuple[str, str], ...],
@@ -325,10 +587,18 @@ def _pane_plan(
     agg: str,
     value_col: str | None,
     operator: str,
+    session_gap: str | None = None,
 ):
     """Shared plan-time validation for both pane paths: combiner, key and
     value typing, reserved-name collisions, window bucketing. Returns
-    (key_specs, value_kind, value_name, out_schema, bucket_col)."""
+    (key_specs, value_kind, value_name, out_schema, bucket_col) —
+    bucket_col is None for session windows (r12: merging windows have no
+    plan-time bucket; session extent is computed in the keyed state)."""
+    if session_gap is not None and slide_duration is not None:
+        raise ValueError(
+            f"{operator}: session_gap and slide_duration are mutually "
+            "exclusive — a session window has no slide"
+        )
     if agg not in PANE_AGGS:
         raise ValueError(
             f"{operator}: unknown pane combiner {agg!r}; the per-firing "
@@ -392,7 +662,10 @@ def _pane_plan(
         )
     )
     fields.append(T.StructField("pane_index", T.IntegerType()))
-    if slide_duration is None:
+    if session_gap is not None:
+        _duration_ms(session_gap)  # validate the gap grammar at plan time
+        bucket = None
+    elif slide_duration is None:
         bucket = F.window(F.col(ts_col), window_duration)
     else:
         # Sliding: F.window with a slide expands each event into every
@@ -411,6 +684,7 @@ def discarding_pane_aggregate(
     window_duration: str = "1 minute",
     slide_duration: str | None = None,
     watermark_delay: str = "2 minutes",
+    session_gap: str | None = None,
 ) -> DataFrame:
     """Per-(window, keys) combiner firings with Beam discarding-pane
     semantics, combiner-generic (r11; count/sum/min/max/mean).
@@ -420,17 +694,54 @@ def discarding_pane_aggregate(
     combiner applied to ONLY the rows that arrived since the previous
     firing (Beam resets the accumulator after each firing), and
     `pane_index` counts firings — Beam's `.discardingFiredPanes()` +
-    `Combine.perKey` on a fixed or sliding window, expressed as a keyed
-    state-store operator. Composition invariants: count/sum panes sum to
-    the accumulated total; running min/max over panes equals the final
-    min/max; mean panes are pane-local (as in Beam).
+    `Combine.perKey` on a fixed, sliding, or (r12) SESSION window,
+    expressed as a keyed state-store operator. Composition invariants:
+    count/sum panes sum to the accumulated total; running min/max over
+    panes equals the final min/max; mean panes are pane-local (as in
+    Beam).
+
+    `session_gap` selects merging session windows
+    (Beam `Sessions.withGapDuration`): `window_duration` is then unused
+    and `window_start` is the session's start, which can move EARLIER
+    across firings as admissible rows extend the session backwards; the
+    pane-identity rule under merges is documented in the module
+    docstring (merged session inherits the earliest-start constituent's
+    ordinal).
     """
     key_cols = list(key_cols)
     _require_utc_session(events, "discarding_pane_aggregate")
     key_specs, value_kind, value_name, out_schema, bucket = _pane_plan(
         events, ts_col, key_cols, window_duration, slide_duration,
-        agg, value_col, "discarding_pane_aggregate",
+        agg, value_col, "discarding_pane_aggregate", session_gap,
     )
+    if session_gap is not None:
+        # No plan-time bucketing for merging windows: the watermark
+        # rides the RAW event time and the keyed state computes session
+        # extents. Late rows (ts below the watermark) are dropped by
+        # Spark upstream, exactly like the bucketed paths.
+        keep = [value_col] if value_col is not None else []
+        sessions_in = (
+            events.withWatermark(ts_col, watermark_delay)
+            .select(ts_col, *key_cols, *keep)
+        )
+        if value_col is not None and isinstance(
+            events.schema[value_col].dataType, _FLOAT_TYPES
+        ):
+            sessions_in = sessions_in.withColumn(
+                value_col,
+                F.nanvl(F.col(value_col), F.lit(None).cast("double")),
+            )
+        return sessions_in.groupBy(*key_cols).applyInPandasWithState(
+            _make_session_pane_emitter(
+                _duration_ms(session_gap) * 1000,  # interval math in µs
+                key_specs, agg, value_col,
+                value_kind, value_name, ts_col,
+            ),
+            out_schema,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     # The watermark must ride on a column that survives the projection, so
     # it is declared on the derived window_start (event-time truncated to
     # the window) rather than the raw timestamp. For sliding windows one
@@ -491,6 +802,7 @@ def accumulating_pane_aggregate(
     window_duration: str = "1 minute",
     slide_duration: str | None = None,
     watermark_delay: str = "2 minutes",
+    session_gap: str | None = None,
 ) -> DataFrame:
     """The JVM fast path of the pane selector, combiner-generic:
     incremental windowed aggregation with the pane output schema. Run
@@ -500,6 +812,16 @@ def accumulating_pane_aggregate(
     streaming-aggregation operator: partial map-side combine, state
     bounded at one row per open (window, key), no per-key Python
     invocation, so wall scales with DATA, not keys x micro-batches.
+    `session_gap` (r12) swaps the bucket for `F.session_window` — the
+    JVM's native merging-session aggregation, same output shape — with
+    one mode caveat: Spark refuses UPDATE output for merging-window
+    aggregations (a session's identity changes under merges, measured:
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), so session
+    accumulating panes drain in APPEND mode and fire ONCE per session,
+    at close, with the final accumulated value — exactly Beam's
+    `accumulatingFiredPanes` under the default AfterWatermark trigger
+    on Sessions. Callers needing per-trigger session firings asked for
+    'discarding' (which emits every touched session every batch).
 
     pane_index is NULL by contract: firing ordinals require per-key state
     the JVM aggregation doesn't track; callers who need them asked for
@@ -510,8 +832,10 @@ def accumulating_pane_aggregate(
     key_cols = list(key_cols)
     key_specs, value_kind, value_name, _schema, bucket = _pane_plan(
         events, ts_col, key_cols, window_duration, slide_duration,
-        agg, value_col, "accumulating_pane_aggregate",
+        agg, value_col, "accumulating_pane_aggregate", session_gap,
     )
+    if session_gap is not None:
+        bucket = F.session_window(F.col(ts_col), session_gap)
     del key_specs  # accumulating keeps caller types; specs validate only
     if agg == "count":
         expr = F.count(F.lit(1))
@@ -526,12 +850,13 @@ def accumulating_pane_aggregate(
             agg
         ](src)
     out_type = "bigint" if value_kind == "int" else "double"
+    bucket_name = "session_window" if session_gap is not None else "window"
     return (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(bucket, *key_cols)
         .agg(expr.cast(out_type).alias(value_name))
         .select(
-            F.col("window.start").alias("window_start"),
+            F.col(f"{bucket_name}.start").alias("window_start"),
             *key_cols,
             value_name,
             F.lit(None).cast("int").alias("pane_index"),
@@ -650,6 +975,7 @@ def pane_aggregate(
     window_duration: str = "1 minute",
     slide_duration: str | None = None,
     watermark_delay: str = "2 minutes",
+    session_gap: str | None = None,
     mode: str = "auto",
     expected_keys: int | None = None,
 ) -> DataFrame:
@@ -658,7 +984,8 @@ def pane_aggregate(
     paths emit (window_start, *keys, pane_count|pane_value, pane_index);
     'accumulating' emits cumulative aggregates with NULL pane_index (run
     under update mode), 'discarding' emits per-firing deltas with Beam
-    pane ordinals.
+    pane ordinals. `session_gap` (r12) selects merging session windows
+    on either path.
     """
     impl = select_pane_impl(mode, expected_keys)
     fn = (
@@ -675,6 +1002,7 @@ def pane_aggregate(
         window_duration=window_duration,
         slide_duration=slide_duration,
         watermark_delay=watermark_delay,
+        session_gap=session_gap,
     )
 
 

@@ -48,9 +48,11 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from tutorial_apache_beam_spark.streaming.stateful import (
+    SESSION_STATE_SCHEMA,
     STATE_SCHEMA,
     _agg_panes,
     _duration_ms,
+    _session_panes,
 )
 
 
@@ -173,6 +175,120 @@ class PaneCountProcessor(StatefulProcessor):
             ]
             if not alive:
                 self._panes.clear()
+                self._timer_ts.clear()
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+class SessionPaneProcessor(StatefulProcessor):
+    """State-v2 twin of the r12 SESSION-window pane emitter
+    (`stateful._make_session_pane_emitter`), sharing its `_session_panes`
+    body so the two APIs cannot drift on merge semantics or the
+    pane-identity rule (merged session inherits the earliest-start
+    constituent's ordinal — see stateful.py's module docstring). State:
+    one ValueState holding the open-session interval arrays
+    (SESSION_STATE_SCHEMA, epoch µs), plus the single re-armed cleanup
+    timer — the same timer discipline as PaneCountProcessor (timers are
+    ms-API: the target rounds the newest session end UP to the next
+    ms)."""
+
+    def __init__(
+        self,
+        gap_us: int,
+        key_specs: tuple = (("user_id", "int"),),
+        agg: str = "count",
+        value_col: str | None = None,
+        value_kind: str = "int",
+        value_name: str = "pane_count",
+        ts_col: str = "ts",
+    ) -> None:
+        self._gap_us = gap_us
+        self._key_specs = key_specs
+        self._agg = agg
+        self._value_col = value_col
+        self._value_kind = value_kind
+        self._value_name = value_name
+        self._ts_col = ts_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sessions = handle.getValueState(
+            "sessions", SESSION_STATE_SCHEMA
+        )
+        self._timer_ts = handle.getValueState("timer_ts", "last_ms BIGINT")
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timer_values: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        frames = [b for b in rows if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+
+        stored = self._sessions.get()
+        starts, ends, idxs = stored if stored is not None else ([], [], [])
+        watermark_ms = timer_values.getCurrentWatermarkInMs()
+        wm_us = watermark_ms * 1000
+        sessions = [
+            [s, e, i]
+            for s, e, i in zip(starts, ends, idxs)
+            if e > wm_us
+        ]
+
+        out = _session_panes(
+            pdf, sessions, key, self._key_specs, self._agg,
+            self._value_col, self._value_kind, self._value_name,
+            self._gap_us, self._ts_col,
+        )
+
+        self._sessions.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+            )
+        )
+        newest_end_ms = (
+            -(-max(s[1] for s in sessions) // 1000) if sessions else 0
+        )
+        target = max(newest_end_ms, watermark_ms + 1)
+        prev = self._timer_ts.get()
+        prev_ms = prev[0] if prev is not None else None
+        if prev_ms != target:
+            if prev_ms is not None and prev_ms > watermark_ms:
+                self._handle.deleteTimer(prev_ms)
+            self._handle.registerTimer(target)
+            self._timer_ts.update((target,))
+        yield out
+
+    # Keyword-exact signature — see BatchingProcessor.handleExpiredTimer.
+    def handleExpiredTimer(
+        self,
+        key: tuple[Any, ...],
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        """Same staleness-guarded cleanup as PaneCountProcessor: only a
+        firing that matches the stored target may clear state, and only
+        when no session outlives the watermark."""
+        stored_t = self._timer_ts.get()
+        if (
+            stored_t is not None
+            and expiredTimerInfo is not None
+            and expiredTimerInfo.getExpiryTimeInMs() != stored_t[0]
+        ):
+            return iter([])
+        stored = self._sessions.get()
+        watermark_ms = timerValues.getCurrentWatermarkInMs()
+        if stored is not None:
+            alive = [e for e in stored[1] if e > watermark_ms * 1000]
+            if not alive:
+                self._sessions.clear()
                 self._timer_ts.clear()
         return iter([])
 
@@ -500,10 +616,12 @@ def tws_pane_aggregate(
     window_duration: str = "1 minute",
     slide_duration: str | None = None,
     watermark_delay: str = "2 minutes",
+    session_gap: str | None = None,
 ) -> DataFrame:
     """`discarding_pane_aggregate` on the state-v2 API — identical
-    contract (r11, combiner-generic/multi-key/sliding like the v1 twin):
-    one row per (window, keys, firing), `pane_count`/`pane_value` =
+    contract (r11, combiner-generic/multi-key/sliding like the v1 twin;
+    r12 adds `session_gap` merging session windows in lockstep): one
+    row per (window, keys, firing), `pane_count`/`pane_value` =
     combiner delta since the previous firing, `pane_index` = firing
     ordinal.
 
@@ -538,13 +656,42 @@ def tws_pane_aggregate(
         ) from exc
     key_specs, value_kind, value_name, out_schema, bucket = _pane_plan(
         events, ts_col, key_cols, window_duration, slide_duration,
-        agg, value_col, "tws_pane_aggregate",
+        agg, value_col, "tws_pane_aggregate", session_gap,
     )
     # Sliding delay widening + NaN→NULL normalization: identical to the
     # v1 twin — see discarding_pane_aggregate for the rationale (an
     # on-time event's older window instances must not be late-filtered;
     # both pane paths treat NaN as missing by contract).
     from pyspark.sql import types as T
+
+    if session_gap is not None:
+        # Session twin: watermark on the RAW event time, no plan-time
+        # bucket — mirrors the v1 session path exactly.
+        keep = [value_col] if value_col is not None else []
+        sessions_in = (
+            events.withWatermark(ts_col, watermark_delay)
+            .select(ts_col, *key_cols, *keep)
+        )
+        if value_col is not None and isinstance(
+            events.schema[value_col].dataType, (T.FloatType, T.DoubleType)
+        ):
+            sessions_in = sessions_in.withColumn(
+                value_col,
+                F.nanvl(F.col(value_col), F.lit(None).cast("double")),
+            )
+        return sessions_in.groupBy(*key_cols).transformWithStateInPandas(
+            statefulProcessor=SessionPaneProcessor(
+                _duration_ms(session_gap) * 1000,  # interval math in µs
+                key_specs, agg, value_col,
+                value_kind, value_name, ts_col,
+            ),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+            # eventTimeColumnName names the OUTPUT's event-time column
+            # (downstream watermark propagation), same as the fixed twin.
+            eventTimeColumnName="window_start",
+        )
 
     keep = [value_col] if value_col is not None else []
     effective_delay = watermark_delay
