@@ -147,8 +147,11 @@ def test_stream_reader_offset_semantics(spark, tmp_path):
     _write_tree(spark, tree)
     plan = scan_avro_tree(tree)
     rdr = AvroFallbackStreamReader(plan)
-    assert rdr.initialOffset() == {"files": []}
+    assert rdr.initialOffset() == {"wm": 0, "files": [], "n": 0}
     first = rdr.latestOffset()
+    # default 300 s compaction lag: files written moments ago stay in
+    # the EXPLICIT boundary window
+    assert first["n"] == 0
     assert first["files"] == sorted(first["files"])
     assert rdr.partitions(first, first) == []
     parts = rdr.partitions(rdr.initialOffset(), first)
@@ -441,3 +444,109 @@ def test_stream_late_partition_value_typing(spark, tmp_path):
     shutil.copy(src, os.path.join(tree, "part=1_5", "z.avro"))
     with pytest.raises(ValueError, match="does not fit the column type"):
         rdr.partitions(first, rdr.latestOffset())
+
+
+def test_offset_compaction_bounded_under_10k_file_replay(spark, tmp_path):
+    """r12 (VERDICT r11 item 6): with compaction active, a 10,000-file
+    history folds into the (wm, count) summary — the minted offset stays
+    bytes-small — while replay stays exactly-once: every file is read
+    exactly once across three offset generations, and files written
+    after an offset was minted land in the NEXT epoch only."""
+    import io as _io
+    import json as _json
+    import time
+
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _field_plan,
+        spark_schema_to_avro,
+        write_container,
+    )
+
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    av = spark_schema_to_avro(schema)
+    plan_fields = _field_plan(schema)
+
+    def add_file(i):
+        buf = _io.BytesIO()
+        write_container([(i,)], plan_fields, av, buf)
+        (tree / f"f{i:06d}.avro").write_bytes(buf.getvalue())
+
+    for i in range(10_000):
+        add_file(i)
+
+    plan = scan_avro_tree(str(tree))
+    rdr = AvroFallbackStreamReader(plan, compact_lag_s=0.0)
+    time.sleep(0.05)  # lag 0: everything already written folds
+    off1 = rdr.latestOffset()
+    assert off1["n"] == 10_000 and off1["files"] == []
+    assert len(_json.dumps(off1)) < 200  # bounded, not O(files seen)
+
+    parts = rdr.partitions(rdr.initialOffset(), off1)
+    ids = sorted(r[0] for p in parts for r in rdr.read(p))
+    assert ids == list(range(10_000))  # every file exactly once
+
+    # second generation: two late files; only they are fresh
+    add_file(10_000)
+    add_file(10_001)
+    time.sleep(0.05)
+    off2 = rdr.latestOffset()
+    assert off2["n"] == 10_002
+    fresh = sorted(
+        r[0] for p in rdr.partitions(off1, off2) for r in rdr.read(p)
+    )
+    assert fresh == [10_000, 10_001]
+    # third generation: nothing new → empty epoch
+    assert rdr.partitions(off2, rdr.latestOffset()) == []
+
+
+def test_streaming_compaction_e2e_exactly_once(registered, tmp_path):
+    """E2e over a real checkpointed stream with an aggressive
+    offsetCompactLag=0: two drains, files added in between, no
+    duplicates and no losses — compaction must be invisible to the
+    exactly-once contract."""
+    import time
+
+    spark = registered
+    tree = str(tmp_path / "tree")
+    _write_tree(spark, tree)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("avro_fallback")
+            .option("offsetCompactLag", "0")
+            .load(tree)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    time.sleep(0.05)
+    drain()
+    assert spark.read.parquet(sink).count() == 6
+
+    late = spark.createDataFrame(
+        [(100, Decimal("9.99"), datetime(2024, 2, 1))],
+        T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("d", T.DecimalType(10, 2), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ]),
+    )
+    staging = str(tmp_path / "staging")
+    write_avro_fallback(late, staging)
+    shutil.copy(
+        glob.glob(f"{staging}/*.avro")[0],
+        os.path.join(tree, "part=0", "late.avro"),
+    )
+    time.sleep(0.05)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 7
+    assert out.where("id = 100").count() == 1

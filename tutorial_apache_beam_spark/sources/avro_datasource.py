@@ -22,10 +22,12 @@ tree costs hundreds of Python tasks, not 100k, while a big file still
 gets its own task (a container decodes sequentially, so bins never
 split files); the driver touches HEADERS only (a few hundred bytes per
 file); row decode runs in the Python DataSource worker on executors.
-Streaming offsets carry the set of processed RELATIVE paths as a sorted
-JSON list — O(files seen) per offset, the right trade for replay/backfill
-trees (a 100-TB streaming ingest uses the Kafka source, not file
-replay).
+Streaming offsets carry the boundary window of processed RELATIVE paths
+explicitly and fold everything older than a compaction watermark into a
+`(wm, count)` summary (r12) — offset size is bounded by write-rate x
+`offsetCompactLag`, not by files seen; see AvroFallbackStreamReader for
+the exact protocol and its one documented trade (a 100-TB streaming
+ingest still uses the Kafka source, not file replay).
 
 Batch reads prefer `read_avro_fallback` when the session is available:
 its binaryFile path bin-packs small files per maxPartitionBytes. This
@@ -441,10 +443,36 @@ class AvroFallbackReader(DataSourceReader):
 
 
 class AvroFallbackStreamReader(DataSourceStreamReader):
-    """File-replay streaming over a growing avro tree. Offsets are the
-    SORTED list of processed paths relative to the root — explicit set
-    difference, so a late-written file with an 'earlier' name is still
-    picked up (a position-in-sorted-listing offset would skip it).
+    """File-replay streaming over a growing avro tree. Offsets carry the
+    processed files EXPLICITLY (sorted root-relative paths) below a
+    compaction watermark and IMPLICITLY above it (r12, VERDICT r11
+    item 6 — the pre-r12 all-explicit list grew O(files seen) per
+    offset):
+
+        {"wm": <mtime_ns>, "files": [paths with mtime >= wm], "n": ...}
+
+    A file is processed-as-of-an-offset iff its mtime is OLDER than the
+    offset's `wm` OR it appears in `files`. `wm` is set at
+    `now - offsetCompactLag` (option, seconds, default 300; negative
+    disables compaction) when the offset is minted, so only files
+    comfortably in the past fold into the implicit summary and the
+    explicit list holds just the boundary window — offset size is
+    bounded by the write rate x lag, not by history. Explicit set
+    difference is kept for the boundary window, so a late-written file
+    with an 'earlier' NAME is still picked up (a position-in-sorted-
+    listing offset would skip it).
+
+    The documented trade (same one binaryFile/maxFileAge makes): a file
+    that APPEARS after an offset was minted but carries an mtime older
+    than that offset's wm — a backfill copied with `cp -p`-style
+    preserved timestamps more than `offsetCompactLag` in the past — is
+    treated as already processed and silently skipped. Backfills should
+    copy without preserving mtimes (or set offsetCompactLag=-1 for
+    fully-explicit offsets, the pre-r12 behavior). Epoch REPLAY stays
+    deterministic for normally-written files: a replayed epoch's
+    partitions are re-derived from (start, end) offsets, and files
+    written during downtime carry mtimes newer than the replayed end's
+    wm, so they wait for the next live batch.
 
     Schema fixing holds WITHIN one query run only (ADVICE r11): late
     files validate against the reader schema resolved at stream start,
@@ -457,8 +485,9 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
     option (an avro record JSON string); every file then resolves to
     that fixed schema in every run, or refuses loudly."""
 
-    def __init__(self, plan):
+    def __init__(self, plan, compact_lag_s: float = 300.0):
         self._plan = plan
+        self._lag_s = compact_lag_s
         self._reader_json = json.dumps(plan.reader_schema)
         # Writer schemas already validated by scan_avro_tree for files
         # present at stream start; late files validate in partitions().
@@ -468,16 +497,37 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
     def _rel(self, fp: str) -> str:
         return os.path.relpath(fp, self._plan.root)
 
-    def initialOffset(self) -> dict:
-        return {"files": []}
-
-    def latestOffset(self) -> dict:
+    def _listing(self) -> list[tuple[str, int]]:
+        """(relative path, mtime_ns) for every container currently in
+        the tree; a file vanishing between walk and stat is skipped
+        (it can no longer be read anyway)."""
         from tutorial_apache_beam_spark.sources.avro_fallback import (
             _discover_avro_files,
         )
 
         _, files = _discover_avro_files(self._plan.root)
-        return {"files": sorted(self._rel(fp) for fp, _ in files)}
+        out = []
+        for fp, _raw in files:
+            try:
+                out.append((self._rel(fp), os.stat(fp).st_mtime_ns))
+            except OSError:
+                pass
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"wm": 0, "files": [], "n": 0}
+
+    def latestOffset(self) -> dict:
+        import time
+
+        listing = self._listing()
+        wm = (
+            int((time.time() - self._lag_s) * 1_000_000_000)
+            if self._lag_s >= 0
+            else 0
+        )
+        files = sorted(rel for rel, mt in listing if mt >= wm)
+        return {"wm": wm, "files": files, "n": len(listing) - len(files)}
 
     def partitions(self, start: dict, end: dict):
         from tutorial_apache_beam_spark.sources.avro_fallback import (
@@ -487,7 +537,31 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
             read_header,
         )
 
-        fresh = sorted(set(end["files"]) - set(start["files"]))
+        # Legacy (pre-r12) offsets carry no wm: treat as fully explicit.
+        start_wm = start.get("wm", 0)
+        start_files = set(start["files"])
+        end_wm = end.get("wm", 0)
+        end_files = set(end["files"])
+        listing = dict(self._listing())
+        missing = end_files - listing.keys() - start_files
+        if missing:
+            # An EXPLICITLY offset-committed file disappeared before its
+            # epoch could (re)build — the same loud failure the
+            # all-explicit protocol had (a silent skip would make a
+            # replayed epoch quietly smaller).
+            raise FileNotFoundError(
+                f"avro stream: files committed in the end offset are "
+                f"gone from {self._plan.root!r}: {sorted(missing)[:5]}"
+            )
+        fresh = sorted(
+            rel
+            for rel, mt in listing.items()
+            # not processed as of `start` ...
+            if (mt >= start_wm and rel not in start_files)
+            # ... and inside this epoch (explicitly listed, or folded
+            # into end's implicit summary)
+            and (rel in end_files or mt < end_wm)
+        )
         keep = getattr(self._plan, "partition_keep", None)
         batch = []
         for rel in fresh:
@@ -744,7 +818,8 @@ class AvroFallbackDataSource(DataSource):
         return AvroFallbackReader(self._check_schema(schema), bin_bytes)
 
     def streamReader(self, schema: StructType) -> AvroFallbackStreamReader:
-        return AvroFallbackStreamReader(self._check_schema(schema))
+        lag = float(self.options.get("offsetcompactlag", 300.0))
+        return AvroFallbackStreamReader(self._check_schema(schema), lag)
 
     def _write_prep(self, schema: StructType):
         """Shared driver-side write planning (batch + streaming): path

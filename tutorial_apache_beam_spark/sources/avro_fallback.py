@@ -11,10 +11,17 @@ them), and NESTED RECORDS, nullable at any depth — written/read as
 standard Avro Object Container Files (magic 'Obj\\x01', schema in the
 file metadata, sync-marker-framed blocks; codecs: null/deflate/bzip2/xz
 via the stdlib, snappy/zstandard when their libraries are installed).
-Enum and fixed decode READ-only (r10 second pass): Spark has no enum /
-fixed types so the writer never emits them; on read, enum values map to
-their symbol strings and fixed(N) to binary, exactly as spark-avro maps
-them, with the spec's enum-default resolution rule. Named-type
+Enum and fixed decode since r10 and — via a DECLARED writer schema —
+WRITE since r12 (VERDICT r11 item 3): Spark has no enum/fixed column
+types, so `spark_schema_to_avro` can never emit them, but
+`write_avro_fallback(avro_schema=...)` / the DataSource `avroSchema`
+option validate a declared record against the frame
+(`writer_plan_for_avro_schema`) and encode enums from string columns
+(symbol-membership checked per value) and fixed(N) from length-checked
+binary columns, closing the Java-consumer round-trip. On read, enum
+values map to their symbol strings and fixed(N) to binary, exactly as
+spark-avro maps them, with the spec's enum-default resolution rule.
+Named-type
 REFERENCES ("type": "com.x.Suit" after a definition — Java-generated
 schemas use them routinely) inline at the schema boundary
 (`inline_named_types`), fullname or same-namespace bare name. GENERAL
@@ -334,8 +341,48 @@ def _encode_value(tag: str, v, out: bytearray) -> None:
             )
         for (fname, ftag, fnull), x in zip(tag[1], items):
             _encode_nullable(ftag, fnull, x, out, f"record field {fname!r}")
+    elif tag[0] == "enum":
+        # WRITE since r12 (declared-schema path only — Spark has no enum
+        # type, so these tags enter a writer plan solely through
+        # `writer_plan_for_avro_schema`): spec §enum — the zero-based
+        # symbol index as a long. Membership is validated HERE so an
+        # unknown symbol fails the task loudly instead of writing an
+        # index a reader would map to the wrong symbol.
+        idx = _enum_index(tag[2]).get(v)
+        if idx is None:
+            raise ValueError(
+                f"value {v!r} is not a symbol of enum {tag[1]!r} "
+                f"(symbols: {list(tag[2])}) — enums write the symbol's "
+                "zero-based index; fix the value or widen the declared "
+                "writer schema"
+            )
+        out += encode_long(idx)
+    elif tag[0] == "fixed":
+        # WRITE since r12: raw bytes, length-checked against the
+        # declared size (a short/long value would desync every later
+        # value in the block).
+        raw = bytes(v)
+        if len(raw) != tag[1]:
+            raise ValueError(
+                f"fixed {tag[2]!r} requires exactly {tag[1]} bytes, "
+                f"got {len(raw)}"
+            )
+        out += raw
     else:  # pragma: no cover - schema mapping guards this
         raise AssertionError(f"unknown encoder tag {tag}")
+
+
+_ENUM_INDEX_CACHE: dict[tuple, dict] = {}
+
+
+def _enum_index(symbols: tuple) -> dict:
+    """symbol → zero-based index, memoized per symbols tuple (the
+    encode hot path runs per value)."""
+    m = _ENUM_INDEX_CACHE.get(symbols)
+    if m is None:
+        m = {s: i for i, s in enumerate(symbols)}
+        _ENUM_INDEX_CACHE[symbols] = m
+    return m
 
 
 def _encode_nullable(tag, nullable: bool, v, out: bytearray, what: str):
@@ -515,6 +562,168 @@ def _field_plan(schema: T.StructType) -> list[tuple[str, object, bool]]:
     return [
         (f.name, _spark_tag(f.dataType), f.nullable) for f in schema.fields
     ]
+
+
+# Numeric widenings the ENCODER can honor value-side when a declared
+# writer schema asks for a wider wire type than the Spark column
+# (encode_long/struct.pack coerce the Python value): the write-path
+# mirror of the spec's reader promotion lattice. string↔bytes is
+# deliberately absent — bytes(str) raises rather than encodes.
+_WRITE_WIDENINGS = frozenset(
+    {
+        ("int", "long"),
+        ("int", "float"),
+        ("int", "double"),
+        ("long", "float"),
+        ("long", "double"),
+        ("float", "double"),
+    }
+)
+
+
+def _check_writer_tag(spark_tag, declared, where: str) -> None:
+    """Validate that a value shaped like `spark_tag` (the column's
+    natural encoder tag) can be encoded under the DECLARED avro tag.
+    Exact match, a numeric widening, enum-from-string,
+    fixed-from-binary, and recursion into arrays/maps/records are the
+    whole lattice; anything else refuses at PLAN time with the field
+    path — never a mid-task desync."""
+    if spark_tag == declared:
+        return
+    if (
+        isinstance(spark_tag, str)
+        and isinstance(declared, str)
+        and (spark_tag, declared) in _WRITE_WIDENINGS
+    ):
+        return
+    d0 = declared[0] if isinstance(declared, tuple) else None
+    s0 = spark_tag[0] if isinstance(spark_tag, tuple) else None
+    if d0 == "enum":
+        if spark_tag == "string":
+            return
+        raise ValueError(
+            f"avro writer schema: {where} declares enum "
+            f"{declared[1]!r}, which encodes from a STRING column "
+            f"(the symbol); the column is {spark_tag!r}"
+        )
+    if d0 == "fixed":
+        if spark_tag == "bytes":
+            return
+        raise ValueError(
+            f"avro writer schema: {where} declares fixed "
+            f"({declared[1]} bytes), which encodes from a BINARY "
+            f"column; the column is {spark_tag!r}"
+        )
+    if d0 == "decimal" and s0 == "decimal":
+        if spark_tag[1:3] == declared[1:3]:
+            return  # same (precision, scale); bytes- or fixed-backed
+        raise ValueError(
+            f"avro writer schema: {where} declares decimal"
+            f"({declared[1]},{declared[2]}) but the column is decimal"
+            f"({spark_tag[1]},{spark_tag[2]}) — precision/scale must "
+            "match exactly (rescaling would change values)"
+        )
+    if d0 == "array" and s0 == "array":
+        _, dtag, dnull = declared
+        _, stag, snull = spark_tag
+        if snull and not dnull:
+            raise ValueError(
+                f"avro writer schema: {where} items are non-nullable "
+                "but the column's array allows null elements — declare "
+                '["null", T] items'
+            )
+        _check_writer_tag(stag, dtag, f"{where} items")
+        return
+    if d0 == "map" and s0 == "map":
+        _, dtag, dnull = declared
+        _, stag, snull = spark_tag
+        if snull and not dnull:
+            raise ValueError(
+                f"avro writer schema: {where} values are non-nullable "
+                "but the column's map allows null values — declare "
+                '["null", T] values'
+            )
+        _check_writer_tag(stag, dtag, f"{where} values")
+        return
+    if d0 == "record" and s0 == "record":
+        dfields, sfields = declared[1], spark_tag[1]
+        if [f[0] for f in dfields] != [f[0] for f in sfields]:
+            raise ValueError(
+                f"avro writer schema: {where} field names "
+                f"{[f[0] for f in dfields]!r} do not match the struct's "
+                f"{[f[0] for f in sfields]!r} (same names, same order)"
+            )
+        for (dn, dtag, dnull), (_, stag, snull) in zip(dfields, sfields):
+            if snull and not dnull:
+                raise ValueError(
+                    f"avro writer schema: {where}.{dn} is non-nullable "
+                    "but the struct field is nullable — declare "
+                    '["null", T]'
+                )
+            _check_writer_tag(stag, dtag, f"{where}.{dn}")
+        return
+    if d0 == "union":
+        raise ValueError(
+            f"avro writer schema: {where} declares a general union — "
+            'the write path emits ["null", T] unions only (general '
+            "unions are READ-only; use the spark-avro package)"
+        )
+    raise ValueError(
+        f"avro writer schema: {where} declares "
+        f"{_tag_desc(declared)}, which cannot encode a "
+        f"{_tag_desc(spark_tag)} column"
+    )
+
+
+def writer_plan_for_avro_schema(
+    data_schema: T.StructType, avro_schema: dict
+) -> list[tuple[str, object, bool]]:
+    """Encoder plan derived from a DECLARED writer avro schema (r12,
+    VERDICT r11 item 3) — the path that writes ENUM (from a string
+    column, symbol-membership validated per value) and FIXED (from a
+    length-checked binary column), which `spark_schema_to_avro` can
+    never emit because Spark has no enum/fixed types. The declared
+    record's field names must match the data columns in order; each
+    field's declared type must be encodable from the column
+    (`_check_writer_tag`). Nullability may widen (declared nullable
+    over a non-nullable column) but never narrow — a null would
+    otherwise desync the container mid-task.
+
+    Returns the (name, tag, nullable) plan for `write_container`; the
+    DECLARED schema goes in the file metadata, so Java-Avro consumers
+    see the enum/fixed declarations they expect (round-trip closure of
+    the r10 read-only support)."""
+    inlined = inline_named_types(avro_schema)
+    if not isinstance(inlined, dict) or inlined.get("type") != "record":
+        raise ValueError(
+            "avroSchema must be an avro record schema (JSON object with "
+            f"type='record'); got {avro_schema!r}"
+        )
+    decl_names = [f["name"] for f in inlined["fields"]]
+    col_names = [f.name for f in data_schema.fields]
+    if decl_names != col_names:
+        raise ValueError(
+            f"avroSchema fields {decl_names!r} must match the written "
+            f"data columns {col_names!r} (same names, same order; "
+            "partition columns are dropped from the payload before "
+            "this check)"
+        )
+    plan: list[tuple[str, object, bool]] = []
+    for f, field in zip(inlined["fields"], data_schema.fields):
+        tag, nullable = _parse_avro_type(
+            f["type"], f"writer field {f['name']!r}"
+        )
+        if field.nullable and not nullable:
+            raise ValueError(
+                f"avro writer schema: field {f['name']!r} is declared "
+                "non-nullable but the column is nullable — declare "
+                '["null", T] (a null value would desync the container)'
+            )
+        _check_writer_tag(
+            _spark_tag(field.dataType), tag, f"field {f['name']!r}"
+        )
+        plan.append((f["name"], tag, nullable))
+    return plan
 
 
 # ---------------------------------------------------------------------------
@@ -925,17 +1134,19 @@ def _parse_avro_type(t, where: str):
             )
             return ("record", fields), nullable
         if base == "enum":
-            # READ-only (r10, second pass): Spark has no enum type, so
-            # the writer never emits one; on read an enum value maps to
-            # its symbol STRING, as spark-avro does. The name and the
-            # spec's enum `default` ride in the tag for resolution.
+            # On read an enum value maps to its symbol STRING, as
+            # spark-avro does; the name and the spec's enum `default`
+            # ride in the tag for resolution. Since r12 the same tag
+            # also ENCODES (declared-schema write path): the symbol's
+            # zero-based index, membership-validated per value.
             return (
                 ("enum", t["name"], tuple(t["symbols"]), t.get("default")),
                 nullable,
             )
         if base == "fixed":
-            # READ-only: fixed(N) maps to binary; name+size in the tag
-            # because resolution requires both to match.
+            # fixed(N) maps to binary; name+size in the tag because
+            # resolution requires both to match. Encodes since r12
+            # (length-checked) on the declared-schema write path.
             return ("fixed", int(t["size"]), t["name"]), nullable
         lt = t.get("logicalType")
         if lt in _KNOWN_LOGICAL:
@@ -1691,6 +1902,7 @@ def write_avro_fallback(
     mode: str = "overwrite",
     codec: str = "null",
     partition_by: list[str] | None = None,
+    avro_schema: dict | None = None,
 ) -> None:
     """Distributed avro write without spark-avro: each DataFrame partition
     streams container files into `path` via foreachPartition.
@@ -1713,6 +1925,14 @@ def write_avro_fallback(
     per partition value IN MEMORY per task before writing — fine at the
     fallback's interchange scale; repartition on the partition columns
     first if a task mixes many values.
+
+    `avro_schema` (r12) declares the writer schema explicitly — the
+    route to ENUM (string column → declared symbols, membership
+    validated per value) and FIXED (binary column, length-checked),
+    which the Spark-derived schema can never contain; see
+    `writer_plan_for_avro_schema`. The declared schema covers the DATA
+    columns (after `partition_by` columns are dropped) and is written
+    verbatim into the container metadata.
     """
     local = _require_local(path, "avro write")
     _require_utc_for_timestamps(
@@ -1740,8 +1960,11 @@ def write_avro_fallback(
             raise ValueError(f"unsupported mode {mode!r}")
     os.makedirs(local, exist_ok=True)
     data_schema = T.StructType(data_fields)
-    avro_schema = spark_schema_to_avro(data_schema)
-    plan = _field_plan(data_schema)
+    if avro_schema is not None:
+        plan = writer_plan_for_avro_schema(data_schema, avro_schema)
+    else:
+        avro_schema = spark_schema_to_avro(data_schema)
+        plan = _field_plan(data_schema)
     names = [p[0] for p in plan]
     pcols = partition_by
     salt = os.urandom(4).hex()
