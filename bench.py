@@ -452,6 +452,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     headline_samples: dict[str, list[float]] = {}
     sample_counts: dict[str, int] = {}
+    # r12 (VERDICT r11 item 5): per-gate OUTPUT ROWS in the artifact, so
+    # a gate that grew (new branch, new tier — rows jump) declares
+    # itself machine-readably instead of requiring commit archaeology to
+    # distinguish gate-growth from regression (the r11
+    # streaming_discarding_panes 2.2x adjudication).
+    query_rows: dict[str, int] = {}
 
     def cleanup() -> None:
         """Release per-run session residue, outside the timed window.
@@ -476,8 +482,9 @@ def main() -> None:
 
             def one_sample() -> None:
                 t0 = time.monotonic()
-                fn(spark, SF_DIR).count()
+                n = fn(spark, SF_DIR).count()
                 samples.append(time.monotonic() - t0)
+                query_rows[name] = n
                 cleanup()
 
             for _ in range(repeats):
@@ -642,6 +649,7 @@ def main() -> None:
             "adapt_tol": ADAPT_TOL,
             "adapt_max": ADAPT_MAX_SAMPLES,
             "sample_counts": sample_counts,
+            "query_rows": query_rows,
             "demo2_stream_mib_per_s": mib_per_s,
             "demo2_stream_input_mib": stream_mib,
             "all_queries_total": round(sum(timings.values()), 3),

@@ -106,6 +106,30 @@ def _resolve_ref_tree(ref: str) -> str:
     return tree
 
 
+def _gate_source_hashes(tree: str) -> dict[str, str]:
+    """name → md5(source) for every registered query function in one
+    tree, computed in a throwaway subprocess (each tree must resolve
+    its OWN package; no SparkSession is started — registry import
+    only). Used to AUTO-INCLUDE changed gates in the A/B set (r12,
+    VERDICT r11 item 5): a gate whose function changed since the ref
+    SHA is exactly the gate whose raw-artifact delta needs paired
+    adjudication, and the default headline set used to miss it."""
+    code = (
+        "import json,sys,inspect,hashlib\n"
+        f"sys.path.insert(0, {tree!r})\n"
+        "from tutorial_apache_beam_spark import registry\n"
+        "print(json.dumps({n: hashlib.md5(inspect.getsource(f)"
+        ".encode()).hexdigest() for n, f in registry.queries().items()}))\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    out = subprocess.check_output(
+        [sys.executable, "-c", code], env=env, text=True,
+        stderr=subprocess.DEVNULL,
+    )
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def _sign_test_p(wins: int, losses: int) -> float:
     """Two-sided exact binomial sign test over non-tied pairs."""
     n = wins + losses
@@ -129,6 +153,22 @@ def compare(
 
     ref_tree = _resolve_ref_tree(ref)
     t_start = time.monotonic()
+    # Auto-include gates whose registered function SOURCE differs
+    # between the trees (r12): changed gates are the ones whose
+    # raw-artifact movement needs paired adjudication most, and an
+    # explicit --gates list is left exactly as given (the caller chose).
+    auto_included: list[str] = []
+    if gates is None:
+        try:
+            head_h = _gate_source_hashes(REPO)
+            ref_h = _gate_source_hashes(ref_tree)
+            auto_included = sorted(
+                g
+                for g in head_h.keys() & ref_h.keys()
+                if head_h[g] != ref_h[g] and g not in HEADLINE
+            )
+        except Exception:
+            auto_included = []  # hash pass is best-effort, never fatal
     jiffies0 = _cpu_jiffies()
     cal0 = round(_cal_probe(), 3)
 
@@ -161,11 +201,18 @@ def compare(
         a, b = sides["head"], sides["ref"]
         try:
             if not names:
-                names = gates or [
-                    g for g in HEADLINE if g in a.gates & b.gates
+                both = a.gates & b.gates
+                if gates is not None:
+                    names = list(gates)
+                else:
+                    names = [g for g in HEADLINE if g in both] + [
+                        g for g in auto_included if g in both
+                    ]
+                missing = [
+                    g
+                    for g in (gates or (list(HEADLINE) + auto_included))
+                    if g not in both
                 ]
-                missing = [g for g in (gates or HEADLINE)
-                           if g not in a.gates & b.gates]
                 samples = {g: {"head": [], "ref": []} for g in names}
             # Warm both fresh JVMs outside the recorded rounds (codegen +
             # first-scan costs hit whichever side goes first otherwise),
@@ -230,6 +277,7 @@ def compare(
         "sf_dir": SF_DIR,
         "gates": per_gate,
         "missing_gates": missing,
+        "auto_included_changed_gates": auto_included,
         "total_min_head": round(h_tot, 3),
         "total_min_ref": round(r_tot, 3),
         "total_ratio": round(h_tot / r_tot, 3) if r_tot else None,
