@@ -256,3 +256,98 @@ def test_join_expansion_scope_sizes_and_restores(spark):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == static
     assert spark.conf.get(coal_key) == prev_coal
+
+
+def test_pair_operator_caches_partition_inside_scope(spark):
+    """r12 (VERDICT r11 item 4): the own-scan pair operators must
+    register their shingle cache INSIDE the join-expansion scope — the
+    cache's repartition compiles its partition count at persist
+    REGISTRATION, and the pipeline's map-side partial aggregations run
+    one task per cache partition (measured at the 100x fixture: an
+    outside-scope persist pinned the cache at 32 partitions and spilled
+    1.4 GB disk in two 32-task map stages, untouched by any
+    reducer-count change). Pin by plan shape: under a scope-engaging
+    estimate, a persist registered in-scope plans its repartition at the
+    scoped count; registered outside, at the session static."""
+    from tutorial_apache_beam_spark.operators.dedup import (
+        _join_expansion_scope,
+        _shingle_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(50)],
+        "doc_id BIGINT, text STRING",
+    )
+
+    def cache_partitions(df):
+        df = df.persist()
+        try:
+            df.count()
+            return df.rdd.getNumPartitions()
+        finally:
+            df.unpersist()
+
+    static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    est = 400 * 48 * 1024  # maps to 400 reducers — past any static
+    outside = cache_partitions(_shingle_rows(docs, "text", "doc_id", 3))
+    assert outside == static
+    with _join_expansion_scope(spark, est):
+        inside = cache_partitions(_shingle_rows(docs, "text", "doc_id", 3))
+    assert inside == 400
+
+
+def test_connected_components_self_sizes_distributed_loop(spark):
+    """r12: when the edge graph overflows the union-find byte budget,
+    the label-propagation loop sizes its reducers from measured edge
+    bytes (count x sampled endpoint bytes) instead of inheriting the
+    session default — and restores the confs afterward. Forced onto the
+    distributed path with a tiny byte budget; EDGE_BYTES_PER_PARTITION
+    is monkeypatch-free because the assertion only needs 'raised or
+    no-op consistent with the formula'."""
+    from tutorial_apache_beam_spark.operators import graph as G
+
+    # 70 path-of-3 components (diameter 2 — converges in a few rounds;
+    # a long chain's diameter would exceed max_iter)
+    edges = spark.createDataFrame(
+        [(3 * c, 3 * c + 1) for c in range(70)]
+        + [(3 * c + 1, 3 * c + 2) for c in range(70)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    static = spark.conf.get("spark.sql.shuffle.partitions")
+    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coal = spark.conf.get(coal_key)
+    seen = {}
+    orig = G.EDGE_BYTES_PER_PARTITION
+    G.EDGE_BYTES_PER_PARTITION = 64  # tiny target → parts > static
+    try:
+        # capture the conf while the loop runs by probing from a plan
+        # built inside: easiest observable is the loop's OUTPUT rdd
+        # partitioning, but localCheckpoint coalesces — so assert via
+        # conf restoration + correctness, and the engaged path via a
+        # wrapped scope probe.
+        real_set = spark.conf.set
+
+        def spy_set(k, v):
+            seen.setdefault(k, []).append(v)
+            real_set(k, v)
+
+        spark.conf.set = spy_set
+        comps = G.connected_components(
+            edges, local_edge_byte_budget=1  # force overflow
+        )
+        got = {(r["vertex"], r["component"]) for r in comps.collect()}
+    finally:
+        spark.conf.set = real_set
+        G.EDGE_BYTES_PER_PARTITION = orig
+    assert got == {
+        (3 * c + i, 3 * c) for c in range(70) for i in range(3)
+    }
+    # the loop raised the partition count beyond the static default and
+    # disabled coalescing, then restored both (the spy records every
+    # set, raise and restore alike)
+    assert max(int(v) for v in seen["spark.sql.shuffle.partitions"]) > int(
+        static
+    )
+    assert "false" in seen[coal_key]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == static
+    assert spark.conf.get(coal_key) == prev_coal

@@ -328,3 +328,30 @@ def test_unit_all_invalid_batch_leaves_state_untouched():
     assert sessions == [[0, GAP_US, 2]]
     assert str(out["window_start"].dtype) == "datetime64[ns]"
     assert str(out["pane_value"].dtype) == "float64"
+
+
+def test_pane_aggregate_routes_session_gap_both_modes(spark, tmp_path):
+    """`pane_aggregate(session_gap=...)` routes through the selector:
+    'auto' without a key hint takes the JVM session aggregation (no
+    Python state operator in the plan), 'discarding' takes the keyed
+    interval-state operator."""
+    from tutorial_apache_beam_spark.streaming.stateful import pane_aggregate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b0.json", [_ev(0, 7)])
+    stream = _stream(spark, src)
+
+    jvm = pane_aggregate(
+        stream, key_cols=["user_id"], agg="count",
+        session_gap="1 minute", mode="auto",
+    )
+    assert "sessionwindow" in jvm._jdf.queryExecution().analyzed().toString() \
+        .lower().replace("_", "")
+    py = pane_aggregate(
+        stream, key_cols=["user_id"], agg="count",
+        session_gap="1 minute", mode="discarding",
+    )
+    assert "FlatMapGroupsInPandasWithState" in (
+        py._jdf.queryExecution().analyzed().toString()
+    )

@@ -73,8 +73,20 @@ def _plan_est_bytes(df: DataFrame) -> int | None:
 
 
 @contextlib.contextmanager
-def _join_expansion_scope(spark, est_bytes: int | None):
+def _join_expansion_scope(
+    spark,
+    est_bytes: int | None,
+    bytes_per_partition: int | None = None,
+):
     """Temporarily size reducers for a join-expanding materialization.
+
+    `bytes_per_partition` defaults to PAIR_EST_BYTES_PER_PARTITION — the
+    constant calibrated for Catalyst PLAN-TIME estimates of the pair
+    pipelines (which understate the real exchange ~140x). Callers with a
+    MEASURED byte figure (r12: graph.connected_components sizes its
+    label-propagation loop from sampled real edge bytes) pass their own
+    per-reducer target instead; the scope mechanics (raise static count,
+    disable AQE coalescing, restore on exit) are identical.
 
     When the calibrated partition count exceeds the session's static
     shuffle partitions, raise the static count and disable AQE partition
@@ -94,12 +106,9 @@ def _join_expansion_scope(spark, est_bytes: int | None):
     spill even though the materialization ran in-scope (measured live,
     r7).
     """
+    per_part = bytes_per_partition or PAIR_EST_BYTES_PER_PARTITION
     static = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = (
-        0
-        if est_bytes is None
-        else math.ceil(est_bytes / PAIR_EST_BYTES_PER_PARTITION)
-    )
+    parts = 0 if est_bytes is None else math.ceil(est_bytes / per_part)
     if parts <= static:
         yield
         return
@@ -305,38 +314,55 @@ def ngram_jaccard_pairs(
     whole, so the candidate join runs once for both metrics and the
     score expression lives only here.
     """
+    # Estimate from the UNPERSISTED plan, and register the own-scan
+    # persist INSIDE the scope (r12): the cache's repartition compiles
+    # its partition count at persist REGISTRATION, so an outside-scope
+    # persist froze the index cache at the session's 32 partitions — and
+    # the pair pipeline's MAP-SIDE partial aggregations (hot-count,
+    # pair-stats) run one task per cache partition, spilling when a 100x
+    # corpus packs ~100 MB into each. Measured at .scaledata/sf10:
+    # outside-scope persist = 1.4 GB disk spill in two 32-task stages;
+    # reducer-count changes alone (session-wide 316) made it WORSE (AQE
+    # coalescing re-merged the rest) — only the cache partition count
+    # fixes map-side spill. The lexical gate's in-scope persist was
+    # spill-free all along; this aligns the standalone operators with it.
     if pair_stats is not None:
-        stats = pair_stats.filter(F.col("id_a") < F.col("id_b"))
-        released: tuple = ()
         # The shared-stats caller owns the scan AND the materialization
         # scope (it can estimate from its own inverted index; the
         # quadratic post-join estimate here would be garbage).
         scope_est = None
     else:
         caller_owns = shingle_rows is not None
-        inv = (
+        inv_plan = (
             shingle_rows
             if caller_owns
-            else _shingle_rows(df, text_col, id_col, n).persist()
+            else _shingle_rows(df, text_col, id_col, n)
         )
-        stats = _counting_pair_stats(
-            inv, id_col, max_doc_freq, both_directions=False
+        # A caller-provided scan keeps its own cache partitioning, but
+        # the candidate-join reducers still size from it here.
+        scope_est = _plan_est_bytes(inv_plan)
+    with _join_expansion_scope(df.sparkSession, scope_est):
+        if pair_stats is not None:
+            stats = pair_stats.filter(F.col("id_a") < F.col("id_b"))
+            released: tuple = ()
+        else:
+            inv = inv_plan if caller_owns else inv_plan.persist()
+            stats = _counting_pair_stats(
+                inv, id_col, max_doc_freq, both_directions=False
+            )
+            released = () if caller_owns else (inv,)
+        verified = (
+            stats.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("_inter")
+                    / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        released = () if caller_owns else (inv,)
-        scope_est = _plan_est_bytes(inv)
-    verified = (
-        stats.withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter")
-                / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    with _join_expansion_scope(verified.sparkSession, scope_est):
         return _materialize_and_release(verified, *released)
 
 
@@ -485,46 +511,62 @@ def minhash_lsh_pairs(
     caller_owns = shingle_rows is not None
     # Materialize the shingle-hash rows once: the signature aggregation,
     # the band self-join, and the verify set assembly all re-read them.
-    rows = (
+    # The own-scan persist registers INSIDE the join-expansion scope
+    # opened below (r12): the cache's repartition compiles its partition
+    # count at registration, and the signature/verify MAP-side
+    # aggregations run one task per cache partition — an outside-scope
+    # persist pins them at the session default regardless of the scope's
+    # reducer sizing (see ngram_jaccard_pairs).
+    rows_plan = (
         shingle_rows
         if caller_owns
-        else _shingle_rows(df, text_col, id_col, n).persist()
+        else _shingle_rows(df, text_col, id_col, n)
     )
-    # Signature as k plain min-aggregates over the rows — codegen'd hash
-    # aggregation with map-side partial minima (the array-HOF form runs
-    # interpreted and pays the md5 scan per permutation).
-    hmod = F.col("h") % MERSENNE_P
-    sig = rows.groupBy(id_col).agg(
-        *[
-            F.min((a * hmod + b) % MERSENNE_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
-        ]
-    )
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.col(f"mh{bi * r + j}") for j in range(r)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = band_rows.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = band_rows.select("band", "bucket", F.col(id_col).alias("id_b"))
-    # persist() INSIDE the scope: Spark compiles the cached plan at
-    # registration, so persisting the candidate join outside would
-    # freeze its exchanges at the session's default reducer count and
-    # bypass the join-expansion sizing entirely (see _join_expansion_scope).
-    with _join_expansion_scope(rows.sparkSession, _plan_est_bytes(rows)):
+    # ONE scope from the shingle persist through the verify
+    # materialization: both persist() registrations (the shingle cache's
+    # repartition and the candidate join's exchanges) compile their
+    # partition counts at registration, so both must sit inside (see
+    # _join_expansion_scope's caveat and ngram_jaccard_pairs' r12 note).
+    with _join_expansion_scope(df.sparkSession, _plan_est_bytes(rows_plan)):
+        rows = rows_plan if caller_owns else rows_plan.persist()
+        # Signature as k plain min-aggregates over the rows — codegen'd
+        # hash aggregation with map-side partial minima (the array-HOF
+        # form runs interpreted and pays the md5 scan per permutation).
+        hmod = F.col("h") % MERSENNE_P
+        sig = rows.groupBy(id_col).agg(
+            *[
+                F.min((a * hmod + b) % MERSENNE_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+            ]
+        )
+        band_rows = sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"mh{bi * r + j}")
+                                        for j in range(r)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            F.col(id_col),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        a = band_rows.select("band", "bucket", F.col(id_col).alias("id_a"))
+        b = band_rows.select("band", "bucket", F.col(id_col).alias("id_b"))
         candidates = (
             a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -678,28 +720,33 @@ def ngram_containment_pairs(
     `pair_stats`: see `ngram_jaccard_pairs` — a caller-shared
     both-directions stats frame (this metric consumes it whole).
     """
+    # Own-scan persist registers INSIDE the scope — the cache partition
+    # count compiles at registration; see ngram_jaccard_pairs (r12).
     if pair_stats is not None:
-        stats = pair_stats
-        released: tuple = ()
         scope_est = None  # shared-stats caller owns the scope
     else:
         caller_owns = shingle_rows is not None
-        inv = (
+        inv_plan = (
             shingle_rows
             if caller_owns
-            else _shingle_rows(df, text_col, id_col, n).persist()
+            else _shingle_rows(df, text_col, id_col, n)
         )
-        stats = _counting_pair_stats(
-            inv, id_col, max_doc_freq, both_directions=True
+        scope_est = _plan_est_bytes(inv_plan)
+    with _join_expansion_scope(df.sparkSession, scope_est):
+        if pair_stats is not None:
+            stats = pair_stats
+            released: tuple = ()
+        else:
+            inv = inv_plan if caller_owns else inv_plan.persist()
+            stats = _counting_pair_stats(
+                inv, id_col, max_doc_freq, both_directions=True
+            )
+            released = () if caller_owns else (inv,)
+        verified = (
+            stats.withColumn(
+                "containment", F.round(F.col("_inter") / F.col("_n_a"), 4)
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment")
         )
-        released = () if caller_owns else (inv,)
-        scope_est = _plan_est_bytes(inv)
-    verified = (
-        stats.withColumn(
-            "containment", F.round(F.col("_inter") / F.col("_n_a"), 4)
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
-    with _join_expansion_scope(verified.sparkSession, scope_est):
         return _materialize_and_release(verified, *released)

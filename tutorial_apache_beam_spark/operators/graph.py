@@ -51,6 +51,18 @@ def _components_local(edge_rows, src: str, dst: str) -> list[tuple[int, int]]:
     return [(v, find(v)) for v in parent]
 
 
+# Per-reducer target for the SELF-SIZED label-propagation loop (r12):
+# unlike the dedup pair scope (whose 48 KB constant bakes in the ~140x
+# gap between Catalyst's PLAN estimate and real exchange bytes), the
+# graph sizes from MEASURED bytes — edge count x sampled endpoint bytes.
+# The loop's join roughly doubles the rows (symmetrized edges), and the
+# sort-merge sort deserializes them ~10-20x the sampled size, so 2 MB of
+# sampled edge bytes per reducer keeps each sort's working set in the
+# tens of MB — calibrated at the 100x fixture (.scaledata/sf10): the
+# 32-reducer default spilled 1.4 GB disk / 11 GB memory; see SHUFFLE.md.
+EDGE_BYTES_PER_PARTITION = 2 * 1024 * 1024
+
+
 def _row_bytes(value) -> int:
     """Rough serialized size of one edge endpoint (guard heuristic)."""
     if value is None:
@@ -155,9 +167,41 @@ def connected_components(
             return spark.createDataFrame(
                 _components_local(edge_rows, src, dst), out_schema
             )
+    # Distributed path (r12, VERDICT r11 item 4): SELF-SIZE the loop's
+    # reducers when the caller didn't, instead of inheriting whatever
+    # the session default happens to be (the 100x near-dup graphs all
+    # resolve on the union-find fast path above, so this is the
+    # future-proofing half of the r12 fix — the measured 100x spill
+    # itself was MAP-side in the pair operators' shingle cache, fixed
+    # there by in-scope persist registration; see SCALING.md r12
+    # update). The overflow probe above already sampled real per-edge
+    # bytes; one count() over the (persisted) edge cache prices the
+    # graph, and the loop's join/agg exchanges then run with
+    # edge-byte-proportional reducers and AQE coalescing off (the loop
+    # joins EXPAND, the same class the pair scope exists for). No-op
+    # whenever the computed count <= the session static (sf0.1 plans
+    # unchanged).
+    est_bytes = None
+    if shuffle_partitions is None and local_edge_threshold > 0 and sample:
+        n_edges = edges.count()  # cached by the probe persist above
+        est_bytes = n_edges * avg_bytes
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coal = spark.conf.get(coal_key)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    elif est_bytes is not None:
+        from tutorial_apache_beam_spark.operators.dedup import (
+            PAIR_SCOPE_MAX_PARTITIONS,
+        )
+
+        parts = -(-est_bytes // EDGE_BYTES_PER_PARTITION)
+        if parts > int(prev_parts):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(parts, PAIR_SCOPE_MAX_PARTITIONS)),
+            )
+            spark.conf.set(coal_key, "false")
     try:
         # Symmetrize in ONE pass over the edge input (a union of two
         # selects would evaluate the upstream pair-generation twice).
@@ -254,6 +298,7 @@ def connected_components(
         if own_persist:
             edges.unpersist()  # no-op unless the size probe persisted it
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(coal_key, prev_coal)
 
 
 def dedup_keep_canonical(
