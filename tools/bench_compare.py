@@ -141,7 +141,11 @@ def _sign_test_p(wins: int, losses: int) -> float:
 
 
 def compare(
-    ref: str, rounds: int, gates: list[str] | None, blocks: int = 2
+    ref: str,
+    rounds: int,
+    gates: list[str] | None,
+    blocks: int = 2,
+    extra_gates: list[str] | None = None,
 ) -> dict:
     from bench import (  # HEAD's bench constants/probes
         HEADLINE,
@@ -207,10 +211,23 @@ def compare(
                 else:
                     names = [g for g in HEADLINE if g in both] + [
                         g for g in auto_included if g in both
+                    ] + [
+                        g
+                        for g in (extra_gates or [])
+                        if g in both
+                        and g not in HEADLINE
+                        and g not in auto_included
                     ]
                 missing = [
                     g
-                    for g in (gates or (list(HEADLINE) + auto_included))
+                    for g in (
+                        gates
+                        or (
+                            list(HEADLINE)
+                            + auto_included
+                            + (extra_gates or [])
+                        )
+                    )
                     if g not in both
                 ]
                 samples = {g: {"head": [], "ref": []} for g in names}
@@ -299,6 +316,7 @@ def main(argv: list[str]) -> None:
     rounds = 6
     blocks = 2
     gates = None
+    extra_gates = None
     it = iter(argv[1:])
     for tok in it:
         if tok == "--rounds":
@@ -307,9 +325,15 @@ def main(argv: list[str]) -> None:
             blocks = int(next(it))
         elif tok == "--gates":
             gates = next(it).split(",")
+        elif tok == "--extra-gates":
+            # Appended to the DEFAULT set (headline + auto-included
+            # changed gates) without suppressing the auto-include pass —
+            # for A/B-checking gates whose OPERATOR internals changed
+            # (the function-source hash can't see through the call).
+            extra_gates = next(it).split(",")
         else:
             raise SystemExit(f"unknown arg {tok!r}\n{__doc__}")
-    out = compare(ref, rounds, gates, blocks=blocks)
+    out = compare(ref, rounds, gates, blocks=blocks, extra_gates=extra_gates)
     with open(os.path.join(REPO, "bench_compare.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     for g, e in out["gates"].items():

@@ -277,62 +277,6 @@ def streaming_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "streaming_session_panes",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-      FROM events
-    ), marked AS (
-      SELECT user_id, ts,
-             CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
-      FROM ordered
-    ), sessions AS (
-      SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM marked
-    )
-    SELECT min(ts)        AS window_start,
-           user_id,
-           count(*)       AS pane_count,
-           CAST(0 AS INT) AS pane_index
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
-def streaming_session_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam `Sessions.withGapDuration(30 min)` composed with
-    `.discardingFiredPanes()` (r12 — the last pane-surface refusal
-    closed; reference composability bar Demo2.java:149-157): session
-    windows as keyed interval state, pane deltas per firing, merged
-    sessions inheriting the earliest-start constituent's ordinal.
-
-    A single availableNow drain fires every session exactly once, so
-    pane deltas equal session totals, `window_start` is the session
-    start (min event time), and pane_index is 0 — ALL sessions emit
-    (discarding panes fire per touched session per batch, not at
-    watermark close, which is what distinguishes this gate's oracle
-    from `streaming_session_counts`' closed-only filter). Multi-firing
-    deltas, cross-batch merges, and backward start extension are
-    covered by tests/test_session_panes.py and the tws parity test.
-    """
-    from tutorial_apache_beam_spark.streaming.stateful import (
-        discarding_pane_aggregate,
-    )
-
-    panes = discarding_pane_aggregate(
-        stream_events(spark, sf_dir),
-        ts_col="ts",
-        key_cols=["user_id"],
-        agg="count",
-        session_gap="30 minutes",
-    )
-    return run_stream_to_memory(panes, spark, output_mode="append")
-
-
-@register(
     "streaming_stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
@@ -569,17 +513,43 @@ def streaming_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sessions
       GROUP BY user_id, session_id
     )
-    SELECT * FROM agg
+    SELECT 'closed' AS mode, session_start, session_end, user_id, count,
+           CAST(NULL AS INT) AS pane_index
+    FROM agg
     WHERE session_end <= (SELECT max(ts) - INTERVAL '2 minutes' FROM events)
+    UNION ALL
+    SELECT 'panes' AS mode, session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end, user_id, count,
+           CAST(0 AS INT) AS pane_index
+    FROM agg
     """,
 )
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows on a live stream (gap-merged, stateful): append mode
-    emits a session once the watermark passes its end (last event + gap).
+    """Session windows on a live stream (gap-merged, stateful), TWO
+    tagged branches since r12 (merged rather than added as a 51st gate —
+    the driver checks the first 50 in registration order):
 
-    The oracle sessionizes in SQL and keeps sessions closed by the final
-    watermark — verified to match Spark's emission rule exactly.
+    - 'closed': the JVM `session_window` aggregation in append mode —
+      a session emits once the watermark passes its end (last event +
+      gap); the oracle keeps sessions closed by the final watermark.
+    - 'panes' (r12): Beam `Sessions.withGapDuration(30 min)` composed
+      with `.discardingFiredPanes()` — the last pane-surface refusal
+      closed (reference composability bar Demo2.java:149-157). Session
+      windows as keyed interval state: pane deltas per firing, merged
+      sessions inheriting the earliest-start constituent's ordinal. A
+      single availableNow drain fires every session exactly once, so
+      pane deltas equal session totals, `session_start` is the raw
+      min event time (µs precision), and pane_index is 0 — ALL sessions
+      emit (discarding panes fire per touched session per batch, not at
+      watermark close, which is exactly what distinguishes the two
+      branches' oracles). Multi-firing deltas, cross-batch merges, and
+      backward start extension: tests/test_session_panes.py + the tws
+      parity test.
     """
+    from tutorial_apache_beam_spark.streaming.stateful import (
+        discarding_pane_aggregate,
+    )
+
     sdf = stream_events(spark, sf_dir).withWatermark("ts", "2 minutes")
     agg = (
         sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -591,4 +561,30 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count",
         )
     )
-    return run_stream_to_memory(agg, spark, output_mode="append")
+    panes = discarding_pane_aggregate(
+        stream_events(spark, sf_dir),
+        ts_col="ts",
+        key_cols=["user_id"],
+        agg="count",
+        session_gap="30 minutes",
+    )
+    closed_sink, pane_sink = run_streams_to_memory(
+        [(agg, "append"), (panes, "append")], spark
+    )
+    return closed_sink.select(
+        F.lit("closed").alias("mode"),
+        "session_start",
+        "session_end",
+        "user_id",
+        "count",
+        F.lit(None).cast("int").alias("pane_index"),
+    ).unionByName(
+        pane_sink.select(
+            F.lit("panes").alias("mode"),
+            F.col("window_start").alias("session_start"),
+            F.lit(None).cast("timestamp").alias("session_end"),
+            "user_id",
+            F.col("pane_count").alias("count"),
+            "pane_index",
+        )
+    )
