@@ -238,20 +238,22 @@ def test_pipeline_api_routes_through_selector(spark, tmp_path):
     assert set(multi.df.columns) == {
         "window_start", "user_id", "device", "pane_count", "pane_index",
     }
-    # Session windows merge — no stable window identity for a pane
-    # ordinal — so they stay a loud refusal.
+    # Sessions compose with pane accumulation since r12 (the refusal is
+    # narrowed to nothing): 'auto' with no key hint takes the JVM
+    # merging-session aggregation, same as the other window fns.
     from tutorial_apache_beam_spark.plans.pipeline import Sessions
 
-    with pytest.raises(ValueError, match="FixedWindows or SlidingWindows"):
-        (
-            p.create(_stream(spark, src))
-            .apply("Ts", WithTimestamps("ts"))
-            .apply(
-                "Win",
-                WindowInto(Sessions("1 minute"), accumulation="auto"),
-            )
-            .apply("Count", Count.per_key("user_id"))
+    sess = (
+        p.create(_stream(spark, src))
+        .apply("Ts", WithTimestamps("ts"))
+        .apply(
+            "Win",
+            WindowInto(Sessions("1 minute"), accumulation="auto"),
         )
+        .apply("Count", Count.per_key("user_id"))
+    )
+    plan = sess.df._jdf.queryExecution().analyzed().toString()
+    assert "sessionwindow" in plan.lower().replace("_", "")
 
 
 def test_pane_key_contract_name_and_type(spark, tmp_path):
@@ -380,3 +382,61 @@ def test_non_count_combiner_refuses_pane_accumulation(spark, tmp_path):
     # Count still routes with its historical pane_count column.
     out = windowed.apply("Count", Count.per_key("user_id"))
     assert "pane_count" in out.df.columns
+
+
+def test_pipeline_api_sessions_compose_with_panes(spark, tmp_path):
+    """r12: WindowInto(Sessions(gap), accumulation='discarding') +
+    Count.per_key routes through the session-pane operator — the Beam
+    composability the reference bar sets (any WindowFn x any pane mode).
+    Plan shape: the keyed Python state operator; and a drain emits one
+    pane per session at ordinal 0 with window_start = session start."""
+    from tutorial_apache_beam_spark.plans.pipeline import (
+        Count,
+        Pipeline,
+        Sessions,
+        WindowInto,
+        WithTimestamps,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"event_time": BASE_EPOCH + t, "user_id": 7})
+            for t in (0, 30, 300)
+        )
+        + "\n"
+    )
+    p = Pipeline(spark)
+    out = (
+        p.create(_stream(spark, src))
+        .apply("Ts", WithTimestamps("ts"))
+        .apply(
+            "Win",
+            WindowInto(
+                Sessions("1 minute"),
+                allowed_lateness="2 minutes",
+                accumulation="discarding",
+            ),
+        )
+        .apply("Count", Count.per_key("user_id"))
+    )
+    assert "FlatMapGroupsInPandasWithState" in (
+        out.df._jdf.queryExecution().analyzed().toString()
+    )
+    q = (
+        out.df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["window_start"].timestamp() - BASE_EPOCH, r["pane_count"],
+         r["pane_index"])
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    )
+    # two sessions: [0, 90) holds two events, [300, 360) one
+    assert rows == [(0.0, 2, 0), (300.0, 1, 0)]

@@ -360,7 +360,15 @@ class WindowInto(PTransform):
             df = df.withWatermark(
                 spec.ts_col, f"{max(delay_ms, 0)} milliseconds"
             )
-        return pcoll._with(df, spec)
+        out = pcoll._with(df, spec)
+        # Pane-accumulation consumers rebuild the watermark on their own
+        # derived event-time column (streaming/stateful), and Spark
+        # forbids a second EventTimeWatermark node downstream of this
+        # one ("Redefining watermark is disallowed", measured at query
+        # start — r12). Hand them the PRE-watermark frame so the final
+        # plan carries exactly one watermark: the operator's.
+        out.pre_watermark_df = pcoll.df
+        return out
 
 
 class _PerKeyAgg(PTransform):
@@ -411,24 +419,46 @@ class _PerKeyAgg(PTransform):
         pane_count|pane_value, pane_index). r11: combiner-generic,
         multi-key, fixed AND sliding windows (VERDICT r10 items 1+5)."""
         spec = pcoll.spec
+        session_gap = None
         if isinstance(spec.window_fn, FixedWindows):
             duration, slide = spec.window_fn.duration, None
         elif isinstance(spec.window_fn, SlidingWindows):
             duration, slide = spec.window_fn.size, spec.window_fn.period
         else:
-            raise ValueError(
-                "pane accumulation (WindowInto accumulation=...) requires "
-                "FixedWindows or SlidingWindows — session windows merge, "
-                "so firings have no stable window identity for a pane "
-                f"ordinal; got {type(spec.window_fn).__name__}"
-            )
+            # Sessions compose with pane accumulation since r12 (the
+            # last pane-surface refusal): the operator layer tracks
+            # per-key session intervals, with the merged-session
+            # pane-identity rule documented in streaming/stateful.py.
+            # window_duration is unused on the session path; pass a
+            # valid placeholder.
+            duration, slide = "1 minute", None
+            session_gap = spec.window_fn.gap
         agg, value_col = pane
         from tutorial_apache_beam_spark.streaming.stateful import (
             pane_aggregate,
         )
 
+        # The pane operators apply their OWN watermark (on a derived
+        # event-time column); building from the WindowInto-watermarked
+        # frame would put two EventTimeWatermark nodes in one plan,
+        # which Spark rejects at query start. WindowInto stashes the
+        # pre-watermark frame for exactly this route; a transform
+        # INSERTED between WindowInto and the pane combine drops the
+        # stash, so refuse with the remediation rather than let the
+        # query die with an opaque STREAM_FAILED.
+        src = getattr(pcoll, "pre_watermark_df", None)
+        if src is None:
+            if pcoll.df.isStreaming:
+                raise ValueError(
+                    "pane accumulation must be applied DIRECTLY after "
+                    "WindowInto (the pane operator rebuilds the "
+                    "watermark itself; an intermediate transform "
+                    "discarded the pre-watermark frame) — move the "
+                    "transform before WindowInto or after the combine"
+                )
+            src = pcoll.df
         out = pane_aggregate(
-            pcoll.df,
+            src,
             ts_col=spec.ts_col,
             key_cols=self.key_cols,
             value_col=value_col,
@@ -436,6 +466,7 @@ class _PerKeyAgg(PTransform):
             window_duration=duration,
             slide_duration=slide,
             watermark_delay=f"{spec.watermark_delay_ms()} milliseconds",
+            session_gap=session_gap,
             mode=spec.accumulation,
             expected_keys=spec.expected_keys,
         )

@@ -718,12 +718,26 @@ def discarding_pane_aggregate(
         # No plan-time bucketing for merging windows: the watermark
         # rides the RAW event time and the keyed state computes session
         # extents. Late rows (ts below the watermark) are dropped by
-        # Spark upstream, exactly like the bucketed paths.
+        # Spark upstream, exactly like the bucketed paths. The raw time
+        # is ALIASED to window_start before the watermark — a fresh
+        # attribute, like the fixed path's derived bucket — so composing
+        # under an upstream watermark on ts_col (the Pipeline API's
+        # WindowInto) doesn't trip Spark's redefining-watermark check.
         keep = [value_col] if value_col is not None else []
-        sessions_in = (
-            events.withWatermark(ts_col, watermark_delay)
-            .select(ts_col, *key_cols, *keep)
-        )
+        # timestamp_micros(unix_micros(ts)) is an EXACT identity for
+        # Spark's µs timestamps whose sole job is to be a COMPUTED
+        # expression: a plain alias inherits the upstream column's
+        # watermark metadata and re-watermarking it is 'redefining'
+        # (measured under the Pipeline API's WindowInto); a computed
+        # column starts metadata-free, like the fixed path's
+        # window().start.
+        sessions_in = events.select(
+            F.timestamp_micros(F.unix_micros(F.col(ts_col))).alias(
+                "window_start"
+            ),
+            *key_cols,
+            *keep,
+        ).withWatermark("window_start", watermark_delay)
         if value_col is not None and isinstance(
             events.schema[value_col].dataType, _FLOAT_TYPES
         ):
@@ -735,7 +749,7 @@ def discarding_pane_aggregate(
             _make_session_pane_emitter(
                 _duration_ms(session_gap) * 1000,  # interval math in µs
                 key_specs, agg, value_col,
-                value_kind, value_name, ts_col,
+                value_kind, value_name, "window_start",
             ),
             out_schema,
             SESSION_STATE_SCHEMA,

@@ -665,13 +665,25 @@ def tws_pane_aggregate(
     from pyspark.sql import types as T
 
     if session_gap is not None:
-        # Session twin: watermark on the RAW event time, no plan-time
-        # bucket — mirrors the v1 session path exactly.
+        # Session twin: watermark on the RAW event time (aliased to
+        # window_start — a fresh attribute, composable under an
+        # upstream watermark), no plan-time bucket — mirrors the v1
+        # session path exactly.
         keep = [value_col] if value_col is not None else []
-        sessions_in = (
-            events.withWatermark(ts_col, watermark_delay)
-            .select(ts_col, *key_cols, *keep)
-        )
+        # timestamp_micros(unix_micros(ts)) is an EXACT identity for
+        # Spark's µs timestamps whose sole job is to be a COMPUTED
+        # expression: a plain alias inherits the upstream column's
+        # watermark metadata and re-watermarking it is 'redefining'
+        # (measured under the Pipeline API's WindowInto); a computed
+        # column starts metadata-free, like the fixed path's
+        # window().start.
+        sessions_in = events.select(
+            F.timestamp_micros(F.unix_micros(F.col(ts_col))).alias(
+                "window_start"
+            ),
+            *key_cols,
+            *keep,
+        ).withWatermark("window_start", watermark_delay)
         if value_col is not None and isinstance(
             events.schema[value_col].dataType, (T.FloatType, T.DoubleType)
         ):
@@ -683,7 +695,7 @@ def tws_pane_aggregate(
             statefulProcessor=SessionPaneProcessor(
                 _duration_ms(session_gap) * 1000,  # interval math in µs
                 key_specs, agg, value_col,
-                value_kind, value_name, ts_col,
+                value_kind, value_name, "window_start",
             ),
             outputStructType=out_schema,
             outputMode="Append",
