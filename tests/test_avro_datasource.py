@@ -550,3 +550,43 @@ def test_streaming_compaction_e2e_exactly_once(registered, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 7
     assert out.where("id = 100").count() == 1
+
+
+def test_idle_stream_offset_is_stable(spark, tmp_path):
+    """r12 review: with no unprocessed files, latestOffset returns the
+    PREVIOUS offset unchanged (offset-equality is how the engine decides
+    'no new data' — a moving compaction watermark alone must not
+    schedule an empty micro-batch per trigger). New files re-mint."""
+    import time
+
+    tree = str(tmp_path / "tree")
+    _write_tree(spark, tree)
+    plan = scan_avro_tree(tree)
+    rdr = AvroFallbackStreamReader(plan, compact_lag_s=0.0)
+    time.sleep(0.02)
+    off1 = rdr.latestOffset()
+    time.sleep(0.05)
+    off2 = rdr.latestOffset()
+    assert off2 == off1  # same dict despite the wm clock moving
+    assert rdr.partitions(off1, off2) == []
+    # a new file breaks the idle plateau
+    late = spark.createDataFrame([(99,)], "id BIGINT")
+    staging = str(tmp_path / "late")
+    write_avro_fallback(
+        late.selectExpr(
+            "id", "CAST(NULL AS DECIMAL(10,2)) d",
+            "CAST(NULL AS TIMESTAMP_NTZ) ts", "'0' part"
+        ),
+        staging, partition_by=["part"],
+    )
+    shutil.copy(
+        glob.glob(f"{staging}/part=0/*.avro")[0],
+        os.path.join(tree, "part=0", "late2.avro"),
+    )
+    time.sleep(0.02)
+    off3 = rdr.latestOffset()
+    assert off3 != off2
+    fresh = [
+        r[0] for p in rdr.partitions(off2, off3) for r in rdr.read(p)
+    ]
+    assert fresh == [99]

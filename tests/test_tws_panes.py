@@ -1142,3 +1142,71 @@ def test_tws_session_panes_match_v1(spark, tmp_path):
     assert v1 == v2
     # second-drain ordinals prove merge identity carried across batches
     assert sorted(idx for _, _, _, idx in v1) == [0, 0, 0, 0, 1, 1, 1]
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs a google.protobuf runtime",
+)
+def test_tws_panes_fire_below_watermark_without_query_kill(spark, tmp_path):
+    """r12 review regression: pane emissions LEGITIMATELY carry
+    window/session starts older than the current watermark (a straddling
+    fixed window; a merged session extended near its end), and Beam
+    panes are not late rows. With eventTimeColumnName set on the tws
+    output, Spark's emitted-rows-older-than-watermark validator KILLED
+    the whole query in exactly these cases (verified against the bundled
+    UpdateEventTimeColumnExec); the r11/early-r12 tests masked it with
+    huge watermark delays that pinned wm at 0. Both tws paths must drain
+    cleanly with a REALISTIC 2-minute delay and a watermark that has
+    advanced past the fired start."""
+    from tutorial_apache_beam_spark.streaming.tws import tws_pane_aggregate
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB)
+    try:
+        # SESSION path: one session [0, 350s) with gap 3 min; after b0
+        # the watermark sits at 170s-120s = 50s; b1's extension at 175s
+        # fires a pane whose window_start (0) precedes the watermark.
+        src = tmp_path / "src_s"
+        src.mkdir()
+        _write(src, "b0.json", [
+            {"event_time": BASE_EPOCH + 0, "user_id": 7},
+            {"event_time": BASE_EPOCH + 170, "user_id": 7},
+        ])
+        op = lambda stream: tws_pane_aggregate(  # noqa: E731
+            stream, key_cols=["user_id"], agg="count",
+            session_gap="3 minutes", watermark_delay="2 minutes",
+        )
+        _drain(spark, src, tmp_path / "ck_s", tmp_path / "out_s", op)
+        _write(src, "b1.json", [
+            {"event_time": BASE_EPOCH + 175, "user_id": 7},
+        ])
+        rows = _rows(
+            _drain(spark, src, tmp_path / "ck_s", tmp_path / "out_s", op)
+        )
+        assert sorted((r[2], r[3]) for r in rows) == [(1, 1), (2, 0)]
+
+        # FIXED path: window [60,120) fires at ordinal 0 from b1's event
+        # at 90s while the watermark is 200s-120s = 80s > 60s.
+        src2 = tmp_path / "src_f"
+        src2.mkdir()
+        _write(src2, "b0.json", [
+            {"event_time": BASE_EPOCH + 0, "user_id": 7},
+            {"event_time": BASE_EPOCH + 200, "user_id": 7},
+        ])
+        _drain(spark, src2, tmp_path / "ck_f", tmp_path / "out_f",
+               tws_pane_counts)
+        _write(src2, "b1.json", [
+            {"event_time": BASE_EPOCH + 90, "user_id": 7},
+        ])
+        rows_f = _rows(
+            _drain(spark, src2, tmp_path / "ck_f", tmp_path / "out_f",
+                   tws_pane_counts)
+        )
+        assert sum(r[2] for r in rows_f) == 3  # no row lost, no kill
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

@@ -185,120 +185,124 @@ def connected_components(
     if shuffle_partitions is None and local_edge_threshold > 0 and sample:
         n_edges = edges.count()  # cached by the probe persist above
         est_bytes = n_edges * avg_bytes
+    import contextlib
+
+    from tutorial_apache_beam_spark.operators.dedup import (
+        _join_expansion_scope,
+    )
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coal = spark.conf.get(coal_key)
     if shuffle_partitions is not None:
+        # Explicit caller sizing: honored verbatim (even below the
+        # session static), restored in the finally below.
+        scope = contextlib.nullcontext()
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    elif est_bytes is not None:
-        from tutorial_apache_beam_spark.operators.dedup import (
-            PAIR_SCOPE_MAX_PARTITIONS,
+    else:
+        # Same raise-static + AQE-coalescing-off + restore mechanics as
+        # the pair pipelines — ONE implementation (dedup.py), with the
+        # graph's measured per-reducer edge-byte target.
+        scope = _join_expansion_scope(
+            spark, est_bytes, EDGE_BYTES_PER_PARTITION
         )
-
-        parts = -(-est_bytes // EDGE_BYTES_PER_PARTITION)
-        if parts > int(prev_parts):
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(min(parts, PAIR_SCOPE_MAX_PARTITIONS)),
-            )
-            spark.conf.set(coal_key, "false")
     try:
-        # Symmetrize in ONE pass over the edge input (a union of two
-        # selects would evaluate the upstream pair-generation twice).
-        sym = (
-            edges.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                        F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                    )
-                ).alias("e")
-            )
-            .select("e.u", "e.v")
-            .distinct()
-            .persist()
-        )
-        # Each round's labels are materialized with localCheckpoint (or a
-        # reliable checkpoint when the session has a checkpoint dir, which
-        # survives executor loss at cluster scale): checkpointing TRUNCATES
-        # LINEAGE, which persist() does not. Without truncation every
-        # round's plan references the previous round's twice (neighbor_min
-        # + the join), so the logical plan doubles per round and plan
-        # analysis OOMs the driver around diameter ~8. Dataset.unpersist()
-        # does not reach checkpointed RDDs (they bypass the cache
-        # manager), so superseded rounds are freed by unpersisting the
-        # LogicalRDD's backing RDD directly (best-effort — the
-        # ContextCleaner reaps them at the next JVM GC regardless).
-        reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-
-        def _free(df: DataFrame) -> None:
-            try:
-                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass  # non-LogicalRDD plan or already cleaned
-
-        def _materialize(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True) if reliable else (
-                df.localCheckpoint(eager=True)
-            )
-
-        # labels_cp is the CHECKPOINTED frame (the thing _free can reach);
-        # labels may be a projection of it.
-        labels_cp = _materialize(
-            sym.select(F.col("u").alias("vertex"))
-            .distinct()
-            .withColumn("component", F.col("vertex"))
-        )
-        labels = labels_cp
-
-        converged = False
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym.v == labels.vertex)
-                .groupBy(F.col("u").alias("vertex"))
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            # Eager checkpoint = the one action per iteration: it
-            # materializes the round AND truncates lineage; the
-            # convergence aggregate below then reads the materialized
-            # result, not the join plan.
-            new_labels = _materialize(
-                labels.join(neighbor_min, "vertex", "left").select(
-                    "vertex",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("nbr_component", F.col("component")),
-                    ).alias("component"),
-                    (
-                        F.coalesce("nbr_component", F.col("component"))
-                        < F.col("component")
-                    ).alias("_changed"),
+        with scope:
+            # Symmetrize in ONE pass over the edge input (a union of two
+            # selects would evaluate the upstream pair-generation twice).
+            sym = (
+                edges.select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                        )
+                    ).alias("e")
                 )
+                .select("e.u", "e.v")
+                .distinct()
+                .persist()
             )
-            changed = new_labels.agg(
-                F.sum(F.col("_changed").cast("int")).alias("ch")
-            ).collect()[0]["ch"]
-            _free(labels_cp)
-            labels_cp = new_labels
-            labels = new_labels.drop("_changed")
-            if not changed:
-                converged = True
-                break
-        sym.unpersist()
-        if not converged:
-            # Partially-propagated labels would silently split one real
-            # component into several — dedup_keep_canonical would then
-            # keep multiple "canonical" copies of the same cluster.
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "rounds (graph diameter exceeds max_iter); raise max_iter"
+            # Each round's labels are materialized with localCheckpoint (or a
+            # reliable checkpoint when the session has a checkpoint dir, which
+            # survives executor loss at cluster scale): checkpointing TRUNCATES
+            # LINEAGE, which persist() does not. Without truncation every
+            # round's plan references the previous round's twice (neighbor_min
+            # + the join), so the logical plan doubles per round and plan
+            # analysis OOMs the driver around diameter ~8. Dataset.unpersist()
+            # does not reach checkpointed RDDs (they bypass the cache
+            # manager), so superseded rounds are freed by unpersisting the
+            # LogicalRDD's backing RDD directly (best-effort — the
+            # ContextCleaner reaps them at the next JVM GC regardless).
+            reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+            def _free(df: DataFrame) -> None:
+                try:
+                    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:
+                    pass  # non-LogicalRDD plan or already cleaned
+
+            def _materialize(df: DataFrame) -> DataFrame:
+                return df.checkpoint(eager=True) if reliable else (
+                    df.localCheckpoint(eager=True)
+                )
+
+            # labels_cp is the CHECKPOINTED frame (the thing _free can reach);
+            # labels may be a projection of it.
+            labels_cp = _materialize(
+                sym.select(F.col("u").alias("vertex"))
+                .distinct()
+                .withColumn("component", F.col("vertex"))
             )
-        return labels
+            labels = labels_cp
+
+            converged = False
+            for _ in range(max_iter):
+                neighbor_min = (
+                    sym.join(labels, sym.v == labels.vertex)
+                    .groupBy(F.col("u").alias("vertex"))
+                    .agg(F.min("component").alias("nbr_component"))
+                )
+                # Eager checkpoint = the one action per iteration: it
+                # materializes the round AND truncates lineage; the
+                # convergence aggregate below then reads the materialized
+                # result, not the join plan.
+                new_labels = _materialize(
+                    labels.join(neighbor_min, "vertex", "left").select(
+                        "vertex",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce("nbr_component", F.col("component")),
+                        ).alias("component"),
+                        (
+                            F.coalesce("nbr_component", F.col("component"))
+                            < F.col("component")
+                        ).alias("_changed"),
+                    )
+                )
+                changed = new_labels.agg(
+                    F.sum(F.col("_changed").cast("int")).alias("ch")
+                ).collect()[0]["ch"]
+                _free(labels_cp)
+                labels_cp = new_labels
+                labels = new_labels.drop("_changed")
+                if not changed:
+                    converged = True
+                    break
+            sym.unpersist()
+            if not converged:
+                # Partially-propagated labels would silently split one real
+                # component into several — dedup_keep_canonical would then
+                # keep multiple "canonical" copies of the same cluster.
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "rounds (graph diameter exceeds max_iter); raise max_iter"
+                )
+            return labels
     finally:
         if own_persist:
             edges.unpersist()  # no-op unless the size probe persisted it
+        # The auto-sized branch restores via _join_expansion_scope; this
+        # covers only the explicit shuffle_partitions override.
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set(coal_key, prev_coal)
 
 
 def dedup_keep_canonical(

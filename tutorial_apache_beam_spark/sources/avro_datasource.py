@@ -462,17 +462,32 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
     with an 'earlier' NAME is still picked up (a position-in-sorted-
     listing offset would skip it).
 
-    The documented trade (same one binaryFile/maxFileAge makes): a file
-    that APPEARS after an offset was minted but carries an mtime older
-    than that offset's wm — a backfill copied with `cp -p`-style
-    preserved timestamps more than `offsetCompactLag` in the past — is
-    treated as already processed and silently skipped. Backfills should
-    copy without preserving mtimes (or set offsetCompactLag=-1 for
-    fully-explicit offsets, the pre-r12 behavior). Epoch REPLAY stays
-    deterministic for normally-written files: a replayed epoch's
-    partitions are re-derived from (start, end) offsets, and files
-    written during downtime carry mtimes newer than the replayed end's
-    wm, so they wait for the next live batch.
+    The documented trades (the same family binaryFile/maxFileAge makes);
+    `offsetCompactLag=-1` restores the fully-explicit pre-r12 protocol
+    where none of them apply:
+
+    - a file that APPEARS after an offset was minted but carries an
+      mtime older than that offset's wm — a backfill copied with
+      `cp -p`-style preserved timestamps more than `offsetCompactLag`
+      in the past — is treated as already processed and silently
+      skipped; backfills should copy without preserving mtimes;
+    - files must be IMMUTABLE once written (the standard file-stream
+      precondition): bumping a folded file's mtime (touch, in-place
+      append) makes it look fresh again and re-ingests the whole file;
+    - the loud vanished-file guard covers EXPLICITLY-listed files only;
+      history already folded into the implicit summary that is deleted
+      before a crash-replay rebuilds its epoch shrinks that replayed
+      epoch silently (retention deleting old history is the common,
+      benign case of this).
+
+    Epoch REPLAY stays deterministic for normally-written files: a
+    replayed epoch's partitions are re-derived from (start, end)
+    offsets, and files written during downtime carry mtimes newer than
+    the replayed end's wm, so they wait for the next live batch. An
+    IDLE stream stays idle: latestOffset returns the previously minted
+    offset unchanged while no unprocessed file exists, so a
+    processing-time trigger doesn't plan an empty micro-batch per tick
+    just because the compaction watermark moved (r12 review).
 
     Schema fixing holds WITHIN one query run only (ADVICE r11): late
     files validate against the reader schema resolved at stream start,
@@ -493,6 +508,12 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
         # present at stream start; late files validate in partitions().
         self._validated = {fp for fp, _ in plan.files}
         self._pvals = dict(plan.files)
+        # Offset stability + single-walk-per-trigger (r12 review): the
+        # last minted offset (returned verbatim while nothing is fresh)
+        # and the listing that produced it (reused by the immediately
+        # following partitions() call instead of a second tree walk).
+        self._last_offset: dict | None = None
+        self._last_listing: list[tuple[str, int]] | None = None
 
     def _rel(self, fp: str) -> str:
         return os.path.relpath(fp, self._plan.root)
@@ -521,13 +542,30 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
         import time
 
         listing = self._listing()
+        prev = self._last_offset
+        if prev is not None:
+            prev_files = set(prev["files"])
+            fresh = any(
+                mt >= prev["wm"] and rel not in prev_files
+                for rel, mt in listing
+            )
+            if not fresh:
+                # Nothing unprocessed: return the previous offset
+                # UNCHANGED so the engine sees no new data and idles
+                # (a moving wm alone would otherwise schedule an empty
+                # micro-batch every trigger, forever).
+                self._last_listing = listing
+                return prev
         wm = (
             int((time.time() - self._lag_s) * 1_000_000_000)
             if self._lag_s >= 0
             else 0
         )
         files = sorted(rel for rel, mt in listing if mt >= wm)
-        return {"wm": wm, "files": files, "n": len(listing) - len(files)}
+        off = {"wm": wm, "files": files, "n": len(listing) - len(files)}
+        self._last_offset = off
+        self._last_listing = listing
+        return off
 
     def partitions(self, start: dict, end: dict):
         from tutorial_apache_beam_spark.sources.avro_fallback import (
@@ -542,8 +580,27 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
         start_files = set(start["files"])
         end_wm = end.get("wm", 0)
         end_files = set(end["files"])
-        listing = dict(self._listing())
-        missing = end_files - listing.keys() - start_files
+        # Reuse the walk latestOffset just took when this epoch is the
+        # one it minted (the common live path); replays re-list.
+        if self._last_offset is not None and end == self._last_offset:
+            listing = dict(self._last_listing or [])
+        else:
+            listing = dict(self._listing())
+        keep = getattr(self._plan, "partition_keep", None)
+        missing = {
+            rel
+            for rel in end_files - listing.keys() - start_files
+            # a vanished file partitionWhere would prune was never
+            # going to be opened — don't crash the stream over it
+            # (pvals derive from the PATH alone, so a deleted file
+            # still types its partition values)
+            if keep is None
+            or keep(
+                self._plan.partition_values_for(
+                    os.path.join(self._plan.root, rel)
+                )
+            )
+        }
         if missing:
             # An EXPLICITLY offset-committed file disappeared before its
             # epoch could (re)build — the same loud failure the
@@ -562,7 +619,6 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
             # into end's implicit summary)
             and (rel in end_files or mt < end_wm)
         )
-        keep = getattr(self._plan, "partition_keep", None)
         batch = []
         for rel in fresh:
             fp = os.path.join(self._plan.root, rel)

@@ -257,22 +257,13 @@ def _agg_panes(
         idx = open_windows.get(w_ms_j, 0)
         pane_indexes[j] = idx
         open_windows[w_ms_j] = idx + 1
-    n = len(uniq_ms)
-    data: dict[str, Any] = {
-        "window_start": uniq_ms.astype("datetime64[ms]").astype(
-            "datetime64[ns]"
-        )
-    }
-    for (name, kind), kv in zip(key_specs, key_values):
-        if kv is None:
-            data[name] = pd.Series([None] * n, dtype="object")
-        elif kind == "int":
-            data[name] = np.full(n, kv, dtype="int64")
-        else:
-            data[name] = pd.Series([kv] * n, dtype="object")
-    data[value_name] = values
-    data["pane_index"] = pane_indexes
-    return pd.DataFrame(data)
+    # ONE frame-construction body for both pane shapes (_pane_frame
+    # takes epoch µs — window starts are ms-truncated so the x1000 view
+    # is lossless and exact within int64 range).
+    return _pane_frame(
+        uniq_ms * 1000, values, pane_indexes, key_values, key_specs,
+        value_name,
+    )
 
 
 def _count_panes(

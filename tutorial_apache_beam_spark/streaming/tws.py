@@ -700,9 +700,16 @@ def tws_pane_aggregate(
             outputStructType=out_schema,
             outputMode="Append",
             timeMode="EventTime",
-            # eventTimeColumnName names the OUTPUT's event-time column
-            # (downstream watermark propagation), same as the fixed twin.
-            eventTimeColumnName="window_start",
+            # NO eventTimeColumnName (r12 review): declaring the output
+            # window_start as an event-time column arms Spark's
+            # emitted-rows-older-than-watermark kill switch
+            # (UpdateEventTimeColumnExec) — and pane emissions
+            # LEGITIMATELY precede the current watermark: a merged
+            # session's start is as old as its earliest event, and a
+            # fixed window straddling the watermark fires with
+            # start < wm. Beam panes are not late rows; the v1 twin
+            # (applyInPandasWithState) likewise propagates no output
+            # event time.
         )
 
     keep = [value_col] if value_col is not None else []
@@ -735,7 +742,11 @@ def tws_pane_aggregate(
         outputStructType=out_schema,
         outputMode="Append",
         timeMode="EventTime",
-        eventTimeColumnName="window_start",
+        # NO eventTimeColumnName — see the session branch above: a pane
+        # for a window straddling the watermark fires with
+        # window_start < wm, which the output event-time validator
+        # would kill the query over (r12 review; the r11 tests never
+        # advanced the watermark past a fired window's start).
     )
 
 
