@@ -239,7 +239,7 @@ LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
 # to uniform slowdown — BENCH_r07 stamped itself clean while ~1.8x
 # inflated), this compares against an ABSOLUTE committed constant, so a
 # uniformly slowed machine can no longer stamp itself clean.
-CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.453"))
+CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.447"))
 CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
 # Clean-record eligibility (r11, VERDICT r10 item 6): bench_last.json is
 # overwritten by EVERY full run — including the driver's noisy-hour runs
@@ -271,9 +271,20 @@ CLEAN_MAX_CAL_RATIO = float(
 #   against r8/r9 artifacts therefore carry a hardware term on top of
 #   machine-hour noise; the paired A/B protocol is the only
 #   apples-to-apples instrument across this boundary.
+# - r13: silicon moved again, back to a "@ 2.10GHz x32" part (caught by
+#   cal_host_matches_ref on the round's first full run). Idle min over
+#   25 probes is 0.447 (samples 0.447–0.463 with one 0.49 outlier — a
+#   wider idle spread than either previous host, so an occasional idle
+#   probe can land ~1.09x the ref and miss the 1.05 clean band; that
+#   costs a clean stamp on an unlucky run, never a false clean). Walls
+#   on this host run ~20% FASTER than the 2.70GHz host despite ~equal
+#   single-thread sha256 (headline 33.4 s vs the 42.9 s clean record at
+#   the same code) — r13 in-round comparisons are same-host full runs
+#   plus the paired A/B; cross-record comparisons to r12 carry the
+#   hardware term.
 CAL_REF_HOST = os.environ.get(
     "SPARK_GRAFT_CAL_REF_HOST",
-    "Intel(R) Xeon(R) Processor @ 2.70GHz x32",
+    "Intel(R) Xeon(R) Processor @ 2.10GHz x32",
 )
 
 

@@ -248,36 +248,71 @@ def lexical_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         with _join_expansion_scope(spark, _plan_est_bytes(inv_plan)):
             inv = inv_plan.persist()
+            # Materialize the shared scan EAGERLY (r13): the stats
+            # frame's plan contains several broadcast subtrees over inv
+            # (hot set, per-doc sizes, hot arrays) that Spark builds on
+            # concurrent driver threads — against an unmaterialized
+            # cache each build re-ran the full tokenize+shingle+hash
+            # scan (4 identical 2 MB-input stages observed at sf0.1,
+            # tools/stage_attrib.py r13); one count pins the cache
+            # first, so every subtree reads it.
+            inv.count()
             stats = _counting_pair_stats(
                 inv, "doc_id", 100, both_directions=True
             ).persist()
             # The operators OWN the score expressions and thresholds; the
             # gate only shares the scan (shingle_rows) and the candidate
             # join (pair_stats) so each runs once for all branches.
-            ng = ngram_jaccard_pairs(
-                docs, threshold=0.2, max_doc_freq=100, pair_stats=stats
-            ).select(
-                F.lit("ngram").alias("method"),
-                "id_a",
-                "id_b",
-                F.col("jaccard").alias("score"),
-            )
-            ct = ngram_containment_pairs(
-                docs, threshold=0.5, max_doc_freq=100, pair_stats=stats
-            ).select(
-                F.lit("containment").alias("method"),
-                "id_a",
-                "id_b",
-                F.col("containment").alias("score"),
-            )
-            mh = minhash_lsh_pairs(
-                docs, n=3, k=12, bands=4, threshold=0.2, shingle_rows=inv
-            ).select(
-                F.lit("minhash").alias("method"),
-                "id_a",
-                "id_b",
-                F.col("jaccard").alias("score"),
-            )
+            # r13 (guide §2.6): the stats chain (ngram → containment,
+            # which share the persisted stats frame) and the minhash
+            # chain (band join over the inv cache only) are independent
+            # — run them as two concurrent driver threads so the LSH
+            # drain back-fills executors the pair-stats stages free.
+            # Same frames, same scope, same results.
+            ng_ct_box: list = []
+
+            def _stats_chain() -> None:
+                ng_ct_box.append(
+                    ngram_jaccard_pairs(
+                        docs, threshold=0.2, max_doc_freq=100,
+                        pair_stats=stats,
+                    ).select(
+                        F.lit("ngram").alias("method"),
+                        "id_a",
+                        "id_b",
+                        F.col("jaccard").alias("score"),
+                    )
+                )
+                ng_ct_box.append(
+                    ngram_containment_pairs(
+                        docs, threshold=0.5, max_doc_freq=100,
+                        pair_stats=stats,
+                    ).select(
+                        F.lit("containment").alias("method"),
+                        "id_a",
+                        "id_b",
+                        F.col("containment").alias("score"),
+                    )
+                )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                stats_fut = pool.submit(_stats_chain)
+                mh_fut = pool.submit(
+                    lambda: minhash_lsh_pairs(
+                        docs, n=3, k=12, bands=4, threshold=0.2,
+                        shingle_rows=inv,
+                    ).select(
+                        F.lit("minhash").alias("method"),
+                        "id_a",
+                        "id_b",
+                        F.col("jaccard").alias("score"),
+                    )
+                )
+                stats_fut.result()
+                mh = mh_fut.result()
+            ng, ct = ng_ct_box
     finally:
         # All branches are materialized (eager counts), so the shared
         # scans can be released before the union plan is returned.

