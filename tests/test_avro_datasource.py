@@ -406,6 +406,72 @@ def test_streaming_sink_exactly_once_protocol(registered, tmp_path):
     assert not glob.glob(f"{target}/.stream-part-*")
 
 
+def test_streaming_sink_commit_sweep_is_marker_gated(registered, tmp_path):
+    """r13 (ADVICE r12): the per-epoch stale-final sweep walks the WHOLE
+    output tree only on a REPLAYED epoch (batchId <= the driver-side
+    high-water marker, written durably before any promote); the normal
+    forward path sweeps only the directories the epoch's staged files
+    reached, so commit cost no longer grows with total output history.
+    Both branches asserted observably: a planted stray final in an
+    untouched partition dir survives a FORWARD commit (no tree walk)
+    and is removed by a REPLAY commit of the same epoch (tree walk)."""
+    spark = registered
+    from pyspark.sql import Row
+
+    from tutorial_apache_beam_spark.sources.avro_datasource import (
+        AvroFallbackStreamWriter,
+    )
+    from tutorial_apache_beam_spark.sources.avro_fallback import (
+        _field_plan,
+        spark_schema_to_avro,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    plan = _field_plan(schema)
+    target = str(tmp_path / "tree")
+    day0 = os.path.join(target, "day=0")
+    day9 = os.path.join(target, "day=9")
+    os.makedirs(day0)
+    os.makedirs(day9)
+    w = AvroFallbackStreamWriter(
+        local=target, pcols=[], names=["id"], plan=plan,
+        avro_schema=spark_schema_to_avro(schema), codec="null",
+    )
+
+    def commit_rows_at_root(batch_id):
+        msg = w.write(iter([Row(id=1)]))
+        w.commit([msg], batchId=batch_id)
+
+    # Epoch 3 commits; the marker records it.
+    commit_rows_at_root(3)
+    marker = os.path.join(target, ".avro_stream_last_bid")
+    assert open(marker).read() == "3"
+
+    # Plant a stray final of a FUTURE epoch in a directory epoch 5's
+    # staged files never touch. The forward-path commit of epoch 5 must
+    # leave it alone (staged-dirs-only sweep)...
+    stray = os.path.join(day9, "bid5-part-00042.avro")
+    open(stray, "wb").write(b"stray")
+    commit_rows_at_root(5)
+    assert os.path.exists(stray), "forward commit swept the whole tree"
+    assert open(marker).read() == "5"
+
+    # ...and a REPLAY of epoch 5 (batchId <= marker: a previous attempt
+    # already promoted) must find and remove it wherever it is.
+    commit_rows_at_root(5)
+    assert not os.path.exists(stray), "replay commit missed a stale final"
+    # Exactly one bid5 final remains (the replay's own promote).
+    assert len(glob.glob(f"{target}/**/bid5-*.avro", recursive=True)) == 1
+    # The marker never regresses.
+    assert open(marker).read() == "5"
+    # Readers never see the marker: discovery matches *.avro, dot-names
+    # are skipped, and a load over the tree returns only data rows —
+    # one from epoch 3 plus one from epoch 5 (the replay REPLACED the
+    # first bid5 final, it did not append).
+    back = spark.read.format("avro_fallback").load(target)
+    assert back.count() == 2
+
+
 def test_stream_late_partition_value_typing(spark, tmp_path):
     """A late file in a NEW directory of the fixed partition column uses
     the types fixed at stream start; a value that no longer fits refuses

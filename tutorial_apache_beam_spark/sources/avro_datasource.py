@@ -763,26 +763,83 @@ class AvroFallbackStreamWriter(DataSourceStreamWriter):
         )
         return AvroStagedFiles(partition_id=pid, staged=staged)
 
+    # Driver-side high-water marker (r13, ADVICE r12): the last batchId
+    # whose commit STARTED promoting finals. Written (durably, via temp +
+    # rename) BEFORE phase 2, so `batchId <= marker` is exactly the set
+    # of epochs for which stale finals may exist somewhere in the tree.
+    # Dot-prefixed and suffix-free: every reader's discovery matches
+    # *.avro and skips dot-names, so the marker is invisible to them.
+    _MARKER = ".avro_stream_last_bid"
+
+    def _marker_path(self) -> str:
+        return os.path.join(self._local, self._MARKER)
+
+    def _read_marker(self) -> int:
+        try:
+            with open(self._marker_path()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _write_marker(self, batch_id: int) -> None:
+        tmp = f"{self._marker_path()}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._marker_path())
+
     def commit(self, messages, batchId: int) -> None:
         import glob as _glob
 
         prefix = f"bid{batchId}-"
         # Phase 1: clear this epoch's leftovers from a previous partial
         # attempt (they are finals of the SAME batch id — replacing them
-        # wholesale is what makes the replay idempotent). The sweep
-        # covers the WHOLE output tree, not just directories the current
-        # attempt's staged files reached (ADVICE r11): a replayed epoch
-        # whose rows land in a different set of Hive partition dirs
-        # (nondeterministic upstream, e.g. a processing-time-derived
-        # partition column) would otherwise leave stale finals from the
-        # earlier partial attempt, duplicating rows. `**` with
-        # recursive=True matches zero or more directory levels, so
-        # unpartitioned finals at the root are swept too.
-        for old in _glob.glob(
-            os.path.join(self._local, "**", f"{prefix}*.avro"),
-            recursive=True,
-        ):
-            os.remove(old)
+        # wholesale is what makes the replay idempotent). On a REPLAYED
+        # epoch (batchId <= marker: a previous attempt already started
+        # promoting) the sweep covers the WHOLE output tree, not just
+        # directories the current attempt's staged files reached
+        # (ADVICE r11): a replayed epoch whose rows land in a different
+        # set of Hive partition dirs (nondeterministic upstream, e.g. a
+        # processing-time-derived partition column) would otherwise
+        # leave stale finals from the earlier partial attempt,
+        # duplicating rows. `**` with recursive=True matches zero or
+        # more directory levels, so unpartitioned finals at the root are
+        # swept too. On the normal FORWARD path (batchId > marker — no
+        # attempt of this epoch ever promoted, by marker monotonicity)
+        # only the staged directories are swept (r13, ADVICE r12: the
+        # whole-tree walk per epoch grew with total output history, not
+        # with the epoch — a long-running partitioned stream paid an
+        # ever-growing directory walk per micro-batch; the staged-dirs
+        # sweep is defensive only, cheap, and covers a hand-reset
+        # marker).
+        if batchId <= self._read_marker():
+            sweep_roots = [
+                os.path.join(self._local, "**", f"{prefix}*.avro")
+            ]
+            recursive = True
+        else:
+            staged_dirs = {
+                d
+                for m in messages
+                if m is not None
+                for d, _tmp in m.staged
+            }
+            sweep_roots = [
+                os.path.join(d, f"{prefix}*.avro") for d in staged_dirs
+            ]
+            recursive = False
+        for pattern in sweep_roots:
+            for old in _glob.glob(pattern, recursive=recursive):
+                os.remove(old)
+        # Record promote-intent BEFORE phase 2 (durable): a crash between
+        # the marker write and the last rename leaves batchId <= marker,
+        # so the checkpoint replay of this epoch takes the whole-tree
+        # path above and finds every stray final. max() keeps the marker
+        # a high-water mark even under an out-of-order replay (Spark
+        # only replays the LAST epoch, but a regressed marker would
+        # silently downgrade later epochs' replays to the narrow sweep).
+        self._write_marker(max(batchId, self._read_marker()))
         # Phase 2: promote every staged temp to its final name.
         for m in messages:
             if m is None:
