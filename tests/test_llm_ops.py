@@ -321,6 +321,80 @@ def test_similarity_ops_accept_string_ids(spark):
         )
 
 
+def test_neardup_mode_selector_and_bucketed_tier(spark):
+    """r13 (VERDICT r12 item 3): the size-thresholded near-dup selector
+    and the SRP-bucketed tier. Selector: exact at or below the measured
+    row threshold, bucketed above (and bucketed when auto has no count —
+    the scale-safe default). Bucketed tier: every emitted pair is a
+    SUBSET of the exact tier's pairs with the IDENTICAL rounded score
+    (the trade is recall, never precision), and on a corpus of tight
+    near-dup clusters the buckets recover every pair (near-identical
+    vectors project to the same signs in every table)."""
+    import numpy as np
+    import pytest
+
+    from tutorial_apache_beam_spark.operators.similarity import (
+        EXACT_ALLPAIRS_ROW_THRESHOLD,
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bucketed,
+        select_neardup_impl,
+        srp_bucket_planes,
+    )
+
+    assert select_neardup_impl("exact", 10**9) == "exact"
+    assert select_neardup_impl("bucketed", 1) == "bucketed"
+    assert (
+        select_neardup_impl("auto", EXACT_ALLPAIRS_ROW_THRESHOLD) == "exact"
+    )
+    assert (
+        select_neardup_impl("auto", EXACT_ALLPAIRS_ROW_THRESHOLD + 1)
+        == "bucketed"
+    )
+    assert select_neardup_impl("auto", None) == "bucketed"
+    with pytest.raises(ValueError, match="unknown near-dup mode"):
+        select_neardup_impl("fast", 1)
+    # Plane count scales with log(corpus/target): fixed floor below the
+    # target, +1 plane per doubling above it, capped.
+    assert srp_bucket_planes(500) == 4
+    assert srp_bucket_planes(512 * 64) == 6
+    assert srp_bucket_planes(10**9, max_planes=16) == 16
+
+    # 40 tight clusters of 3 near-identical vectors (plus deterministic
+    # jitter): exact finds the 3 within-cluster pairs per cluster.
+    rng = np.random.RandomState(7)
+    dirs = rng.normal(size=(40, 16))
+    rows = []
+    for c, d in enumerate(dirs):
+        for j in range(3):
+            v = d + rng.normal(scale=0.01, size=16)
+            rows.append((c * 10 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(df, threshold=0.95).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs_bucketed(
+            df, threshold=0.95, target_bucket_rows=8
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]  # identical rounded score math
+    # Near-identical vectors share buckets in every table: full recall
+    # on the within-cluster pairs here.
+    assert set(bucketed) == set(exact)
+    # The auto path on a small corpus IS the exact tier.
+    auto = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(
+            df, threshold=0.95, mode="auto"
+        ).collect()
+    }
+    assert auto == exact
+
+
 def test_wav_features_real_decode(spark):
     """The audio tier decodes REAL PCM WAV (stdlib wave, r5): stdlib-
     synthesized sine/square fixtures round-trip through the Arrow

@@ -24,6 +24,7 @@ buckets in SQL.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -168,6 +169,49 @@ def cosine_topk(
     return _probe_topk(scored, id_col, k) if rank else scored
 
 
+# r13 (VERDICT r12 item 3): exact all-pairs is quadratic BY CONTRACT —
+# measured 15.3x wall at 10x rows (bench_clean.json sf_scaling, r12) —
+# so above this corpus size the auto selector switches to the
+# SRP-bucketed candidate join below. 10,000 rows ≈ 50M candidate pairs,
+# the measured knee where the exact tier's pair space stops being
+# "trivially affordable" on one executor-second scale; the driver
+# fixtures (≤2,000 vectors at sf0.1) stay comfortably on the exact path,
+# so every oracle-checked result is unchanged.
+EXACT_ALLPAIRS_ROW_THRESHOLD = 10_000
+
+
+def _stats_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate, or None when unavailable
+    (defaultSizeInBytes pegs at Long.MaxValue for no-stats leaves)."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    return None if est >= (1 << 50) else est
+
+
+def select_neardup_impl(mode: str, n_rows: int | None = None) -> str:
+    """Pick the embedding near-dup pair implementation (the
+    `select_pane_impl` pattern): 'exact' (blocked BLAS all-pairs — the
+    oracle tier, quadratic by contract) or 'bucketed' (SRP-LSH candidate
+    buckets + exact verify — subquadratic candidates, recall < 1).
+    mode='auto' takes exact at or below EXACT_ALLPAIRS_ROW_THRESHOLD
+    rows and bucketed above it; without a row count, auto takes the
+    scale-safe bucketed path."""
+    if mode in ("exact", "bucketed"):
+        return mode
+    if mode == "auto":
+        if n_rows is not None and n_rows <= EXACT_ALLPAIRS_ROW_THRESHOLD:
+            return "exact"
+        return "bucketed"
+    raise ValueError(
+        f"unknown near-dup mode {mode!r}: expected 'exact', 'bucketed',"
+        " or 'auto'"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,
@@ -175,6 +219,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_blocks: int | None = None,
     block_bytes: int = 4 << 20,
+    mode: str = "exact",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact brute force as a fully
     distributed blocked matrix product (NO driver collect, NO corpus
@@ -219,12 +264,34 @@ def embedding_neardup_pairs(
             f"numeric or string, got "
             f"{df.schema[id_col].dataType.simpleString()}"
         )
+    if mode != "exact":
+        if mode == "bucketed":
+            return embedding_neardup_pairs_bucketed(
+                df, threshold, id_col=id_col, vec_col=vec_col
+            )
+        # mode='auto' (r13, VERDICT r12 item 3): resolve the corpus size
+        # as cheaply as possible. When Catalyst's plan-time estimate
+        # already bounds the corpus to a few hundred KB, exact all-pairs
+        # is trivially affordable whatever the row count — no job runs
+        # and fixture-scale plans are unchanged. Otherwise one count
+        # (footer-pushdown-eligible on a parquet scan) prices the
+        # corpus against EXACT_ALLPAIRS_ROW_THRESHOLD.
+        est = _stats_bytes(df)
+        if est is not None and est <= EXACT_ALLPAIRS_ROW_THRESHOLD * 32:
+            n_rows: int | None = 0
+        else:
+            n_rows = df.count()
+        if select_neardup_impl(mode, n_rows) == "bucketed":
+            return embedding_neardup_pairs_bucketed(
+                df, threshold, id_col=id_col, vec_col=vec_col,
+                n_rows=n_rows,
+            )
     sql_id = "STRING" if id_is_str else "BIGINT"
     conv = str if id_is_str else int
 
     if n_blocks is None:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        if est >= (1 << 50):
+        est = _stats_bytes(df)
+        if est is None:
             # Plan-time stats unavailable (Catalyst's defaultSizeInBytes
             # fallback is Long.MaxValue for no-stats leaves and survives
             # joins): without this guard n_blocks pegs at 4096 and each
@@ -314,6 +381,155 @@ def embedding_neardup_pairs(
     return combos.mapInPandas(
         block_pairs, f"id_a {sql_id}, id_b {sql_id}, cos DOUBLE"
     )
+
+
+def srp_bucket_planes(
+    n_rows: int,
+    target_bucket_rows: int = 512,
+    min_planes: int = N_PLANES,
+    max_planes: int = 16,
+) -> int:
+    """Planes per SRP table for the bucketed near-dup path, scaled so the
+    EXPECTED bucket holds ~target_bucket_rows vectors: p = log2(n /
+    target). A fixed plane count would leave within-bucket work
+    quadratic in the corpus (n²/2^p per table); scaling p with log(n)
+    keeps per-bucket work ~target² and total candidate work
+    ~n·target — linear in the corpus at fixed target."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(
+        min_planes,
+        min(max_planes, math.ceil(math.log2(n_rows / target_bucket_rows))),
+    )
+
+
+@_lru_cache(maxsize=8)
+def _hyperplanes_flat(n_tables: int, n_planes: int, dim: int):
+    """(dim × tables·planes) ±1 hyperplane matrix from the portable
+    md5 derivation (`srp_sign`) — cached per worker process, so the
+    md5 sweep (tables·planes·dim hashes, ~1 ms at 3×6×64) runs once
+    per task lifetime, not per Arrow batch (guide §4.5)."""
+    import numpy as np
+
+    planes = np.array(
+        [
+            [[srp_sign(t, p, d) for d in range(dim)] for p in range(n_planes)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )
+    return planes.reshape(n_tables * n_planes, -1).T
+
+
+def embedding_neardup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    target_bucket_rows: int = 512,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SRP-LSH-bucketed near-dup pairs — the 100-TB tier of
+    `embedding_neardup_pairs` (r13, VERDICT r12 item 3): candidates are
+    pairs sharing an SRP bucket in ANY of `n_tables` independent hash
+    tables; each (table, bucket) group is packed into one matrix row and
+    its pairs verified with the SAME unit-normalize → BLAS product →
+    round(·, 4) ≥ threshold math as the exact tier, so every emitted
+    pair carries the identical score it would get from exact — the path
+    trades RECALL (a pair whose vectors land in different buckets in
+    every table is missed), never precision.
+
+    Plan shape: one bucketing scan (Arrow pandas_udf, hyperplanes cached
+    per worker), one shuffle of (id, vector) × n_tables rows to bucket
+    groups, per-bucket BLAS triangles, and a distinct to collapse pairs
+    found in several tables. Work is O(n · target_bucket_rows) per
+    table (planes scale with log n — `srp_bucket_planes`), vs the exact
+    tier's O(n²/2); movement is n_tables× the corpus, vs the exact
+    tier's (B+1)/2×.
+
+    Caveat (standard LSH): bucket sizes follow the data's directional
+    distribution — a corpus concentrated in one direction degenerates
+    toward one giant bucket (quadratic again, and a packed row
+    approaching the ~2 GB Arrow bound). The target is an EXPECTED size
+    under directional spread, not a guarantee.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_is_str = isinstance(df.schema[id_col].dataType, T.StringType)
+    sql_id = "STRING" if id_is_str else "BIGINT"
+    conv = str if id_is_str else int
+    if n_rows is None or n_rows <= 0:
+        n_rows = df.count()
+    n_planes = srp_bucket_planes(n_rows, target_bucket_rows)
+
+    def _buckets(v):
+        mat = np.array(list(v), dtype=np.float64)
+        flat = _hyperplanes_flat(n_tables, n_planes, mat.shape[1])
+        bits = (mat @ flat) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        per_table = bits.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series([row.tolist() for row in per_table.astype(np.int64)])
+
+    _buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    buckets = F.pandas_udf(_buckets, "array<bigint>")
+
+    vecs = df.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    bucketed = vecs.select(
+        "vid", "v", F.posexplode(buckets(F.col("v"))).alias("table", "bucket")
+    )
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = (
+            pdf["vid"].to_numpy()
+            if id_is_str
+            else pdf["vid"].to_numpy(dtype=np.int64)
+        )
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pd.DataFrame(
+            {
+                "ids": [ids.tolist()],
+                "mat": [unit.reshape(-1).tolist()],
+                "dim": [mat.shape[1]],
+            }
+        )
+
+    packed = bucketed.groupBy("table", "bucket").applyInPandas(
+        pack_bucket, f"ids ARRAY<{sql_id}>, mat ARRAY<DOUBLE>, dim INT"
+    )
+
+    def bucket_pairs(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                dim = int(row["dim"])
+                ids = np.asarray(row["ids"])
+                unit = np.asarray(row["mat"], dtype=np.float64).reshape(
+                    -1, dim
+                )
+                sims = np.round(unit @ unit.T, 4)
+                keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+                ii, jj = np.nonzero(keep)
+                out_a.extend(conv(x) for x in ids[ii])
+                out_b.extend(conv(x) for x in ids[jj])
+                out_c.extend(float(x) for x in sims[ii, jj])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    pairs = packed.mapInPandas(
+        bucket_pairs, f"id_a {sql_id}, id_b {sql_id}, cos DOUBLE"
+    )
+    # A pair can collide in several tables; cos is deterministic per
+    # pair (identical normalize/product/round math in every bucket), so
+    # a plain distinct collapses the duplicates.
+    return pairs.distinct()
 
 
 def _all_buckets_udf():

@@ -524,7 +524,15 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(emb, threshold=0.35).persist()
+    # mode='auto' (r13, VERDICT r12 item 3): at or below
+    # EXACT_ALLPAIRS_ROW_THRESHOLD rows (every driver fixture — 2,000
+    # vectors at sf0.1) this IS the exact tier, plan unchanged, oracle
+    # hash-identical; above it (the 10x bench fixture and real corpora)
+    # the SRP-bucketed candidate join takes over, keeping candidate work
+    # ~linear where exact is quadratic by contract (bucketed pairs carry
+    # the identical score math — the trade is recall, stated in
+    # operators/similarity.embedding_neardup_pairs_bucketed).
+    pairs = embedding_neardup_pairs(emb, threshold=0.35, mode="auto").persist()
     clusters = semantic_dup_clusters(emb, threshold=0.35, pairs=pairs)
     out = (
         pairs.join(

@@ -79,30 +79,47 @@ def streaming_demo2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       The generous 31-day allowed lateness admits the whole backfill
       (fixture spans ~30 days); production picks the real lateness bound.
     """
-    # complete + append are independent drains of the same source — start
-    # both, await both (the update half replays a staged two-batch
-    # directory and stays separate).
-    complete, append = run_streams_to_memory(
-        [
-            (
-                tumbling_counts(
-                    stream_events(spark, sf_dir), "ts", ["user_id"], "1 minute"
+    # All three drains are independent — stage the update half's
+    # two-batch scratch directory first, then start complete + append +
+    # update CONCURRENTLY and await them together (r13, guide §2.6: the
+    # update replay ran serially after the other two and was the gate's
+    # largest component, ~2.5-3.4 s of a ~4.5 s gate measured at sf0.1;
+    # overlapped, the gate drains in max() of its members). Scratch
+    # files outlive the drain (removed after awaitTermination inside
+    # run_streams_to_memory returns), so the replay still reads both
+    # micro-batches.
+    import shutil
+
+    update_stream, scratch = _demo2_update_stream(spark, sf_dir)
+    try:
+        complete, append, update_sink = run_streams_to_memory(
+            [
+                (
+                    tumbling_counts(
+                        stream_events(spark, sf_dir),
+                        "ts",
+                        ["user_id"],
+                        "1 minute",
+                    ),
+                    "complete",
                 ),
-                "complete",
-            ),
-            (
-                tumbling_counts(
-                    stream_events(spark, sf_dir).withWatermark("ts", "2 minutes"),
-                    "ts",
-                    ["user_id"],
-                    "1 minute",
+                (
+                    tumbling_counts(
+                        stream_events(spark, sf_dir).withWatermark(
+                            "ts", "2 minutes"
+                        ),
+                        "ts",
+                        ["user_id"],
+                        "1 minute",
+                    ),
+                    "append",
                 ),
-                "append",
-            ),
-        ],
-        spark,
-    )
-    update_sink = _demo2_update_replay(spark, sf_dir)
+                (update_stream, "update"),
+            ],
+            spark,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     key = ["window_start", "window_end", "user_id"]
     update_final = update_sink.groupBy(*key).agg(F.max("count").alias("count"))
     update_firings = update_sink.groupBy(*key).agg(
@@ -118,16 +135,22 @@ def streaming_demo2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _demo2_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drain the Demo2 aggregation in update mode over a deterministic
-    out-of-order replay: the events fixture split into two parquet files
-    (event_id % 3 selects the late file), streamed with maxFilesPerTrigger=1
-    so the second micro-batch delivers late rows into windows the first
-    batch already fired. Returns the memory-sink table (one row per changed
-    key per trigger); rows live in the sink after the drain, so the scratch
-    files are removed before returning.
+def _demo2_update_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """The Demo2 update-mode aggregation over a deterministic
+    out-of-order replay, as an UNSTARTED streaming plan: the events
+    fixture split into two parquet files (event_id % 3 selects the late
+    file), streamed with maxFilesPerTrigger=1 so the second micro-batch
+    delivers late rows into windows the first batch already fired.
+    Returns (streaming aggregation, scratch dir) — the CALLER starts the
+    drain (concurrently with the gate's other drains, r13) and removes
+    the scratch dir once the drain has terminated; the memory sink holds
+    its rows on the driver after that, so reads never touch the files.
+    The two scratch files are written sequentially (b0 then b1) so their
+    modification order — which the file source's oldest-first pacing
+    follows — matches the intended batch order.
     """
-    import shutil
     import tempfile
 
     from tutorial_apache_beam_spark.catalog import load_table
@@ -137,24 +160,29 @@ def _demo2_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain timestamp and need no further conversion.
     raw = load_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="demo2_update_replay_")
+    late = F.col("event_id") % 3 == 0
+    raw.filter(~late).coalesce(1).write.parquet(f"{tmp}/b0")
+    raw.filter(late).coalesce(1).write.parquet(f"{tmp}/b1")
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+    )
+    agg = tumbling_counts(
+        sdf.withWatermark("ts", "31 days"), "ts", ["user_id"], "1 minute"
+    )
+    return agg, tmp
+
+
+def _demo2_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone drained form of `_demo2_update_stream` (kept for
+    bench/tests): stage, drain in update mode, clean the scratch dir."""
+    import shutil
+
+    agg, tmp = _demo2_update_stream(spark, sf_dir)
     try:
-        late = F.col("event_id") % 3 == 0
-        raw.filter(~late).coalesce(1).write.parquet(f"{tmp}/b0")
-        raw.filter(late).coalesce(1).write.parquet(f"{tmp}/b1")
-        sdf = (
-            spark.readStream.schema(raw.schema)
-            .option("pathGlobFilter", "part-*")
-            .option("recursiveFileLookup", "true")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(tmp)
-        )
-        agg = tumbling_counts(
-            sdf.withWatermark("ts", "31 days"), "ts", ["user_id"], "1 minute"
-        )
-        # The memory sink holds its rows on the driver once the drain
-        # finishes — reads of the sink table never touch the scratch
-        # files, so no persist is needed before deleting them (a persist
-        # here would pin a second copy for the session lifetime).
         return run_stream_to_memory(agg, spark, output_mode="update")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
