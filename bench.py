@@ -428,6 +428,16 @@ def _load_gate() -> dict:
     }
 
 
+# Bounded auto-retry on a contaminated read (r13, VERDICT r12 item 6):
+# BENCH_r12 shipped load_contaminated=true — the clean-record guard
+# refused to stamp it, but the committed per-round artifact was still a
+# noisy read. When the measurement phase ends contaminated, bench.py
+# now re-runs the WHOLE measurement once (same process, warm JVM) and
+# writes whichever attempt it ended on; extra.attempts records how many
+# ran, so a contaminated-then-clean artifact is visibly the second try.
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+
+
 def main() -> None:
     # `bench.py --compare REF [...]` delegates to the paired interleaved
     # A/B harness (tools/bench_compare.py) — machine-hour-proof
@@ -438,6 +448,20 @@ def main() -> None:
         i = sys.argv.index("--compare")
         bench_compare.main(sys.argv[i + 1:])
         return
+    attempt = 0
+    while True:
+        attempt += 1
+        result = _measure()
+        result["extra"]["attempts"] = attempt
+        if (
+            not result["extra"]["load_contaminated"]
+            or attempt >= MAX_ATTEMPTS
+        ):
+            break
+    _emit(result)
+
+
+def _measure() -> dict:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Ambient-load audit trail: the sandbox shares hardware, and a
     # sustained external spike can inflate a single gate 5-10x for
@@ -644,6 +668,16 @@ def main() -> None:
         fam = _family_of(name)
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
 
+    # Per-leg stamps for the multi-leg sink gate (r13, VERDICT r12
+    # item 2): the gate records each leg's wall into
+    # queries.sinks.LAST_LEG_TIMINGS; the dict here is from the gate's
+    # LAST sample this run (legs are stable across samples; the
+    # caller-side residual — gate min minus sum of legs — is the
+    # DataSource read execution).
+    from tutorial_apache_beam_spark.queries import sinks as _sinks
+
+    sink_legs = dict(_sinks.LAST_LEG_TIMINGS) or None
+
     result = {
         "metric": "headline_total",
         "value": total,
@@ -651,6 +685,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extra": {
+            "sink_legs": sink_legs,
             "headline_min_of": HEADLINE_REPEATS,
             "sweep_min_of": SWEEP_REPEATS,
             # r10 adaptive signal floor: mins are corroborated within
@@ -683,6 +718,18 @@ def main() -> None:
             "load_contaminated": load_contaminated,
         },
     }
+    return result
+
+
+def _emit(result: dict) -> None:
+    """Write the durable artifact(s) and print the slim driver line for
+    the final measurement attempt."""
+    timings = result["queries"]
+    load_contaminated = result["extra"]["load_contaminated"]
+    spread_median = result["extra"]["headline_spread_median"]
+    cal_ratio = result["extra"]["cal_ratio"]
+    steal_pct = result["extra"]["steal_pct"]
+    mib_per_s = result["extra"]["demo2_stream_mib_per_s"]
     # Durable FULL copy first (VERDICT r4 item 1a): the driver artifact
     # keeps only a ~2000-char tail of stdout and the full result outgrew
     # it — the repo file can never be truncated that way. A
@@ -735,7 +782,7 @@ def main() -> None:
         "value": result["value"],
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
+        "sf": result["sf"],
         "extra": {
             "demo2_stream_mib_per_s": mib_per_s,
             "all_queries_total": result["extra"]["all_queries_total"],
@@ -754,7 +801,7 @@ def main() -> None:
     # JSON would push it out of the driver's stdout-tail capture — the
     # exact truncation failure the slim line exists to prevent.
     try:
-        spark.stop()
+        get_spark(app_name="bench").stop()
     except Exception:
         pass
     sys.stderr.flush()

@@ -186,6 +186,29 @@ def test_plan_time_refusals():
             T.StructType([T.StructField("s", T.StringType(), False)]),
             _schema([{"name": "s", "type": "bytes"}]),
         )
+    # r13 (ADVICE r12, adjudicated already-closed): a FIXED-backed
+    # decimal whose fixed size cannot hold `precision` digits refuses
+    # at PLAN time on the WRITE path too — the declared schema parses
+    # through _tag_of_avro, whose capacity check (r11 review) fires
+    # before any task could hit int.to_bytes OverflowError. Pinned
+    # here so the write path keeps that guarantee: decimal(10,2)
+    # needs a 5-byte two's complement (fixed(4) holds 9 digits).
+    undersized = {
+        "type": "fixed", "name": "dfx", "size": 4,
+        "logicalType": "decimal", "precision": 10, "scale": 2,
+    }
+    with pytest.raises(
+        NotImplementedError, match="cannot fit in fixed"
+    ):
+        writer_plan_for_avro_schema(
+            T.StructType([T.StructField("d", T.DecimalType(10, 2), False)]),
+            _schema([{"name": "d", "type": undersized}]),
+        )
+    # The exact-size fixed still plans fine.
+    writer_plan_for_avro_schema(
+        T.StructType([T.StructField("d", T.DecimalType(10, 2), False)]),
+        _schema([{"name": "d", "type": dict(undersized, size=5)}]),
+    )
 
 
 def test_encode_time_refusals():

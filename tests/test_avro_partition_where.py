@@ -244,3 +244,92 @@ def test_streaming_reader_honors_partition_where(registered, tmp_path):
 
     second = drain()
     assert second == first + [(900, 2)]
+
+
+# --- differential fuzz layer (r13, VERDICT r12 item 4) -----------------------
+
+
+def test_partition_where_differential_fuzz_vs_duckdb():
+    """Property-fuzz the recursive-descent partitionWhere compiler
+    against DuckDB evaluating the SAME predicate over the SAME typed
+    partition tuples (the repo's differential pattern, e.g.
+    test_hive_escape_differential). The parser guards correctness-
+    relevant pruning — a wrong keep() silently drops partitions — so
+    its three-valued WHERE semantics must agree with a real SQL engine
+    on every generated predicate: int/string/date columns, every
+    comparison operator, IN/NOT IN, IS [NOT] NULL, AND/OR/NOT nesting,
+    parens, float-vs-int comparison, ISO-string date coercion, and
+    quote-escaped strings. Seeded, 300 expressions x 24 tuples."""
+    import random
+    from datetime import date as _date
+
+    import duckdb
+
+    rng = random.Random(0xA5C3)
+
+    day_vals = [None, -2, 0, 1, 2, 3, 100]
+    tag_vals = [None, "", "a", "b", "it's", "x y", "ü"]
+    dt_vals = [None] + [_date(2024, 1, d) for d in (1, 2, 3, 4)]
+    tuples = [
+        (rng.choice(day_vals), rng.choice(tag_vals), rng.choice(dt_vals))
+        for _ in range(24)
+    ]
+
+    day_lits = ["-2", "0", "1", "2", "3", "4", "1.5", "-0.5", "1e1"]
+    tag_lits = ["'a'", "'b'", "'it''s'", "''", "'ü'", "'z'", "'x y'"]
+    dt_lits = [
+        "DATE '2024-01-01'", "DATE '2024-01-02'", "DATE '2024-01-03'",
+        "DATE '2024-01-05'", "'2024-01-02'", "'2024-01-04'",
+    ]
+    CMP = ["=", "!=", "<>", "<", "<=", ">", ">="]
+
+    def leaf() -> str:
+        col, lits = rng.choice(
+            [("day", day_lits), ("tag", tag_lits), ("dt", dt_lits)]
+        )
+        kind = rng.random()
+        if kind < 0.15:
+            return f"{col} IS {'NOT ' if rng.random() < 0.5 else ''}NULL"
+        if kind < 0.35:
+            n = rng.randint(1, 3)
+            inner = ", ".join(rng.choice(lits) for _ in range(n))
+            neg = "NOT " if rng.random() < 0.5 else ""
+            return f"{col} {neg}IN ({inner})"
+        return f"{col} {rng.choice(CMP)} {rng.choice(lits)}"
+
+    def expr(depth: int = 0) -> str:
+        r = rng.random()
+        if depth < 3 and r < 0.30:
+            return f"({expr(depth + 1)} AND {expr(depth + 1)})"
+        if depth < 3 and r < 0.55:
+            return f"({expr(depth + 1)} OR {expr(depth + 1)})"
+        if depth < 3 and r < 0.65:
+            return f"NOT {expr(depth + 1)}"
+        return leaf()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(rid INT, day BIGINT, tag VARCHAR, dt DATE)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?, ?)",
+        [(i, *tup) for i, tup in enumerate(tuples)],
+    )
+
+    for i in range(300):
+        e = expr()
+        keep = _parse_partition_where(
+            e, ["day", "tag", "dt"],
+            [T.LongType(), T.StringType(), T.DateType()],
+        )
+        mine = {j for j, tup in enumerate(tuples) if keep(tup)}
+        duck = {
+            r[0]
+            for r in con.execute(
+                f"SELECT rid FROM t WHERE {e}"
+            ).fetchall()
+        }
+        assert mine == duck, (
+            f"expr #{i} diverged from DuckDB: {e!r}\n"
+            f"parser kept {sorted(mine)}, duckdb kept {sorted(duck)}"
+        )

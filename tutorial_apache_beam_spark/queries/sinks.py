@@ -24,6 +24,15 @@ from tutorial_apache_beam_spark.registry import register
 _TODAY = date(2024, 1, 30)
 _KEEP_DAYS = 7  # keep event_date >= 2024-01-23, drop the older 22 days
 
+# Per-leg wall clock of the LAST sink_roundtrip_retention invocation
+# (r13, VERDICT r12 item 2): the gate absorbed the r12 Avro write
+# surface and its headline cost ~doubled with nothing attributing
+# new-legs cost vs slower-shared-code. The gate stamps each leg here;
+# bench.py copies the dict into the artifact (extra.sink_legs) so the
+# growth adjudicates itself machine-readably. Overwritten per call —
+# a diagnostic breadcrumb, never an input to any computation.
+LAST_LEG_TIMINGS: dict[str, float] = {}
+
 
 @register(
     "sink_roundtrip_retention",
@@ -74,8 +83,13 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tutorial_apache_beam_spark.streaming.replay import stream_events
 
+    import time as _time
+
     scratch = tempfile.mkdtemp(prefix="sink_roundtrip_")
     table = f"{scratch}/clicks_daily"
+    legs = LAST_LEG_TIMINGS
+    legs.clear()
+    t0 = _time.monotonic()
 
     rows = stream_events(spark, sf_dir).select(
         F.date_trunc("second", "ts").alias("event_time"),
@@ -95,10 +109,14 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     p.run().wait_until_finish()
+    legs["stream_write_eo"] = round(_time.monotonic() - t0, 3)
 
+    t0 = _time.monotonic()
     apply_retention(table, "event_date", keep_days=_KEEP_DAYS, today=_TODAY)
     refresh_after_retention(spark, table)
+    legs["retention"] = round(_time.monotonic() - t0, 3)
 
+    t0 = _time.monotonic()
     daily = (
         spark.read.parquet(table)
         .groupBy("event_date")
@@ -111,6 +129,9 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_avro_fallback(
         daily, avro_dir, codec="deflate", partition_by=["event_date"]
     )
+    legs["parquet_readback_and_avro_write"] = round(
+        _time.monotonic() - t0, 3
+    )
     # r11: the read-back leg goes through the Spark 4 Python DataSource
     # surface (format("avro_fallback")) so the idiomatic reader — not
     # just the helper — sits inside the hash-checked loop; the helper
@@ -120,6 +141,7 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_avro_fallback,
     )
 
+    t0 = _time.monotonic()
     register_avro_fallback(spark)
     # Re-assert UTC right before the DataSource read (ADVICE r11): the
     # registration-time guard cannot see a session-timezone flip made
@@ -132,6 +154,11 @@ def sink_roundtrip_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tz!r} after register_avro_fallback — the DataSource read "
             "would zone-shift timestamps"
         )
-    return spark.read.format("avro_fallback").load(avro_dir).select(
+    out = spark.read.format("avro_fallback").load(avro_dir).select(
         "event_date", "n_rows", "n_clicks"
     )
+    # The DataSource read itself executes in the caller's action; this
+    # leg stamps registration + plan resolution. The caller-side
+    # residual (gate total − sum of legs) is the read execution.
+    legs["avro_datasource_plan"] = round(_time.monotonic() - t0, 3)
+    return out

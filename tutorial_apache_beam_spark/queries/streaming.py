@@ -599,6 +599,20 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed_sink, pane_sink = run_streams_to_memory(
         [(agg, "append"), (panes, "append")], spark
     )
+    # ADVICE r12: the 'panes' oracle (pane deltas == session totals,
+    # pane_index always 0) is valid ONLY because the fixture drains in
+    # exactly one micro-batch. Assert that precondition on the drained
+    # sink (driver-local rows, one cheap filter) so a trigger-config or
+    # fixture change that splits sessions across batches fails LOUDLY
+    # here instead of as an opaque oracle hash mismatch.
+    n_multi = pane_sink.filter(F.col("pane_index") > 0).count()
+    if n_multi:
+        raise AssertionError(
+            f"streaming_session_counts: {n_multi} pane rows carry "
+            "pane_index > 0 — the replay no longer drains in a single "
+            "micro-batch, so the 'panes' branch oracle (deltas == "
+            "session totals) does not describe this configuration"
+        )
     return closed_sink.select(
         F.lit("closed").alias("mode"),
         "session_start",

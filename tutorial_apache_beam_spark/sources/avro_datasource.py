@@ -470,7 +470,18 @@ class AvroFallbackStreamReader(DataSourceStreamReader):
       mtime older than that offset's wm — a backfill copied with
       `cp -p`-style preserved timestamps more than `offsetCompactLag`
       in the past — is treated as already processed and silently
-      skipped; backfills should copy without preserving mtimes;
+      skipped; backfills should copy without preserving mtimes. The
+      REPLAY side of the same trade (ADVICE r12): partitions for a
+      replayed epoch are re-derived from its (start, end) offsets by
+      re-listing the tree, so a preserved-mtime file whose mtime falls
+      inside [start.wm, end.wm) that landed AFTER the epoch's offsets
+      were minted is skipped by the live run of that epoch but
+      INGESTED by a crash replay of it — whether such a backfill's
+      rows appear at all can depend on whether a replay happened.
+      Normally-written files are unaffected (their mtimes postdate the
+      replayed end's wm); preserved-mtime backfills under
+      exactly-once-sensitive consumers should either copy fresh or run
+      with offsetCompactLag=-1;
     - files must be IMMUTABLE once written (the standard file-stream
       precondition): bumping a folded file's mtime (touch, in-place
       append) makes it look fresh again and re-ingests the whole file;

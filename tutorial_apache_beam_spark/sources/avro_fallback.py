@@ -616,7 +616,14 @@ def _check_writer_tag(spark_tag, declared, where: str) -> None:
         )
     if d0 == "decimal" and s0 == "decimal":
         if spark_tag[1:3] == declared[1:3]:
-            return  # same (precision, scale); bytes- or fixed-backed
+            # Same (precision, scale); bytes- or fixed-backed. An
+            # UNDERSIZED fixed backing never reaches here: declared
+            # schemas parse through _tag_of_avro, whose capacity check
+            # (precision vs fixed size, r11 review) refuses at plan
+            # time — pinned for the WRITE path in
+            # tests/test_avro_enum_fixed_write.py (ADVICE r12
+            # adjudicated: already closed by that check).
+            return
         raise ValueError(
             f"avro writer schema: {where} declares decimal"
             f"({declared[1]},{declared[2]}) but the column is decimal"
