@@ -445,6 +445,7 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     n: int = 3,
     min_overlap: int = 2,
+    doc_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Documents sharing ≥ `min_overlap` distinct n-gram shingle hashes
     with ANY benchmark document: (id, bench_hits) — the decontamination
@@ -457,11 +458,20 @@ def benchmark_contamination(
     every other near-dup operator, and the overlap count aggregates with
     map-side partial counts. Nothing is all-pairs and there is no skew
     key: work is O(corpus shingles + corpus∩benchmark hits).
+
+    `doc_hashes` (r13): pre-computed (id, h) rows for `docs` (from
+    `_shingle_rows` with the same n, caller-persisted) — the same
+    scan-sharing contract as `ngram_jaccard_pairs(shingle_rows=)`, so a
+    pipeline that already shingled the corpus for near-dup pairs does
+    not tokenize it a second time here (at 100 TB the tokenize+shingle
+    scan is the dominant stage; paying it twice in one pipeline was
+    pure waste). Ownership (unpersist) stays with the caller.
     """
     bench_hashes = (
         _shingle_rows(benchmark, text_col, id_col, n).select("h").distinct()
     )
-    doc_hashes = _shingle_rows(docs, text_col, id_col, n)
+    if doc_hashes is None:
+        doc_hashes = _shingle_rows(docs, text_col, id_col, n)
     return (
         doc_hashes.join(F.broadcast(bench_hashes), "h")
         .groupBy(id_col)

@@ -965,13 +965,53 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality_gated = scored.filter(F.col("quality_score") >= 0.3)
     kept = exact_dedup(quality_gated.select("doc_id", "text"))
-    pairs = ngram_jaccard_pairs(kept, threshold=0.2, max_doc_freq=100)
+    # ONE persisted tokenize→shingle→hash scan of the deduped survivors
+    # feeds BOTH the near-dup candidate pipeline and the benchmark-
+    # decontamination overlap count (r13): the two stages previously
+    # each ran their own `_shingle_rows(kept)` — two full corpus
+    # tokenize passes where one suffices (the dominant stage at scale).
+    # The contamination frame is materialized inside the scope (it is
+    # tiny — flagged doc ids) so the shared scan can be released before
+    # the gate returns; persist registrations sit INSIDE the
+    # join-expansion scope per the r12 rule (cache partition counts
+    # compile at registration).
+    from tutorial_apache_beam_spark.operators.dedup import (
+        _join_expansion_scope,
+        _plan_est_bytes,
+        _shingle_rows,
+    )
+
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    inv_plan = _shingle_rows(kept, "text", "doc_id", 3)
+    inv = None
+    try:
+        with _join_expansion_scope(spark, _plan_est_bytes(inv_plan)):
+            inv = inv_plan.persist()
+            inv.count()
+            # The two consumers of the shared scan are independent —
+            # materialize them concurrently (guide §2.6), like the
+            # lexical gate's branch overlap.
+            from concurrent.futures import ThreadPoolExecutor
+
+            contaminated = benchmark_contamination(
+                kept, benchmark, min_overlap=2, doc_hashes=inv
+            ).select("doc_id").persist()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                pairs_fut = pool.submit(
+                    ngram_jaccard_pairs,
+                    kept,
+                    threshold=0.2,
+                    max_doc_freq=100,
+                    shingle_rows=inv,
+                )
+                cont_fut = pool.submit(contaminated.count)
+                pairs = pairs_fut.result()
+                cont_fut.result()
+    finally:
+        if inv is not None:
+            inv.unpersist()
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = kept.join(dupes, "doc_id", "left_anti").select("doc_id")
-    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
-    contaminated = benchmark_contamination(
-        kept, benchmark, min_overlap=2
-    ).select("doc_id")
     clean = survivors.filter(F.col("doc_id") % 97 != 0).join(
         contaminated, "doc_id", "left_anti"
     )
