@@ -240,7 +240,12 @@ LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
 # inflated), this compares against an ABSOLUTE committed constant, so a
 # uniformly slowed machine can no longer stamp itself clean.
 CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.447"))
-CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.3"))
+# r14 (VERDICT r13 item 1): 1.3 let BENCH_r13's cal_ratio-1.07 run pass
+# while steal sat at 7.77%. Tightened to 1.12 — just above this host's
+# documented idle-probe outlier band (occasional 1.09 reads, see the
+# r13 calibration-history note below), so a genuinely idle run never
+# false-flags but a mid-teens-percent uniform slowdown does.
+CAL_MAX_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_MAX_RATIO", "1.12"))
 # Clean-record eligibility (r11, VERDICT r10 item 6): bench_last.json is
 # overwritten by EVERY full run — including the driver's noisy-hour runs
 # (r10: a cal_ratio-1.11 run clobbered the committed 1.01 record).
@@ -311,10 +316,16 @@ def _host_fingerprint() -> str:
 # 38.7 s headline, with /proc/stat showing ~2% steal even at idle.
 # Δsteal/Δtotal jiffies is the direct kernel-reported measure of that
 # capacity loss; the stamp takes the MAX over the run's start→mid→end
-# phases (an average would dilute a burst confined to one phase). At
-# 20% steal a saturated stage loses ~1/4 of its throughput, well past
-# the noise band the other signals tolerate.
-STEAL_MAX_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_MAX_PCT", "20"))
+# phases (an average would dilute a burst confined to one phase).
+# Threshold history: r8 set 20% ("a saturated stage loses ~1/4 of its
+# throughput"), but BENCH_r13 went on record at steal_pct 7.77 with
+# load_contaminated=false and 10 gates reading up to 1.7x their clean
+# values — the driver's own 8-core rerun of the same code beat the
+# 32-core numbers on 9 of them, proving the run externally inflated
+# (VERDICT r13 item 1). Idle baseline on this host is ~2% steal, so
+# r14 tightens the stamp to 3%: above the idle band, far below the
+# level that demonstrably distorted a committed artifact.
+STEAL_MAX_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_MAX_PCT", "3"))
 
 
 def _cpu_jiffies() -> tuple[int, int] | None:
@@ -752,9 +763,14 @@ def _emit(result: dict) -> None:
     # committed CAL_REF_S no longer describes this host (recalibration
     # drift, or a probe anomaly) — an implausibly fast calibration is
     # suspect, not clean, so it must not stamp the durable record.
+    # A retried measurement ran on a warm JVM (VERDICT r13 item 4):
+    # comparing it against cold-JVM rounds carries a fast bias, so a
+    # second-attempt read may ship as bench_last.json (visibly, via
+    # extra.attempts) but must never stamp the durable clean record.
     clean_eligible = (
         fname == "bench_last.json"
         and not load_contaminated
+        and result["extra"].get("attempts", 1) == 1
         and result["extra"]["cal_host_matches_ref"]
         and cal_ratio is not None
         and (1.0 / CLEAN_MAX_CAL_RATIO) <= cal_ratio <= CLEAN_MAX_CAL_RATIO

@@ -338,9 +338,16 @@ def ngram_jaccard_pairs(
             if caller_owns
             else _shingle_rows(df, text_col, id_col, n)
         )
-        # A caller-provided scan keeps its own cache partitioning, but
-        # the candidate-join reducers still size from it here.
-        scope_est = _plan_est_bytes(inv_plan)
+        # Scope ownership follows scan ownership (ADVICE r13): a caller
+        # that persisted the shared scan also owns the join-expansion
+        # reducer sizing — the sharing gates open their own scope around
+        # ALL branch materializations, and they run branches on
+        # concurrent driver threads, where an operator-internal scope
+        # mutating session conf (est here is the CACHED relation's real
+        # size, which can exceed the caller's plan-time estimate) would
+        # race the sibling thread's plan compilation. scope_est=None
+        # takes the documented no-op path.
+        scope_est = None if caller_owns else _plan_est_bytes(inv_plan)
     with _join_expansion_scope(df.sparkSession, scope_est):
         if pair_stats is not None:
             stats = pair_stats.filter(F.col("id_a") < F.col("id_b"))
@@ -537,7 +544,15 @@ def minhash_lsh_pairs(
     # repartition and the candidate join's exchanges) compile their
     # partition counts at registration, so both must sit inside (see
     # _join_expansion_scope's caveat and ngram_jaccard_pairs' r12 note).
-    with _join_expansion_scope(df.sparkSession, _plan_est_bytes(rows_plan)):
+    # A caller-provided scan transfers scope ownership to the caller
+    # (ADVICE r13 — same rule as ngram_jaccard_pairs: the sharing gates
+    # run this operator on a concurrent driver thread inside their own
+    # scope, and an internal conf mutation would race the sibling
+    # thread's plan compilation), so caller_owns takes the no-op path.
+    with _join_expansion_scope(
+        df.sparkSession,
+        None if caller_owns else _plan_est_bytes(rows_plan),
+    ):
         rows = rows_plan if caller_owns else rows_plan.persist()
         # Signature as k plain min-aggregates over the rows — codegen'd
         # hash aggregation with map-side partial minima (the array-HOF
@@ -634,8 +649,16 @@ def simhash_near_pairs(
     """
     # Materialize fingerprints before the chunk self-join (else the
     # 32-bit-vote expression tree executes once per join side); released
-    # once the verified pairs materialize below.
+    # once the verified pairs materialize below. Pinned EAGERLY (r14,
+    # VERDICT r13 item 5 — the lexical gate's r13 fix applied here): the
+    # self-join's two scan subtrees run as concurrent stages inside one
+    # job, and against an unmaterialized cache each computes the full
+    # tokenize+hash+vote fingerprint scan; one count pins the cache
+    # first, so both sides read it. At corpus scale the fingerprint scan
+    # is the dominant stage, so computing it once instead of twice
+    # matters more than the extra job costs.
     fp = simhash_fingerprints(df, text_col, id_col).persist()
+    fp.count()
     chunks = fp.select(
         F.col(id_col),
         F.col("simhash"),

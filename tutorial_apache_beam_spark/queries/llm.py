@@ -721,14 +721,179 @@ def text_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     email/IP/phone redaction counts + redacted-text fingerprint,
     normalized-URL dedup keying.
 
-    Scale: all three sides are narrow map-only projections of the same
-    scan (plus one small-domain window for the URL-canonical id);
-    Catalyst collapses the self-joins on the doc_id shuffle key.
+    Scale (r14, VERDICT r13 item 9): the three member suites each
+    re-scanned `documents` (ten parquet scans and five doc_id joins in
+    the composed plan — every family re-tokenized the same text), for
+    columns that are ALL per-row map-only expressions except the
+    norm_url window and the SimHash bit-vote aggregate. The gate now
+    computes every per-row column in ONE projection over ONE scan
+    (tokens materialized once and shared by the analysis, fingerprint
+    and shingle expressions), keeps the norm_url window on that frame
+    (before any join, as in the original composition, so the canonical
+    id is computed over all documents), and joins only the SimHash
+    branch — the one genuinely aggregate-shaped member (explode →
+    32-vote groupBy, kept in its codegen row-wise form; the array-HOF
+    spelling is value-identical but runs interpreted, measured ~3x
+    slower). Ten scans → two, five joins → one; results bit-identical
+    (same expression trees, oracle re-verified). The member suites stay
+    callable for bench/tests.
     """
-    return (
-        text_analysis_suite(spark, sf_dir)
-        .join(doc_fingerprints_suite(spark, sf_dir), "doc_id")
-        .join(pii_url_suite(spark, sf_dir), "doc_id")
+    from tutorial_apache_beam_spark.operators.pii import (
+        normalize_url,
+        pii_counts,
+        redact_pii,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # --- shared base: one scan, tokens computed once -------------------
+    base = docs.select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("toks")
+    )
+    for lang in _LANGS:
+        base = base.withColumn(
+            f"sw_{lang}",
+            F.when(F.size("toks") == 0, F.lit(None).cast("double")).otherwise(
+                F.round(
+                    stopword_count(F.col("toks"), lang).cast("double")
+                    / F.size("toks"),
+                    4,
+                )
+            ),
+        )
+
+    # --- text-analysis columns (same expressions as text_analysis_suite)
+    n_tokens = F.size("toks")
+    n_types = F.size(F.array_distinct("toks"))
+    sw_en = stopword_count(F.col("toks"), "en")
+    tok_lens = F.transform(F.col("toks"), lambda x: F.length(x))
+    shingles3 = word_shingles(F.col("toks"), 3)
+    detected = F.when(F.size("toks") == 0, F.lit(None).cast("string")).otherwise(
+        F.when(
+            (F.col("sw_en") >= F.col("sw_es"))
+            & (F.col("sw_en") >= F.col("sw_de"))
+            & (F.col("sw_en") >= F.col("sw_fr")),
+            "en",
+        )
+        .when(
+            (F.col("sw_es") >= F.col("sw_de")) & (F.col("sw_es") >= F.col("sw_fr")),
+            "es",
+        )
+        .when(F.col("sw_de") >= F.col("sw_fr"), "de")
+        .otherwise("fr")
+    )
+    ta_cols = [
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), 0
+            )
+        ).alias("n_bpe_tokens"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).alias("n_punct"),
+        F.round(
+            F.when(n_tokens == 0, 0.0).otherwise(n_types.cast("double") / n_tokens),
+            4,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
+            + F.when(n_tokens == 0, 0.0).otherwise(sw_en.cast("double") / n_tokens)
+            * 0.5,
+            4,
+        ).alias("quality_score"),
+        F.round(
+            F.when(n_tokens == 0, 0.0).otherwise(
+                F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast(
+                    "double"
+                )
+                / n_tokens
+            ),
+            4,
+        ).alias("mean_word_len"),
+        F.coalesce(F.array_max(tok_lens), F.lit(0)).alias("max_word_len"),
+        F.round(
+            F.when(n_tokens < 3, 0.0).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct(shingles3)).cast("double")
+                / F.size(shingles3)
+            ),
+            4,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.when(n_tokens == 0, 0.0).otherwise(
+                _max_run_count(F.array_sort("toks")).cast("double") / n_tokens
+            ),
+            4,
+        ).alias("top_token_frac"),
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+    ]
+
+    # --- fingerprint columns (same expressions as doc_fingerprints_suite,
+    # minus the aggregate-shaped simhash, which joins in below) ----------
+    fp_cols = [
+        portable_hash64(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("content_fp"),
+        F.coalesce(
+            F.array_min(
+                F.transform(F.array_distinct(shingles3), portable_hash64)
+            ),
+            F.lit(-1),
+        ).alias("min_shingle_fp"),
+    ]
+
+    # --- PII/URL columns (same expressions as pii_url_suite) -----------
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pii_text = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), s(did), F.lit("@Example"), s(did % 5), F.lit(".COM")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("alt"), s(did), F.lit("@mail.org")),
+        ),
+        F.concat(
+            F.lit("+"), s(1 + did % 99),
+            F.lit("-"), s(200 + did % 800),
+            F.lit("-"), s(1000 + did % 9000),
+        ),
+        F.concat(
+            s(did % 256), F.lit("."), s((did * 7) % 256),
+            F.lit("."), s((did * 13) % 256), F.lit("."), s((did * 29) % 256),
+        ),
+    )
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), s(did % 7),
+        F.lit(".com:443/Path/"), s(did % 50),
+        F.when(did % 3 == 0, F.lit("?utm_source=t&x=1"))
+        .when(did % 3 == 1, F.lit("?utm_medium=m"))
+        .otherwise(F.lit("")),
+        F.lit("#Frag"),
+    )
+    base = base.withColumn("pii_text", pii_text).withColumn("url", url)
+    pii_cols = [
+        *[c.alias(n) for n, c in pii_counts("pii_text").items()],
+        portable_hash64(redact_pii("pii_text")).alias("redacted_fp"),
+        normalize_url("url").alias("norm_url"),
+    ]
+
+    merged = base.select("doc_id", *ta_cols, *fp_cols, *pii_cols).withColumn(
+        "url_canonical_id",
+        F.min("doc_id").over(Window.partitionBy("norm_url")),
+    )
+    sim = simhash_fingerprints(docs)
+    # Restore the composed gate's column order (simhash sits between the
+    # fingerprint and PII families).
+    order = [
+        c for c in merged.columns if c != "doc_id"
+    ]
+    i = order.index("min_shingle_fp") + 1
+    return merged.join(sim, "doc_id").select(
+        "doc_id", *order[:i], "simhash", *order[i:]
     )
 
 
@@ -1030,7 +1195,15 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         salt="curriculum",
     )
-    return mixed.withColumn("epoch", F.col("epoch").cast("long"))
+    # Materialize the (result-sized) gate output, then release the
+    # per-invocation `contaminated` cache (ADVICE r13 — it was pinned for
+    # the session lifetime, contrary to the cache-hygiene rule): same
+    # persist-result/release-intermediates pattern as the ann and
+    # embedding gates.
+    result = mixed.withColumn("epoch", F.col("epoch").cast("long")).persist()
+    result.count()
+    contaminated.unpersist()
+    return result
 
 
 @register(

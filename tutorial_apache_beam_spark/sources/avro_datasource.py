@@ -799,6 +799,22 @@ class AvroFallbackStreamWriter(DataSourceStreamWriter):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._marker_path())
+        # fsync the containing directory too (ADVICE r13): fsyncing only
+        # the temp file makes the CONTENT durable, but the rename itself
+        # lives in the directory — on power loss the marker entry can be
+        # lost while phase-2 finals (written later, surviving by luck of
+        # cache flush order) remain, and the epoch's replay would take
+        # the narrow staged-dirs sweep past stale finals in other
+        # partition dirs. A directory fsync pins the rename before any
+        # phase-2 promote starts.
+        try:
+            dfd = os.open(self._local, os.O_RDONLY)
+        except OSError:
+            return  # non-POSIX dir-open semantics: best effort
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def commit(self, messages, batchId: int) -> None:
         import glob as _glob
