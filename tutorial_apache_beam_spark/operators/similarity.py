@@ -788,24 +788,49 @@ def kmeans_centroids(
         return mat / norms[:, None]
 
     training_rows = None
+    probe = None
     if training_sample_cap is not None:
-        total = df.count()
-        if total > training_sample_cap:
-            # Deterministic hash-sample at ~cap expected rows: portable
-            # across runs (F.hash is Murmur3 of the id), no RNG state.
-            denom = 1_000_003
-            keep = max(1, (training_sample_cap * denom) // total)
-            df = df.filter(
-                F.pmod(F.hash(F.col(id_col)), F.lit(denom)) < keep
-            )
-            # Post-filter size ≈ cap by construction; use the cap as the
-            # driver-path estimate rather than paying another count.
-            training_rows = training_sample_cap
+        # One bounded limit-collect probes the size AND doubles as the
+        # driver training set when everything fits (r14): a corpus of at
+        # most `driver_train_threshold` rows used to pay a count job and
+        # then a separate full collect of the same rows — the probe is
+        # both in one job. limit(N) returns ALL rows when the input has
+        # at most N (the only case the rows are used), so the collected
+        # set is deterministic; larger corpora discard the probe (a
+        # limit-collect terminates early, bounded at threshold+1 rows)
+        # and take the count-based sampling path unchanged.
+        # Shortcut bound: the probe may stand in for the training set
+        # only when its size proves BOTH "no sampling would fire"
+        # (<= cap) and "driver path applies" (<= threshold).
+        shortcut_max = min(training_sample_cap, driver_train_threshold)
+        probe = df.select(
+            F.hash(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        ).limit(shortcut_max + 1).collect()
+        if len(probe) <= shortcut_max:
+            training_rows = len(probe)
         else:
-            training_rows = total
+            total = df.count()
+            probe = None
+            if total > training_sample_cap:
+                # Deterministic hash-sample at ~cap expected rows:
+                # portable across runs (F.hash is Murmur3 of the id),
+                # no RNG state.
+                denom = 1_000_003
+                keep = max(1, (training_sample_cap * denom) // total)
+                df = df.filter(
+                    F.pmod(F.hash(F.col(id_col)), F.lit(denom)) < keep
+                )
+                # Post-filter size ≈ cap by construction; use the cap as
+                # the driver-path estimate rather than paying another
+                # count.
+                training_rows = training_sample_cap
+            else:
+                training_rows = total
 
     if training_rows is not None and training_rows <= driver_train_threshold:
-        sample = df.select(
+        sample = probe if probe is not None else df.select(
             F.hash(F.col(id_col)).alias("_h"),
             F.col(id_col).alias("_id"),
             as_double(F.col(vec_col)).alias("v"),

@@ -357,10 +357,6 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redundantly by whichever chains reach it first.
     emb = load_table(spark, sf_dir, "embeddings").persist()
     emb.count()
-    # Persisted: the frame is read four times (returned rows + the two
-    # tier slices feeding ivf_recall) — without the cache each read
-    # re-runs all four scoring tiers. Small (4 methods × |probes| × 5).
-    topk = ann_scored_topk(spark, sf_dir, emb=emb).persist()
 
     # r13 (guide §2.6 — overlap independent jobs): the gate's eager
     # phase is three INDEPENDENT chains over the materialized embeddings
@@ -371,9 +367,31 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~4 s vs ~10 s wall at sf0.1, tools/stage_attrib.py r13). Identical
     # frames and math — only job submission order changes, so results
     # are bit-identical (oracle re-verified).
+    #
+    # r14 (VERDICT r13 item 2): each chain's CONSTRUCTION moved inside
+    # its pool thread too — building the five-tier plan runs three
+    # eager probe/centroid collect jobs, and cosine_topk's probe
+    # broadcast one more, all previously serial on the driver before
+    # the pool opened. Same frames, same math; only which thread
+    # submits the construction jobs changes.
     probes7 = emb.filter(F.col("vec_id") % 100 == 7)
-    exact7 = cosine_topk(emb, probes7, k=5).persist()
+    topk_box: list = []
+    exact7_box: list = []
     cents_box: list = []
+
+    def _build_topk() -> None:
+        # Persisted: the frame is read four times (returned rows + the
+        # two tier slices feeding ivf_recall) — without the cache each
+        # read re-runs all four scoring tiers. Small (4 methods ×
+        # |probes| × 5).
+        t = ann_scored_topk(spark, sf_dir, emb=emb).persist()
+        t.count()
+        topk_box.append(t)
+
+    def _build_exact7() -> None:
+        e = cosine_topk(emb, probes7, k=5).persist()
+        e.count()
+        exact7_box.append(e)
 
     def _train() -> None:
         # iters=2 (was 3): each Lloyd's round costs a corpus scan +
@@ -386,12 +404,12 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         for f in [
-            pool.submit(topk.count),
-            pool.submit(exact7.count),
+            pool.submit(_build_topk),
+            pool.submit(_build_exact7),
             pool.submit(_train),
         ]:
             f.result()
-    cents = cents_box[0]
+    topk, exact7, cents = topk_box[0], exact7_box[0], cents_box[0]
 
     # fused tier (r10, VERDICT r9 item 4): reciprocal-rank fusion
     # (k=60) of the five per-tier top-5 lists into ONE hybrid ranking
